@@ -1,0 +1,239 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.operators.PortableHash._
+
+/**
+ * Training-data-pipeline operator queries (dedup / similarity / text /
+ * multimodal) + their DuckDB oracles. The hash-family oracle SQL is
+ * GENERATED from the same constants as the Spark side (PortableHash), so
+ * the two implementations cannot drift.
+ */
+object ExtQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "embeddings")
+
+  private val AnnQueries: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(docs(s, dir)).orderBy(col("text_hash"))),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(Dedup.ngramShingles(docs(s, dir), 3), 0.1)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashNearDups(docs(s, dir), 0.9)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashNearDups(docs(s, dir), 3)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingNearDups(embs(s, dir), 0.30)
+        .orderBy(col("vec_a"), col("vec_b"))),
+
+    "ann_topk_exact" -> ((s, dir) =>
+      Similarity.bruteForceTopK(embs(s, dir), AnnQueries, 10)
+        .orderBy(col("query_id"), col("rnk"))),
+
+    // LSH ANN is approximate by design -> no SQL oracle (rows-only check);
+    // SimilaritySpec measures its recall against the exact result.
+    "ann_topk_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(embs(s, dir), AnnQueries, 10, dims = 64, nPlanes = 4)
+        .orderBy(col("query_id"), col("rnk"))),
+
+    "text_token_stats" -> ((s, dir) =>
+      TextAnalysis.tokenStats(docs(s, dir)).orderBy(col("doc_id"))),
+
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScores(docs(s, dir)).orderBy(col("doc_id"))),
+
+    "text_langid" -> ((s, dir) =>
+      TextAnalysis.langId(docs(s, dir)).orderBy(col("doc_id"))),
+
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprints(docs(s, dir)).orderBy(col("doc_id"))),
+
+    "media_decode_stub" -> ((s, dir) =>
+      Multimodal.mediaFeatures(s, dir).orderBy(col("doc_id")))
+  )
+
+  // ------------------------------------------------------------------
+  // DuckDB oracles
+  // ------------------------------------------------------------------
+
+  /** Distinct unigram words per doc. */
+  private val wordsSql =
+    "SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM documents"
+
+  /** Exact-jaccard verification over candidate pairs (cand: doc_a, doc_b). */
+  private def jaccardVerifySql(threshold: Double): String =
+    s"""n AS (SELECT doc_id, COUNT(*) AS n_w FROM w GROUP BY doc_id),
+       |common AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+       |  FROM cand c
+       |  JOIN w wa ON wa.doc_id = c.doc_a
+       |  JOIN w wb ON wb.doc_id = c.doc_b AND wb.word = wa.word
+       |  GROUP BY c.doc_a, c.doc_b),
+       |j AS (
+       |  SELECT doc_a, doc_b,
+       |         n_common * 1.0 / (na.n_w + nb.n_w - n_common) AS jac
+       |  FROM common
+       |  JOIN n na ON na.doc_id = doc_a
+       |  JOIN n nb ON nb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard FROM j
+       |WHERE jac >= $threshold ORDER BY doc_a, doc_b""".stripMargin
+
+  private val minhashLshSql: String = {
+    val mhExprs = (0 until NumHashes)
+      .map(j => s"MIN(${minhashSql(j, "hm")}) AS mh$j").mkString(",\n  ")
+    val bandSelects = (0 until NumBands).map { bnd =>
+      val sig = (bnd * BandRows until (bnd + 1) * BandRows)
+        .map(j => s"CAST(mh$j AS VARCHAR)").mkString(", ")
+      s"SELECT doc_id, $bnd AS band, concat_ws(',', $sig) AS sig FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH w AS ($wordsSql),
+       |hm AS (SELECT doc_id, ${hModSql("word")} AS hm FROM w),
+       |sig AS (SELECT doc_id, $mhExprs FROM hm GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |${jaccardVerifySql(0.9)}""".stripMargin
+  }
+
+  private val simhashSql: String = {
+    val bitSums = (0 until SimHashBits)
+      .map(i => s"SUM(((h >> $i) & 1) * 2 - 1) AS s$i").mkString(",\n  ")
+    val fp = (0 until SimHashBits)
+      .map(i => s"(CASE WHEN s$i > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    val chunks = (0 until SimHashChunks)
+      .map(c => s"((fp >> ${c * ChunkBits}) & ${(1L << ChunkBits) - 1}) AS c$c").mkString(", ")
+    val chunkJoins = (0 until SimHashChunks).map { c =>
+      s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fp AS fp_a, b.fp AS fp_b
+         |  FROM chunked a JOIN chunked b ON a.c$c = b.c$c AND a.doc_id < b.doc_id""".stripMargin
+    }.mkString("\n  UNION ")
+    s"""WITH w AS ($wordsSql),
+       |hw AS (SELECT doc_id, ${hSql("word")} AS h FROM w),
+       |sums AS (SELECT doc_id, $bitSums FROM hw GROUP BY doc_id),
+       |fps AS (SELECT doc_id, ($fp) AS fp FROM sums),
+       |chunked AS (SELECT doc_id, fp, $chunks FROM fps),
+       |pairs AS (
+       |  $chunkJoins)
+       |SELECT doc_a, doc_b, bit_count(xor(fp_a, fp_b)) AS hamming FROM pairs
+       |WHERE bit_count(xor(fp_a, fp_b)) <= 3 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Quantized embedding vectors: exact integer dot products. */
+  private val quantSql =
+    """q AS (
+      |  SELECT vec_id,
+      |         [CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) for x in embedding] AS qv
+      |  FROM embeddings),
+      |qn AS (SELECT vec_id, qv, list_inner_product(qv, qv) AS n2 FROM q)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc
+        |FROM documents GROUP BY text_hash ORDER BY text_hash""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS wd FROM documents),
+         |w AS (
+         |  SELECT DISTINCT doc_id, wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2] AS word
+         |  FROM t, UNNEST(range(1, len(wd) - 1)) AS r(i)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id),
+         |${jaccardVerifySql(0.1)}""".stripMargin,
+
+    "dedup_minhash_lsh" -> minhashLshSql,
+
+    "dedup_simhash" -> simhashSql,
+
+    "dedup_embedding" ->
+      s"""WITH $quantSql,
+         |p AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         list_inner_product(a.qv, b.qv) / (sqrt(a.n2) * sqrt(b.n2)) AS cos
+         |  FROM qn a JOIN qn b ON a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, ROUND(cos, 4) AS cos FROM p
+         |WHERE cos >= 0.30 ORDER BY vec_a, vec_b""".stripMargin,
+
+    "ann_topk_exact" ->
+      s"""WITH $quantSql,
+         |scored AS (
+         |  SELECT qq.vec_id AS query_id, c.vec_id,
+         |         ROUND(list_inner_product(qq.qv, c.qv) / (sqrt(qq.n2) * sqrt(c.n2)), 4) AS cos
+         |  FROM qn qq JOIN qn c ON c.vec_id != qq.vec_id
+         |  WHERE qq.vec_id IN (${AnnQueries.mkString(", ")})),
+         |ranked AS (
+         |  SELECT query_id, vec_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, rnk, vec_id, cos FROM ranked WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    "text_token_stats" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,
+        |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_re_tokens,
+        |       length(text) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" -> {
+      val stop = TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (
+         |  SELECT doc_id, text, len(string_split(text, ' ')) AS n,
+         |         len(list_filter(string_split(text, ' '), x -> x IN ($stop))) AS n_stop,
+         |         len(regexp_extract_all(text, '[a-z]')) AS n_alpha
+         |  FROM documents)
+         |SELECT doc_id, n AS n_tokens,
+         |       ROUND(n_stop * 1.0 / n, 4) AS stopword_ratio,
+         |       ROUND(length(text) * 1.0 / n, 4) AS mean_token_len,
+         |       ROUND(n_alpha * 1.0 / length(text), 4) AS alpha_ratio
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
+
+    "text_langid" -> {
+      val stop = TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n,
+         |         len(list_filter(string_split(text, ' '), x -> x IN ($stop))) AS n_stop
+         |  FROM documents)
+         |SELECT doc_id, lang AS labeled_lang,
+         |       CASE WHEN n_stop * 1.0 / n >= 0.02 THEN 'en' ELSE 'unk' END AS predicted_lang
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
+
+    "text_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS wd FROM documents),
+         |pw AS (SELECT doc_id, i, wd[i] AS word FROM t, UNNEST(range(1, len(wd) + 1)) AS r(i)),
+         |terms AS (SELECT doc_id, (${hModSql("word")} * i) % $P AS term FROM pw)
+         |SELECT doc_id, SUM(term) % $P AS fingerprint FROM terms
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "media_decode_stub" ->
+      """WITH m AS (SELECT doc_id, md5(text) AS hx FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |         [CAST(('0x' || substr(hx, 2*i - 1, 2)) AS INT) for i in range(1, 17)] AS bytes
+        |  FROM m)
+        |SELECT doc_id, bytes[1] + 1 AS width, bytes[2] + 1 AS height,
+        |       CAST(list_sum(bytes) AS BIGINT) AS sum_bytes, 4 AS n_frames,
+        |       CAST(bytes[1] AS BIGINT) * 16777216 + bytes[5] * 65536 +
+        |         bytes[9] * 256 + bytes[13] AS frame_sig
+        |FROM b ORDER BY doc_id""".stripMargin
+  )
+}

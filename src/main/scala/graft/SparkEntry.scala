@@ -31,7 +31,9 @@ object SparkEntry {
   // queries — one per implemented operator from SURVEY.md §2
   // ---------------------------------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = baseQueries ++ ExtQueries.queries
+
+  private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- co-occurrence pipeline (SURVEY §2 #4..#14, batch skip-cuts mode) ---
     "cooc_parse" -> ((s, dir) =>
       Cooccurrence.interactions(s, dir)
@@ -291,7 +293,9 @@ object SparkEntry {
        |  HAVING SUM(CASE WHEN a.item = b.item THEN a.n * (a.n - 1) ELSE a.n * b.n END) > 0)
        |""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = baseOracleSql ++ ExtQueries.oracleSql
+
+  private def baseOracleSql: Map[String, String] = Map(
     "cooc_parse" ->
       s"""WITH inter AS ($interSql)
          |SELECT usr AS "user", item, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s

@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import PortableHash._
+
+/**
+ * Document deduplication operators for training-data pipelines: exact
+ * (hash-groupBy), n-gram Jaccard, MinHash+LSH, SimHash, and
+ * embedding-cosine near-dup.
+ *
+ * Scale posture (100 TB):
+ *  - Exact dedup is one hash shuffle on a 16-byte key — optimal.
+ *  - Pairwise Jaccard is only computed on *candidate* pairs produced by an
+ *    inverted index (n-gram) or LSH banding (MinHash) — never all-pairs.
+ *  - MinHash signatures are ONE shuffle (groupBy doc with 16 min()
+ *    aggregations, map-side partial agg); banding fans out x4 rows of a
+ *    ~100-byte signature, then buckets self-join — the standard
+ *    shuffle-bounded LSH plan. Hot buckets are bounded because band
+ *    signatures of 4x31-bit hashes rarely collide for dissimilar docs.
+ *  - SimHash near-dup uses the pigeonhole banded join (4 chunks of 15
+ *    bits): any pair within hamming distance 3 shares at least one exact
+ *    chunk, so the join key is an equi-key — no cross product.
+ *  - Embedding near-dup below is the exact quadratic verifier; at scale,
+ *    candidates come from Similarity.lshBuckets first.
+ */
+object Dedup {
+
+  /** Words (unigram shingles) per doc, distinct. One narrow explode. */
+  def docWords(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .distinct()
+
+  /**
+   * Exact duplicate groups by content hash. With no dups every group has
+   * n_docs=1; the operator is the same hash-groupBy either way.
+   */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc"))
+
+  /** Distinct word-n-gram shingles per doc. */
+  def ngramShingles(docs: DataFrame, n: Int): DataFrame = {
+    val w = split(col("text"), " ")
+    docs
+      .select(
+        col("doc_id"),
+        explode(
+          when(size(w) >= n,
+            transform(sequence(lit(1), size(w) - (n - 1)),
+              i => concat_ws(" ", slice(w, i, lit(n)))))
+            .otherwise(array())).as("shingle"))
+      .distinct()
+  }
+
+  /**
+   * Jaccard similarity of all pairs sharing >= 1 shingle, thresholded.
+   * The shingle equi-join IS the inverted index: fan-out is bounded by
+   * shingle document frequency, not by |docs|^2.
+   */
+  def jaccardPairs(shingles: DataFrame, threshold: Double): DataFrame = {
+    val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = shingles.as("a")
+    val b = shingles.as("b")
+    val common = a
+      .join(b, col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a")), "doc_a")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b")), "doc_b")
+      .withColumn("jaccard",
+        col("n_common") * lit(1.0) / (col("n_a") + col("n_b") - col("n_common")))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /**
+   * MinHash signatures: one shuffle, NumHashes min() aggregations over the
+   * per-(doc, word) hash — all inside whole-stage codegen.
+   */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val hashed = docWords(docs).withColumn("hm", hMod(col("word")))
+    val aggs = (0 until NumHashes).map(j => min(minhash(j, col("hm"))).as(s"mh$j"))
+    hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: (band, signature-string) buckets per doc. */
+  def lshBands(signatures: DataFrame): DataFrame = {
+    val bands = (0 until NumBands).map { bnd =>
+      val sig = concat_ws(",",
+        (bnd * BandRows until (bnd + 1) * BandRows).map(j => col(s"mh$j").cast("string")): _*)
+      signatures.select(col("doc_id"), lit(bnd).as("band"), sig.as("sig"))
+    }
+    bands.reduce(_ unionAll _)
+  }
+
+  /** Candidate pairs: docs sharing any LSH bucket (distinct). */
+  def lshCandidates(signatures: DataFrame): DataFrame = {
+    val bands = lshBands(signatures)
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /**
+   * MinHash+LSH near-dup: LSH candidates verified with exact unigram
+   * Jaccard >= threshold. Deterministic (fixed hash family) so the SQL
+   * oracle reproduces the exact candidate set.
+   */
+  def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame = {
+    val words = docWords(docs)
+    val sizes = words.groupBy(col("doc_id")).agg(count(lit(1)).as("n_w"))
+    val cands = lshCandidates(minhashSignatures(docs))
+    val wa = words.select(col("doc_id").as("doc_a"), col("word"))
+    val wb = words.select(col("doc_id").as("doc_b"), col("word").as("word_b"))
+    cands
+      .join(wa, Seq("doc_a"))
+      .join(wb, Seq("doc_b"))
+      .where(col("word") === col("word_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_w", "n_a")), "doc_a")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_w", "n_b")), "doc_b")
+      .withColumn("jaccard",
+        col("n_common") * lit(1.0) / (col("n_a") + col("n_b") - col("n_common")))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /**
+   * SimHash fingerprints: per doc, bit i of the fingerprint is the sign of
+   * sum over distinct words of (bit i of H(word) ? +1 : -1). One shuffle,
+   * SimHashBits sum() aggregations.
+   */
+  def simhashFingerprints(docs: DataFrame): DataFrame = {
+    val hashed = docWords(docs).withColumn("h", h(col("word")))
+    val bitSums = (0 until SimHashBits).map { i =>
+      sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$i")
+    }
+    val fp = (0 until SimHashBits)
+      .map(i => when(col(s"s$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    hashed
+      .groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fp.as("fp"))
+  }
+
+  /**
+   * SimHash near-dup via the pigeonhole banded join: maxHamming must be
+   * < SimHashChunks so every qualifying pair shares an exact chunk.
+   */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming < SimHashChunks, "pigeonhole needs maxHamming < #chunks")
+    val fps = simhashFingerprints(docs)
+    val chunked = fps.select(
+      col("doc_id") +: col("fp") +:
+        (0 until SimHashChunks).map(c =>
+          shiftright(col("fp"), c * ChunkBits).bitwiseAND(lit((1L << ChunkBits) - 1)).as(s"c$c")): _*)
+    val pairs = (0 until SimHashChunks).map { c =>
+      val a = chunked.as("a")
+      val b = chunked.as("b")
+      a.join(b, col(s"a.c$c") === col(s"b.c$c") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
+    }.reduce(_ unionAll _).distinct()
+    pairs
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /**
+   * Embedding-cosine near-dup over quantized vectors (exact integer dot
+   * products — engine-portable, see Similarity.quantize). Quadratic
+   * verifier; at scale gate with Similarity.lshBuckets candidates.
+   */
+  def embeddingNearDups(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val q = embeddings.select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+    val a = q.as("a")
+    val b = q.as("b")
+    a.join(b, col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        Similarity.cosineQ(col("a.qv"), col("b.qv")).as("cos"))
+      .where(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multimodal-column plumbing: images/audio/video ride as opaque `binary`
+ * columns with typed metadata, and decode / feature-extract / frame-sample
+ * run as batched per-partition functions over the binary payloads (the
+ * Scala analogue of arrow-batched pandas UDFs).
+ *
+ * The decode itself is a clearly-marked STUB (no image/audio codecs in
+ * this container): it derives deterministic pseudo-features from the raw
+ * bytes. Everything around it — binary schema, partitioning, batch
+ * iteration, typed output — is the real production plumbing: swap
+ * `decodeStub` for a JNI/codec call and nothing else changes.
+ *
+ * Scale posture: payloads never pass through a shuffle (features are
+ * extracted before any wide op); mapPartitions keeps per-batch codec
+ * state (here: none) amortized across rows, exactly like a pandas UDF
+ * batch. Partition sizing for 100 TB of media = bytes-based
+ * (`spark.sql.files.maxPartitionBytes`), not row-based.
+ */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, payload: Array[Byte])
+  case class MediaFeatures(
+      doc_id: Long, width: Int, height: Int, sum_bytes: Long, n_frames: Int, frame_sig: Long)
+
+  /**
+   * Synthesize the media table from `documents`: payload = md5(text) bytes
+   * (deterministic 16-byte fake "image"), metadata alongside.
+   */
+  def mediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      unhex(md5(col("text").cast("binary"))).as("payload"),
+      struct(lit("fake/rgb8").as("format"), lit(16).as("n_bytes")).as("meta"))
+
+  /**
+   * STUB decoder — replace with a real codec. Deterministic features from
+   * bytes: width/height from the first two bytes, a byte-sum "brightness",
+   * and 4 sampled "frames" (stride-4 bytes) packed into a signature.
+   */
+  private def decodeStub(payload: Array[Byte]): (Int, Int, Long, Int, Long) = {
+    def u(i: Int): Int = payload(i) & 0xff
+    val width = u(0) + 1
+    val height = u(1) + 1
+    val sum = payload.map(b => (b & 0xff).toLong).sum
+    val frames = Array(u(0), u(4), u(8), u(12)) // frame-sample at stride 4
+    val sig = frames.foldLeft(0L)((acc, b) => (acc << 8) | b)
+    (width, height, sum, frames.length, sig)
+  }
+
+  /** Batched decode / feature extraction over the binary column. */
+  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { batch =>
+        // per-partition codec init would live here (amortized, like a
+        // pandas UDF batch); the stub needs none.
+        batch.map { row =>
+          val (w, ht, s, nf, sig) = decodeStub(row.payload)
+          MediaFeatures(row.doc_id, w, ht, s, nf, sig)
+        }
+      }
+  }
+
+  /** End-to-end: documents -> media table -> decoded features. */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(mediaTable(Tables.table(spark, dir, "documents"))).toDF()
+}

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import PortableHash.{h, P}
+
+/**
+ * Similarity search over an embedding column (Array[Float]).
+ *
+ * Exactness contract: vectors are quantized to integer grids
+ * (round(x * 1e6)) before any arithmetic. Dot products and norms are then
+ * exact 64-bit integer sums (64 dims x (5e5)^2 ~ 1.6e13 << 2^63, and also
+ * << 2^53 so even a double-summing engine gets the identical value) —
+ * cosine scores are bit-identical across engines and partitionings.
+ *
+ * Scale posture:
+ *  - Brute-force top-k broadcasts the (small) query set and scans the
+ *    corpus once: one pass, no shuffle of the corpus, heap-bounded top-k
+ *    per query via window-rank over (query) partitions.
+ *  - The LSH path buckets the corpus by random-hyperplane sign bits
+ *    (deterministic planes derived from PortableHash); queries probe only
+ *    their own bucket (+ optional multi-probe neighbors) — corpus scan
+ *    drops to |bucket| ~ N / 2^planes per query.
+ */
+object Similarity {
+
+  /** Quantize a float-array column to a long-array on the 1e-6 grid. */
+  def quantize(emb: Column): Column =
+    transform(emb, x => round(x.cast("double") * lit(1000000.0)).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Cosine similarity of two quantized vectors (double, deterministic). */
+  def cosineQ(a: Column, b: Column): Column =
+    dotQ(a, b).cast("double") /
+      (sqrt(dotQ(a, a).cast("double")) * sqrt(dotQ(b, b).cast("double")))
+
+  /**
+   * Exact brute-force cosine top-k: for each query vector (vec_id in
+   * queryIds), the k nearest corpus vectors (self excluded).
+   */
+  def bruteForceTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val q = embeddings
+      .where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qv"))
+    val corpus = embeddings.select(col("vec_id"), quantize(col("embedding")).as("cv"))
+    val scored = corpus
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosineQ(col("qv"), col("cv")), 4).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("vec_id"), col("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplane sign for (plane, dim):
+    * +1/-1 from the portable hash of "p:d". */
+  private def planeSign(plane: Int, dim: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$plane:$dim".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString.take(15)
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
+  }
+
+  /** Sign-random-projection bucket id (nPlanes bits) for a quantized vector. */
+  def lshBucket(qv: Column, dims: Int, nPlanes: Int): Column =
+    (0 until nPlanes).map { p =>
+      val signs = array((0 until dims).map(d => lit(planeSign(p, d))): _*)
+      when(dotQ(qv, signs) > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /**
+   * Multi-probe LSH approximate top-k: queries score candidates in their
+   * own hyperplane bucket plus every hamming-1 neighbor bucket (each probe
+   * is one flipped plane), all through a single equi-join on bucket id —
+   * the standard trick to trade a small broadcast fan-out (1 + nPlanes
+   * rows per query) for ~3x recall. Recall < 1 by design; the spec
+   * measures it against bruteForceTopK.
+   */
+  def lshTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      dims: Int, nPlanes: Int): DataFrame = {
+    val bucketed = embeddings
+      .select(col("vec_id"), quantize(col("embedding")).as("cv"))
+      .withColumn("bucket", lshBucket(col("cv"), dims, nPlanes))
+    val probes = array(
+      col("bucket") +:
+        (0 until nPlanes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)
+    val q = bucketed
+      .where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("cv").as("qv"),
+        explode(probes).as("bucket"))
+    val scored = bucketed
+      .join(broadcast(q), Seq("bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosineQ(col("qv"), col("cv")), 4).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("vec_id"), col("cos"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators._
+
+/**
+ * Semantics tests for the operators whose guarantees a SQL oracle can't
+ * express: LSH ANN recall, SimHash banded-join completeness, MinHash-LSH
+ * candidate soundness, multimodal decode plumbing.
+ */
+class ExtOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docs = Tables.table(spark, sfDir, "documents")
+  private def embs = Tables.table(spark, sfDir, "embeddings")
+
+  test("LSH ANN: results are a subset of correct scores and recall >= 0.3 vs brute force") {
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val exact = Similarity.bruteForceTopK(embs, qids, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val allScores = Similarity.bruteForceTopK(embs, qids, Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val approx = Similarity.lshTopK(embs, qids, 10, dims = 64, nPlanes = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+    // every approx score is the true cosine for that pair
+    approx.foreach { case (k, s) => assert(allScores(k) == s, s"score mismatch for $k") }
+    // recall: LSH with 4 planes keeps ~1/16 of candidates; near-neighbors
+    // land in the query's bucket far more often than random
+    val recall = approx.map(_._1).count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall too low")
+  }
+
+  test("SimHash banded join finds EVERY pair within hamming <= 3 (pigeonhole)") {
+    val fps = Dedup.simhashFingerprints(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val expected = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+    } yield (a, b, h)).toSet
+    val got = Dedup.simhashNearDups(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "calibration: testdata should contain simhash near-dups")
+  }
+
+  test("MinHash-LSH near-dups: sound (every pair truly >= threshold), deterministic across runs") {
+    val r1 = Dedup.minhashNearDups(docs, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val r2 = Dedup.minhashNearDups(docs.repartition(7), 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(r1 == r2, "partitioning must not change the result")
+    assert(r1.nonEmpty)
+    assert(r1.forall(_._3 >= 0.9))
+  }
+
+  test("multimodal decode stub: features derive from payload bytes, schema is typed") {
+    val feats = Multimodal.mediaFeatures(spark, sfDir)
+    assert(feats.schema.fieldNames.toSeq ==
+      Seq("doc_id", "width", "height", "sum_bytes", "n_frames", "frame_sig"))
+    val rows = feats.collect()
+    assert(rows.length == docs.count())
+    // width/height are byte-valued + 1
+    assert(rows.forall { r =>
+      val w = r.getInt(1); val h = r.getInt(2)
+      w >= 1 && w <= 256 && h >= 1 && h <= 256 && r.getInt(4) == 4
+    })
+  }
+
+  test("quantized cosine is partition-independent (exact integer arithmetic)") {
+    val a = Dedup.embeddingNearDups(embs, 0.30).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = Dedup.embeddingNearDups(embs.repartition(13), 0.30).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a == b)
+    assert(a.forall { case (_, _, c) => c >= 0.30 && c <= 1.0 })
+  }
+}
