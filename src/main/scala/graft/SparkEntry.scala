@@ -50,6 +50,19 @@ object SparkEntry {
 
     "cooc_llr_topk" -> ((s, dir) => Cooccurrence.llrTopK(s, dir, 10)),
 
+    // Sampled pipeline with cuts >= data size: must equal the skip-cuts
+    // batch result EXACTLY (the reference's own equivalence property) —
+    // same oracle SQL as cooc_llr_topk.
+    "cooc_sampled_nocuts_llr" -> ((s, dir) =>
+      graft.operators.Sampling.llrTopKSampled(s, dir,
+        fMax = 1000000, kMax = 1000000, seed = 42L, windowMs = 86400000L, k = 10)),
+
+    // Real cuts: deterministic seeded sampling (not SQL-expressible ->
+    // rows-only check; semantics covered by SamplingSpec).
+    "cooc_sampled_llr" -> ((s, dir) =>
+      graft.operators.Sampling.llrTopKSampled(s, dir,
+        fMax = 60, kMax = 20, seed = 42L, windowMs = 86400000L, k = 10)),
+
     // item-cut, deterministic first-fMax-arrivals-per-item variant
     // (SURVEY §2 #6; arrival order == ascending ts in the reference)
     "cooc_item_cut" -> ((s, dir) => {
@@ -293,6 +306,41 @@ object SparkEntry {
        |  HAVING SUM(CASE WHEN a.item = b.item THEN a.n * (a.n - 1) ELSE a.n * b.n END) > 0)
        |""".stripMargin
 
+  /** Full LLR top-K oracle — shared by the skip-cuts batch pipeline and the
+    * sampled pipeline with cuts >= data size (they must agree exactly). */
+  private val llrTopKFullSql: String = pairsSql +
+    """, rs AS (SELECT item, SUM(cnt) AS row_sum FROM pairs GROUP BY item),
+      |tot AS (SELECT SUM(cnt) AS total FROM pairs),
+      |contingency AS (
+      |  SELECT p.item, p.other, p.cnt AS k11,
+      |         ri.row_sum - p.cnt AS k12,
+      |         ro.row_sum - p.cnt AS k21,
+      |         t.total + p.cnt - (ri.row_sum - p.cnt) - (ro.row_sum - p.cnt) AS k22
+      |  FROM pairs p
+      |  JOIN rs ri ON p.item = ri.item
+      |  JOIN rs ro ON p.other = ro.item
+      |  CROSS JOIN tot t),
+      |scored AS (
+      |  SELECT item, other, ROUND(2.0 * GREATEST(0.0,
+      |      ((CASE WHEN k11+k12+k21+k22 = 0 THEN 0 ELSE (k11+k12+k21+k22) * LN(k11+k12+k21+k22) END
+      |        - (CASE WHEN k11+k12 = 0 THEN 0 ELSE (k11+k12) * LN(k11+k12) END)
+      |        - (CASE WHEN k21+k22 = 0 THEN 0 ELSE (k21+k22) * LN(k21+k22) END)) +
+      |       (CASE WHEN k11+k12+k21+k22 = 0 THEN 0 ELSE (k11+k12+k21+k22) * LN(k11+k12+k21+k22) END
+      |        - (CASE WHEN k11+k21 = 0 THEN 0 ELSE (k11+k21) * LN(k11+k21) END)
+      |        - (CASE WHEN k12+k22 = 0 THEN 0 ELSE (k12+k22) * LN(k12+k22) END)) -
+      |       (CASE WHEN k11+k12+k21+k22 = 0 THEN 0 ELSE (k11+k12+k21+k22) * LN(k11+k12+k21+k22) END
+      |        - (CASE WHEN k11 = 0 THEN 0 ELSE k11 * LN(k11) END)
+      |        - (CASE WHEN k12 = 0 THEN 0 ELSE k12 * LN(k12) END)
+      |        - (CASE WHEN k21 = 0 THEN 0 ELSE k21 * LN(k21) END)
+      |        - (CASE WHEN k22 = 0 THEN 0 ELSE k22 * LN(k22) END)))), 4) AS score
+      |  FROM contingency),
+      |ranked AS (
+      |  SELECT item, other, score,
+      |         ROW_NUMBER() OVER (PARTITION BY item ORDER BY score DESC, other) AS rnk
+      |  FROM scored)
+      |SELECT item, rnk, other, score FROM ranked WHERE rnk <= 10
+      |ORDER BY item, rnk""".stripMargin
+
   def oracleSql: Map[String, String] = baseOracleSql ++ ExtQueries.oracleSql
 
   private def baseOracleSql: Map[String, String] = Map(
@@ -306,38 +354,10 @@ object SparkEntry {
     "cooc_rowsums" -> (pairsSql +
       "SELECT item, SUM(cnt) AS row_sum FROM pairs GROUP BY item ORDER BY item"),
 
-    "cooc_llr_topk" -> (pairsSql +
-      """, rs AS (SELECT item, SUM(cnt) AS row_sum FROM pairs GROUP BY item),
-        |tot AS (SELECT SUM(cnt) AS total FROM pairs),
-        |contingency AS (
-        |  SELECT p.item, p.other, p.cnt AS k11,
-        |         ri.row_sum - p.cnt AS k12,
-        |         ro.row_sum - p.cnt AS k21,
-        |         t.total + p.cnt - (ri.row_sum - p.cnt) - (ro.row_sum - p.cnt) AS k22
-        |  FROM pairs p
-        |  JOIN rs ri ON p.item = ri.item
-        |  JOIN rs ro ON p.other = ro.item
-        |  CROSS JOIN tot t),
-        |scored AS (
-        |  SELECT item, other, ROUND(2.0 * GREATEST(0.0,
-        |      ((CASE WHEN k11+k12+k21+k22 = 0 THEN 0 ELSE (k11+k12+k21+k22) * LN(k11+k12+k21+k22) END
-        |        - (CASE WHEN k11+k12 = 0 THEN 0 ELSE (k11+k12) * LN(k11+k12) END)
-        |        - (CASE WHEN k21+k22 = 0 THEN 0 ELSE (k21+k22) * LN(k21+k22) END)) +
-        |       (CASE WHEN k11+k12+k21+k22 = 0 THEN 0 ELSE (k11+k12+k21+k22) * LN(k11+k12+k21+k22) END
-        |        - (CASE WHEN k11+k21 = 0 THEN 0 ELSE (k11+k21) * LN(k11+k21) END)
-        |        - (CASE WHEN k12+k22 = 0 THEN 0 ELSE (k12+k22) * LN(k12+k22) END)) -
-        |       (CASE WHEN k11+k12+k21+k22 = 0 THEN 0 ELSE (k11+k12+k21+k22) * LN(k11+k12+k21+k22) END
-        |        - (CASE WHEN k11 = 0 THEN 0 ELSE k11 * LN(k11) END)
-        |        - (CASE WHEN k12 = 0 THEN 0 ELSE k12 * LN(k12) END)
-        |        - (CASE WHEN k21 = 0 THEN 0 ELSE k21 * LN(k21) END)
-        |        - (CASE WHEN k22 = 0 THEN 0 ELSE k22 * LN(k22) END)))), 4) AS score
-        |  FROM contingency),
-        |ranked AS (
-        |  SELECT item, other, score,
-        |         ROW_NUMBER() OVER (PARTITION BY item ORDER BY score DESC, other) AS rnk
-        |  FROM scored)
-        |SELECT item, rnk, other, score FROM ranked WHERE rnk <= 10
-        |ORDER BY item, rnk""".stripMargin),
+    "cooc_llr_topk" -> llrTopKFullSql,
+
+    // sampled pipeline with cuts >= data size reduces to the exact batch result
+    "cooc_sampled_nocuts_llr" -> llrTopKFullSql,
 
     "cooc_item_cut" ->
       """WITH ev AS (

@@ -1,0 +1,221 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable.ArrayBuffer
+
+/**
+ * Sampling-mode co-occurrence: the reference's two "interaction cuts" that
+ * bound state and work at any scale — the 100 TB enabler.
+ *
+ * Semantics (reference, re-derived not copied):
+ *  - Item cut (ItemInteractionCounterTwoInputStreamOperator.java:119-143):
+ *    per item, across windows, the first `fMax` interactions are flagged
+ *    sample=true (count increments only when sampled); refunds decrement
+ *    the count, re-opening slots.
+ *  - User stage (UserInteractionCounterOneInputStreamOperator.java:145-257):
+ *    per user, `total` counts every interaction (sampled or not). For a
+ *    sampled interaction: while history < kMax, APPEND — emit +1 cooc
+ *    deltas between the new item and every history entry (both
+ *    directions); else draw k = rng.nextInt(total): if k < kMax, REPLACE
+ *    history[k] — emit paired +1/-1 deltas (new item and displaced item
+ *    vs history excluding index k, both directions); else REFUND the item
+ *    slot.
+ *  - Refund cycle (FeedbackSource.java): Flink feeds refunds back through
+ *    an in-JVM queue (racy, same-JVM only). Our batch contract is
+ *    stronger: refunds from window w apply to item counts before window
+ *    w+1 — deterministic.
+ *  - Row sums are derived relationally (groupBy(item).sum(inc)) instead of
+ *    being a second delta stream; the reference's DEV-mode reconciliation
+ *    (rowSum == sum of row, ItemRowRescorer...java:183-193) makes the two
+ *    formulations identical by invariant.
+ *
+ * Determinism contract (stronger than the reference, which depends on
+ * Flink arrival order and per-subtask RNG): events fold in (ts, user,
+ * item) order within each (key, window); the reservoir RNG is seeded per
+ * (user, window) from a job seed. Results are identical across
+ * partitionings and cluster sizes; the sampling distribution matches the
+ * reference's.
+ *
+ * Scale posture: the driver loop over windows IS the microbatch model —
+ * each window is two keyed cogroups (shuffle by item, shuffle by user)
+ * over that window's slice plus the (bounded) state: item state is one
+ * int per item, user state at most kMax ints per user. Emission is
+ * bounded by 2*kMax deltas per interaction regardless of data size.
+ */
+object Sampling {
+
+  case class Interaction(user: Int, item: Int, ts: Long)
+  case class Flagged(user: Int, item: Int, ts: Long, sample: Boolean)
+  case class CoocDelta(item: Int, other: Int, inc: Int)
+
+  /** Item-stage cogroup row: either a flagged event or the new count state. */
+  case class ItemStageRow(kind: Int, user: Int, item: Int, ts: Long,
+      sample: Boolean, cnt: Int)
+  /** User-stage cogroup row: kind 0 = delta, 1 = refund, 2 = new state. */
+  case class UserStageRow(kind: Int, item: Int, other: Int, inc: Int,
+      user: Int, total: Int, history: Array[Int])
+
+  case class ItemCount(item: Int, cnt: Int)
+  case class UserState(user: Int, total: Int, history: Array[Int])
+
+  /** Per-(user, window) RNG — deterministic under any partitioning. */
+  private def rngFor(seed: Long, user: Int, window: Long): java.util.Random =
+    new java.util.Random(seed ^ (user * 0x9E3779B97F4A7C15L) ^ (window * 0xC2B2AE3D27D4EB4FL))
+
+  /** Item-cut fold for one item's window slice (events pre-sorted). */
+  private def itemCutFold(events: Seq[Interaction], startCnt: Int, fMax: Int)
+      : (Seq[Flagged], Int) = {
+    var cnt = startCnt
+    val out = events.map { e =>
+      val sample = cnt < fMax
+      if (sample) cnt += 1
+      Flagged(e.user, e.item, e.ts, sample)
+    }
+    (out, cnt)
+  }
+
+  /** User-stage fold for one user's window slice (events pre-sorted).
+    * Returns (deltas, refundedItems, newState). */
+  private def userFold(events: Seq[Flagged], st: UserState, kMax: Int,
+      rng: java.util.Random): (Seq[CoocDelta], Seq[Int], UserState) = {
+    val deltas = new ArrayBuffer[CoocDelta]()
+    val refunds = new ArrayBuffer[Int]()
+    var total = st.total
+    val history = ArrayBuffer[Int](st.history: _*)
+    events.foreach { e =>
+      total += 1
+      if (e.sample) {
+        if (history.length < kMax) {
+          var i = 0
+          while (i < history.length) {
+            deltas += CoocDelta(e.item, history(i), 1)
+            deltas += CoocDelta(history(i), e.item, 1)
+            i += 1
+          }
+          history += e.item
+        } else {
+          val k = rng.nextInt(total)
+          if (k < kMax) {
+            val prev = history(k)
+            var i = 0
+            while (i < history.length) {
+              if (i != k) {
+                deltas += CoocDelta(e.item, history(i), 1)
+                deltas += CoocDelta(history(i), e.item, 1)
+                deltas += CoocDelta(prev, history(i), -1)
+                deltas += CoocDelta(history(i), prev, -1)
+              }
+              i += 1
+            }
+            history(k) = e.item
+          } else {
+            refunds += e.item
+          }
+        }
+      }
+    }
+    (deltas.toSeq, refunds.toSeq, UserState(st.user, total, history.toArray))
+  }
+
+  /**
+   * Full sampled pipeline: windowed interactions -> co-occurrence deltas.
+   * Each window: item-cut cogroup (shuffle by item), user-stage cogroup
+   * (shuffle by user), refunds folded into item counts for the next
+   * window.
+   */
+  def sampledCoocDeltas(interactions: DataFrame, fMax: Int, kMax: Int,
+      seed: Long, windowMs: Long): Dataset[CoocDelta] = {
+    val spark = interactions.sparkSession
+    import spark.implicits._
+
+    val ds = interactions
+      .select(col("user").cast("int"), col("item").cast("int"),
+        (unix_millis(col("ts")) / windowMs).cast("long").as("wnd"),
+        unix_millis(col("ts")).as("ts"))
+      .as[(Int, Int, Long, Long)]
+      .map { case (u, i, w, t) => (w, Interaction(u, i, t)) }
+      .toDF("wnd", "ev").cache()
+
+    val windows = ds.select($"wnd").distinct().as[Long].collect().sorted
+
+    var itemState = spark.emptyDataset[ItemCount]
+    var userState = spark.emptyDataset[UserState]
+    val allDeltas = new ArrayBuffer[Dataset[CoocDelta]]()
+
+    for (w <- windows) {
+      val evW = ds.where($"wnd" === w).select($"ev.*").as[Interaction]
+
+      // --- item stage: flag sample bits against per-item counts ---
+      val itemOut = evW.groupByKey(_.item)
+        .cogroup(itemState.groupByKey(_.item)) { (item, evs, sts) =>
+          val startCnt = sts.toSeq.headOption.map(_.cnt).getOrElse(0)
+          val sorted = evs.toSeq.sortBy(e => (e.ts, e.user, e.item))
+          val (flagged, endCnt) = itemCutFold(sorted, startCnt, fMax)
+          flagged.iterator.map(f => ItemStageRow(0, f.user, f.item, f.ts, f.sample, 0)) ++
+            Iterator.single(ItemStageRow(1, 0, item, 0L, false, endCnt))
+        }.persist()
+
+      val flagged = itemOut.filter(_.kind == 0)
+        .map(r => Flagged(r.user, r.item, r.ts, r.sample))
+      val itemStateAfterCut = itemOut.filter(_.kind == 1)
+        .map(r => ItemCount(r.item, r.cnt))
+
+      // --- user stage: reservoir fold, emit deltas + refunds ---
+      val userOut = flagged.groupByKey(_.user)
+        .cogroup(userState.groupByKey(_.user)) { (user, evs, sts) =>
+          val st = sts.toSeq.headOption.getOrElse(UserState(user, 0, Array.empty))
+          val sorted = evs.toSeq.sortBy(e => (e.ts, e.item, e.user))
+          val (deltas, refunds, newSt) = userFold(sorted, st, kMax, rngFor(seed, user, w))
+          deltas.iterator.map(d => UserStageRow(0, d.item, d.other, d.inc, 0, 0, null)) ++
+            refunds.iterator.map(i => UserStageRow(1, i, 0, 0, 0, 0, null)) ++
+            Iterator.single(UserStageRow(2, 0, 0, 0, newSt.user, newSt.total, newSt.history))
+        }.persist()
+
+      val deltas = userOut.filter(_.kind == 0)
+        .map(r => CoocDelta(r.item, r.other, r.inc))
+        .localCheckpoint(true) // materialize: truncate the per-window lineage
+      allDeltas += deltas
+
+      val newUserState = userOut.filter(_.kind == 2)
+        .map(r => UserState(r.user, r.total, r.history))
+        .localCheckpoint(true)
+
+      // --- refunds: re-open item slots before the next window ---
+      val refundCounts = userOut.filter(_.kind == 1)
+        .groupByKey(_.item).count()
+        .map { case (item, n) => ItemCount(item, -n.toInt) }
+      val newItemState = itemStateAfterCut.union(refundCounts)
+        .groupByKey(_.item)
+        .reduceGroups((a, b) => ItemCount(a.item, a.cnt + b.cnt))
+        .map(_._2)
+        .localCheckpoint(true)
+
+      itemOut.unpersist()
+      userOut.unpersist()
+      itemState = newItemState
+      userState = newUserState
+    }
+
+    ds.unpersist()
+    if (allDeltas.isEmpty) spark.emptyDataset[CoocDelta]
+    else allDeltas.reduce(_ union _)
+  }
+
+  /** Aggregated co-occurrence counts from the sampled delta stream. */
+  def sampledCoocCounts(interactions: DataFrame, fMax: Int, kMax: Int,
+      seed: Long, windowMs: Long): DataFrame =
+    sampledCoocDeltas(interactions, fMax, kMax, seed, windowMs)
+      .groupBy(col("item"), col("other"))
+      .agg(sum(col("inc")).as("cnt"))
+      .where(col("cnt") > 0)
+
+  /** Sampled pipeline end-to-end: LLR top-K from sampled counts. */
+  def llrTopKSampled(spark: SparkSession, dir: String, fMax: Int, kMax: Int,
+      seed: Long, windowMs: Long, k: Int): DataFrame = {
+    val inter = Cooccurrence.interactions(spark, dir)
+    Cooccurrence.llrTopKFromCounts(
+      sampledCoocCounts(inter, fMax, kMax, seed, windowMs), k)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.{Cooccurrence, Sampling}
+
+/**
+ * Sampling-mode pipeline semantics (reference:
+ * ItemInteractionCounterTwoInputStreamOperator, UserInteractionCounter
+ * OneInputStreamOperator): cut bounds, refund cycle, and the reference's
+ * own equivalence property — cuts >= data size reduces to the exact
+ * skip-cuts result.
+ */
+class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private val DayMs = 86400000L
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def inter = Cooccurrence.interactions(spark, sfDir)
+
+  test("cuts >= data size: sampled co-occurrence counts == skip-cuts batch counts exactly") {
+    val batch = Cooccurrence.coocCounts(inter).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val sampled = Sampling.sampledCoocCounts(inter, 1000000, 1000000, 42L, DayMs)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(sampled == batch)
+  }
+
+  test("deterministic under repartitioning (seeded per-(user,window) RNG + canonical order)") {
+    val d1 = Sampling.sampledCoocDeltas(inter, 60, 20, 42L, DayMs)
+      .groupBy("item", "other").agg(sum("inc").as("c")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    val d2 = Sampling.sampledCoocDeltas(inter.repartition(11), 60, 20, 42L, DayMs)
+      .groupBy("item", "other").agg(sum("inc").as("c")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    assert(d1 == d2)
+    assert(d1.nonEmpty)
+  }
+
+  test("cut bounds hold: no negative cells, row width bounded, deltas bounded by 2*kMax per event") {
+    val kMax = 20
+    val counts = Sampling.sampledCoocCounts(inter, 60, kMax, 42L, DayMs)
+    val cells = counts.collect()
+    assert(cells.forall(_.getLong(2) > 0))
+    val nEvents = inter.count()
+    val totalMass = cells.map(_.getLong(2)).sum
+    // append path emits <= 2*(kMax-1) deltas per event; reservoir swaps net 0
+    assert(totalMass <= 2L * kMax * nEvents)
+  }
+
+  test("small cuts produce a proper subsample (strictly less mass than no cuts)") {
+    val full = Cooccurrence.coocCounts(inter).agg(sum("cnt")).head.getLong(0)
+    val cut = Sampling.sampledCoocCounts(inter, 60, 20, 42L, DayMs)
+      .agg(sum("cnt")).head.getLong(0)
+    assert(cut > 0 && cut < full)
+  }
+}
