@@ -64,7 +64,37 @@ object ExtQueries {
       TextAnalysis.fingerprints(docs(s, dir)).orderBy(col("doc_id"))),
 
     "media_decode_stub" -> ((s, dir) =>
-      Multimodal.mediaFeatures(s, dir).orderBy(col("doc_id")))
+      Multimodal.mediaFeatures(s, dir).orderBy(col("doc_id"))),
+
+    // --- Structured Streaming surface (run to completion via AvailableNow,
+    //     materialized to memory sinks, then oracle-compared like batch) ---
+
+    "stream_windowed_agg" -> ((s, dir) =>
+      graft.streaming.StreamingOps.streamWindowedAgg(s, dir)),
+
+    // transformWithState reservoir with kMax >= data size reduces to the
+    // append path == the batch C matrix (cooc_pairs oracle).
+    "stream_reservoir_cooc" -> ((s, dir) => {
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val inter = graft.streaming.StreamingOps.eventsStream(s, dir)
+        .select(
+          col("user_id").cast("int").as("user"),
+          get_json_object(col("props"), "$.k").cast("int").as("item"),
+          col("ts"))
+      val deltaTable = graft.streaming.StreamingOps.runToMemory(
+        graft.streaming.ReservoirStream.deltas(inter, kMax = 1000000, seed = 42L),
+        s"resv_${System.nanoTime()}",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      graft.streaming.ReservoirStream.countsFromDeltas(deltaTable)
+        .orderBy(col("item"), col("other"))
+    }),
+
+    // foreachBatch incremental pipeline with cuts >= data size: equals the
+    // batch LLR result exactly (llrTopKFullSql oracle).
+    "stream_cooc_llr_topk" -> ((s, dir) =>
+      graft.streaming.StreamingCooc.llrTopKStreaming(s, dir,
+        fMax = 1000000, kMax = 1000000, seed = 42L, k = 10))
   )
 
   // ------------------------------------------------------------------
@@ -145,6 +175,16 @@ object ExtQueries {
       |qn AS (SELECT vec_id, qv, list_inner_product(qv, qv) AS n2 FROM q)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "stream_windowed_agg" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY day, event_type ORDER BY day, event_type""".stripMargin,
+
+    "stream_reservoir_cooc" ->
+      (SparkEntry.pairsSql + "SELECT item, other, cnt FROM pairs ORDER BY item, other"),
+
+    "stream_cooc_llr_topk" -> SparkEntry.llrTopKFullSql,
+
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc
         |FROM documents GROUP BY text_hash ORDER BY text_hash""".stripMargin,

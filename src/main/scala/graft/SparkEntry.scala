@@ -291,11 +291,11 @@ object SparkEntry {
   // ---------------------------------------------------------------------------
 
   /** Shared SQL fragment: parsed interactions from the events table. */
-  private val interSql =
+  private[graft] val interSql =
     "SELECT user_id AS usr, CAST(json_extract_string(props, 'k') AS INT) AS item, ts FROM events"
 
   /** Shared SQL fragment: the co-occurrence pair counts (C matrix). */
-  private val pairsSql =
+  private[graft] val pairsSql =
     s"""WITH inter AS ($interSql),
        |pu AS (SELECT usr, item, COUNT(*) AS n FROM inter GROUP BY usr, item),
        |pairs AS (
@@ -308,7 +308,7 @@ object SparkEntry {
 
   /** Full LLR top-K oracle — shared by the skip-cuts batch pipeline and the
     * sampled pipeline with cuts >= data size (they must agree exactly). */
-  private val llrTopKFullSql: String = pairsSql +
+  private[graft] val llrTopKFullSql: String = pairsSql +
     """, rs AS (SELECT item, SUM(cnt) AS row_sum FROM pairs GROUP BY item),
       |tot AS (SELECT SUM(cnt) AS total FROM pairs),
       |contingency AS (

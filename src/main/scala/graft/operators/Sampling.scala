@@ -120,6 +120,68 @@ object Sampling {
   }
 
   /**
+   * One window/microbatch step: item-cut cogroup (shuffle by item), user
+   * reservoir cogroup (shuffle by user), refunds folded into item counts
+   * for the next step. Shared by the batch window loop and the streaming
+   * foreachBatch shell. Outputs are localCheckpoint-materialized so
+   * iterative lineage stays flat.
+   */
+  def processWindow(evW: Dataset[Interaction], itemState: Dataset[ItemCount],
+      userState: Dataset[UserState], fMax: Int, kMax: Int, seed: Long, w: Long)
+      : (Dataset[CoocDelta], Dataset[ItemCount], Dataset[UserState]) = {
+    val spark = evW.sparkSession
+    import spark.implicits._
+
+    // --- item stage: flag sample bits against per-item counts ---
+    val itemOut = evW.groupByKey(_.item)
+      .cogroup(itemState.groupByKey(_.item)) { (item, evs, sts) =>
+        val startCnt = sts.toSeq.headOption.map(_.cnt).getOrElse(0)
+        val sorted = evs.toSeq.sortBy(e => (e.ts, e.user, e.item))
+        val (flagged, endCnt) = itemCutFold(sorted, startCnt, fMax)
+        flagged.iterator.map(f => ItemStageRow(0, f.user, f.item, f.ts, f.sample, 0)) ++
+          Iterator.single(ItemStageRow(1, 0, item, 0L, false, endCnt))
+      }.persist()
+
+    val flagged = itemOut.filter(_.kind == 0)
+      .map(r => Flagged(r.user, r.item, r.ts, r.sample))
+    val itemStateAfterCut = itemOut.filter(_.kind == 1)
+      .map(r => ItemCount(r.item, r.cnt))
+
+    // --- user stage: reservoir fold, emit deltas + refunds ---
+    val userOut = flagged.groupByKey(_.user)
+      .cogroup(userState.groupByKey(_.user)) { (user, evs, sts) =>
+        val st = sts.toSeq.headOption.getOrElse(UserState(user, 0, Array.empty))
+        val sorted = evs.toSeq.sortBy(e => (e.ts, e.item, e.user))
+        val (deltas, refunds, newSt) = userFold(sorted, st, kMax, rngFor(seed, user, w))
+        deltas.iterator.map(d => UserStageRow(0, d.item, d.other, d.inc, 0, 0, null)) ++
+          refunds.iterator.map(i => UserStageRow(1, i, 0, 0, 0, 0, null)) ++
+          Iterator.single(UserStageRow(2, 0, 0, 0, newSt.user, newSt.total, newSt.history))
+      }.persist()
+
+    val deltas = userOut.filter(_.kind == 0)
+      .map(r => CoocDelta(r.item, r.other, r.inc))
+      .localCheckpoint(true)
+
+    val newUserState = userOut.filter(_.kind == 2)
+      .map(r => UserState(r.user, r.total, r.history))
+      .localCheckpoint(true)
+
+    // --- refunds: re-open item slots before the next window ---
+    val refundCounts = userOut.filter(_.kind == 1)
+      .groupByKey(_.item).count()
+      .map { case (item, n) => ItemCount(item, -n.toInt) }
+    val newItemState = itemStateAfterCut.union(refundCounts)
+      .groupByKey(_.item)
+      .reduceGroups((a, b) => ItemCount(a.item, a.cnt + b.cnt))
+      .map(_._2)
+      .localCheckpoint(true)
+
+    itemOut.unpersist()
+    userOut.unpersist()
+    (deltas, newItemState, newUserState)
+  }
+
+  /**
    * Full sampled pipeline: windowed interactions -> co-occurrence deltas.
    * Each window: item-cut cogroup (shuffle by item), user-stage cogroup
    * (shuffle by user), refunds folded into item counts for the next
@@ -146,54 +208,9 @@ object Sampling {
 
     for (w <- windows) {
       val evW = ds.where($"wnd" === w).select($"ev.*").as[Interaction]
-
-      // --- item stage: flag sample bits against per-item counts ---
-      val itemOut = evW.groupByKey(_.item)
-        .cogroup(itemState.groupByKey(_.item)) { (item, evs, sts) =>
-          val startCnt = sts.toSeq.headOption.map(_.cnt).getOrElse(0)
-          val sorted = evs.toSeq.sortBy(e => (e.ts, e.user, e.item))
-          val (flagged, endCnt) = itemCutFold(sorted, startCnt, fMax)
-          flagged.iterator.map(f => ItemStageRow(0, f.user, f.item, f.ts, f.sample, 0)) ++
-            Iterator.single(ItemStageRow(1, 0, item, 0L, false, endCnt))
-        }.persist()
-
-      val flagged = itemOut.filter(_.kind == 0)
-        .map(r => Flagged(r.user, r.item, r.ts, r.sample))
-      val itemStateAfterCut = itemOut.filter(_.kind == 1)
-        .map(r => ItemCount(r.item, r.cnt))
-
-      // --- user stage: reservoir fold, emit deltas + refunds ---
-      val userOut = flagged.groupByKey(_.user)
-        .cogroup(userState.groupByKey(_.user)) { (user, evs, sts) =>
-          val st = sts.toSeq.headOption.getOrElse(UserState(user, 0, Array.empty))
-          val sorted = evs.toSeq.sortBy(e => (e.ts, e.item, e.user))
-          val (deltas, refunds, newSt) = userFold(sorted, st, kMax, rngFor(seed, user, w))
-          deltas.iterator.map(d => UserStageRow(0, d.item, d.other, d.inc, 0, 0, null)) ++
-            refunds.iterator.map(i => UserStageRow(1, i, 0, 0, 0, 0, null)) ++
-            Iterator.single(UserStageRow(2, 0, 0, 0, newSt.user, newSt.total, newSt.history))
-        }.persist()
-
-      val deltas = userOut.filter(_.kind == 0)
-        .map(r => CoocDelta(r.item, r.other, r.inc))
-        .localCheckpoint(true) // materialize: truncate the per-window lineage
+      val (deltas, newItemState, newUserState) =
+        processWindow(evW, itemState, userState, fMax, kMax, seed, w)
       allDeltas += deltas
-
-      val newUserState = userOut.filter(_.kind == 2)
-        .map(r => UserState(r.user, r.total, r.history))
-        .localCheckpoint(true)
-
-      // --- refunds: re-open item slots before the next window ---
-      val refundCounts = userOut.filter(_.kind == 1)
-        .groupByKey(_.item).count()
-        .map { case (item, n) => ItemCount(item, -n.toInt) }
-      val newItemState = itemStateAfterCut.union(refundCounts)
-        .groupByKey(_.item)
-        .reduceGroups((a, b) => ItemCount(a.item, a.cnt + b.cnt))
-        .map(_._2)
-        .localCheckpoint(true)
-
-      itemOut.unpersist()
-      userOut.unpersist()
       itemState = newItemState
       userState = newUserState
     }

@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+
+import graft.operators.Sampling.{CoocDelta, Flagged}
+
+/**
+ * Streaming user-history reservoir as a Spark 4.x StatefulProcessor
+ * (transformWithState, RocksDB state store) — the reference's
+ * UserInteractionCounterOneInputStreamOperator re-expressed on Spark's
+ * keyed-state API (reference :167-249): bounded per-user history (kMax),
+ * append path emits symmetric +1 co-occurrence deltas, reservoir path
+ * replaces a random slot and emits paired +1/-1 deltas.
+ *
+ * Divergence from the reference, documented: the item-cut feedback refund
+ * has no acyclic-DAG equivalent (SURVEY §7.4.1) — the streaming operator
+ * runs reservoir-only (itemCut applied upstream or disabled); the batch
+ * window loop (Sampling.sampledCoocDeltas) remains the exact-semantics
+ * path.
+ *
+ * Scale posture: state per user is at most kMax ints + 2 counters, in
+ * RocksDB — bounded regardless of stream length; emission is bounded by
+ * 2*kMax deltas per event. Rows arrive per key in micro-batch order; we
+ * sort each batch's rows by (ts, item) for the deterministic fold
+ * contract.
+ */
+class ReservoirProcessor(kMax: Int, seed: Long)
+    extends StatefulProcessor[Int, Flagged, CoocDelta] {
+
+  @transient private var histState: ValueState[Array[Int]] = _
+  @transient private var totalState: ValueState[Int] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    histState = getHandle.getValueState[Array[Int]](
+      "hist", Encoders.javaSerialization[Array[Int]], TTLConfig.NONE)
+    totalState = getHandle.getValueState[Int]("total", Encoders.scalaInt, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(user: Int, rows: Iterator[Flagged],
+      timerValues: TimerValues): Iterator[CoocDelta] = {
+    val sorted = rows.toSeq.sortBy(e => (e.ts, e.item))
+    var total = if (totalState.exists()) totalState.get() else 0
+    val history = scala.collection.mutable.ArrayBuffer[Int](
+      (if (histState.exists()) histState.get() else Array.empty[Int]): _*)
+    val out = scala.collection.mutable.ArrayBuffer[CoocDelta]()
+    val rng = new java.util.Random(
+      seed ^ (user * 0x9E3779B97F4A7C15L) ^ (total * 0xC2B2AE3D27D4EB4FL))
+    sorted.foreach { e =>
+      total += 1
+      if (e.sample) {
+        if (history.length < kMax) {
+          history.foreach { other =>
+            out += CoocDelta(e.item, other, 1)
+            out += CoocDelta(other, e.item, 1)
+          }
+          history += e.item
+        } else {
+          val k = rng.nextInt(total)
+          if (k < kMax) {
+            val prev = history(k)
+            var i = 0
+            while (i < history.length) {
+              if (i != k) {
+                out += CoocDelta(e.item, history(i), 1)
+                out += CoocDelta(history(i), e.item, 1)
+                out += CoocDelta(prev, history(i), -1)
+                out += CoocDelta(history(i), prev, -1)
+              }
+              i += 1
+            }
+            history(k) = e.item
+          }
+          // else: dropped (refund cycle is batch-only, see scaladoc)
+        }
+      }
+    }
+    totalState.update(total)
+    histState.update(history.toArray)
+    out.iterator
+  }
+}
+
+object ReservoirStream {
+
+  /**
+   * Streaming delta stream via transformWithState: interactions stream ->
+   * per-user reservoir -> CoocDelta rows (append). Aggregation happens
+   * AFTER the sink: a second stateful operator downstream of
+   * transformWithState is unsupported in update mode, and the delta
+   * stream is the reference's actual operator output anyway (ITEM_TAG
+   * side output).
+   */
+  def deltas(interactions: DataFrame, kMax: Int, seed: Long): DataFrame = {
+    val spark = interactions.sparkSession
+    import spark.implicits._
+    val flagged = interactions
+      .select(col("user").cast("int"), col("item").cast("int"), unix_millis(col("ts")))
+      .as[(Int, Int, Long)]
+      .map { case (u, i, t) => Flagged(u, i, t, sample = true) }
+    flagged
+      .groupByKey(_.user)
+      .transformWithState(new ReservoirProcessor(kMax, seed),
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
+  /** Aggregated (item, other, cnt) from a materialized delta table. */
+  def countsFromDeltas(deltaTable: DataFrame): DataFrame =
+    deltaTable
+      .groupBy(col("item"), col("other"))
+      .agg(sum(col("inc")).as("cnt"))
+      .where(col("cnt") > 0)
+}

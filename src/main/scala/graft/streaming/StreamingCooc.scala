@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.operators.{Cooccurrence, Sampling, Tables}
+import graft.operators.Sampling.{CoocDelta, Interaction, ItemCount, UserState}
+
+/**
+ * Incremental streaming co-occurrence pipeline: each microbatch runs the
+ * same window step as the batch loop (Sampling.processWindow — item cut,
+ * user reservoir, refunds), accumulating the delta stream; the rescorer
+ * (row sums -> LLR -> top-K) runs over the accumulated matrix, mirroring
+ * the reference's watermark-flush ordering: row sums are recomputed
+ * BEFORE scoring within each flush
+ * (reference: ItemRowRescorerTwoInputStreamOperator.java:116-142 — the
+ * cross-input ordering invariant, trivial under microbatch sequencing).
+ *
+ * This is SURVEY §7.0's design stance realized: the batch-proven window
+ * step lifted into a foreachBatch shell, with refunds applied
+ * synchronously inside each batch (exact, unlike the Flink in-JVM queue).
+ */
+object StreamingCooc {
+
+  /** Mutable cross-batch state for one streaming pipeline instance. */
+  final class State(spark: SparkSession) {
+    import spark.implicits._
+    var itemState: Dataset[ItemCount] = spark.emptyDataset[ItemCount]
+    var userState: Dataset[UserState] = spark.emptyDataset[UserState]
+    var deltas: Dataset[CoocDelta] = spark.emptyDataset[CoocDelta]
+  }
+
+  /**
+   * Run one microbatch through the window step and fold its deltas into
+   * the accumulated matrix state. Returns the updated accumulated deltas.
+   */
+  def processBatch(st: State, batch: Dataset[Interaction], batchId: Long,
+      fMax: Int, kMax: Int, seed: Long): Unit = {
+    val (d, is, us) =
+      Sampling.processWindow(batch, st.itemState, st.userState, fMax, kMax, seed, batchId)
+    st.itemState = is
+    st.userState = us
+    st.deltas = st.deltas.union(d).localCheckpoint(true)
+  }
+
+  /** Rescore the accumulated matrix: row sums first, then LLR top-K. */
+  def rescore(st: State, k: Int): DataFrame = {
+    val counts = st.deltas
+      .groupBy(col("item"), col("other"))
+      .agg(sum(col("inc")).as("cnt"))
+      .where(col("cnt") > 0)
+    Cooccurrence.llrTopKFromCounts(counts, k)
+  }
+
+  /**
+   * End-to-end streaming run over the events table: file-source stream ->
+   * foreachBatch window step -> final rescore. With cuts >= data size the
+   * result equals the batch pipeline exactly (same oracle).
+   */
+  def llrTopKStreaming(spark: SparkSession, dir: String, fMax: Int, kMax: Int,
+      seed: Long, k: Int): DataFrame = {
+    import spark.implicits._
+    val st = new State(spark)
+    val stream = StreamingOps.eventsStream(spark, dir)
+      .select(
+        col("user_id").cast("int").as("user"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"),
+        unix_millis(col("ts")).as("ts"))
+    val q = stream.writeStream
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batchDf: DataFrame, batchId: Long) =>
+        processBatch(st, batchDf.as[Interaction], batchId, fMax, kMax, seed)
+      }
+      .start()
+    q.awaitTermination()
+    rescore(st, k)
+  }
+}

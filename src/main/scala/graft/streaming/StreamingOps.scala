@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/**
+ * Structured Streaming shell: file-source ingestion with event time +
+ * watermarks, tumbling-window aggregation, and a run-to-memory harness so
+ * streaming queries are checkable against the same DuckDB oracles as
+ * batch.
+ *
+ * Reference mapping: #1-#3 file source -> readStream.parquet; #5
+ * ascending-timestamp watermark -> withWatermark(ts, 0) (SURVEY §2);
+ * #10 windowed row-sum agg -> window() + sum with partial aggregation and
+ * watermark-driven state cleanup; late drop is Spark's own watermark
+ * filter.
+ */
+object StreamingOps {
+
+  /** Driver events.parquet schema (ts read as nanos-long, see Tables). */
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // TIMESTAMP(NANOS) surfaced as long
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming scan of the events table (file source, event-time ts). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
+    spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /**
+   * Tumbling event-time window aggregation with a 0-delay watermark
+   * (ascending-timestamp contract, reference #5/#10): per (day-window,
+   * event_type) count + decimal-exact value sum.
+   */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(20, 4))).cast("double").as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /**
+   * Run a streaming DataFrame to completion (AvailableNow) into an
+   * in-memory sink and return the final table. Update mode keeps the
+   * latest row per aggregation key, so the final table equals the batch
+   * result — which is exactly what the oracle compare needs.
+   */
+  def runToMemory(df: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Update()): DataFrame = {
+    val spark = df.sparkSession
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Streaming windowed agg over the events table, materialized. */
+  def streamWindowedAgg(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(windowedAgg(eventsStream(spark, dir)), s"wagg_${System.nanoTime()}")
+      .orderBy(col("day"), col("event_type"))
+}

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.{Cooccurrence, Sampling}
+import graft.operators.Sampling.Interaction
+import graft.streaming.{ReservoirStream, StreamingCooc, StreamingOps}
+
+/**
+ * Streaming semantics across REAL microbatch boundaries (MemoryStream):
+ * the incremental pipeline must be batching-invariant — the accumulated
+ * result after N microbatches equals the one-shot batch result.
+ */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Interactions sorted by ts, split into n contiguous chunks. */
+  private def chunks(n: Int): Seq[Seq[Interaction]] = {
+    val sp = spark; import sp.implicits._
+    val all = Cooccurrence.interactions(spark, sfDir)
+      .select(col("user").cast("int"), col("item").cast("int"), unix_millis(col("ts")))
+      .as[(Int, Int, Long)].collect()
+      .map { case (u, i, t) => Interaction(u, i, t) }
+      .sortBy(e => (e.ts, e.user, e.item)).toSeq
+    val sz = (all.size + n - 1) / n
+    all.grouped(sz).toSeq
+  }
+
+  test("foreachBatch incremental pipeline over 3 microbatches == one-shot batch counts") {
+    val sp = spark; import sp.implicits._
+    val st = new StreamingCooc.State(spark)
+    chunks(3).zipWithIndex.foreach { case (chunk, i) =>
+      StreamingCooc.processBatch(st, chunk.toDS(), i.toLong, 1000000, 1000000, 42L)
+    }
+    val streamed = st.deltas.groupBy("item", "other").agg(sum("inc").as("cnt"))
+      .where(col("cnt") > 0).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val batch = Cooccurrence.coocCounts(Cooccurrence.interactions(spark, sfDir))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+  }
+
+  test("transformWithState reservoir across 3 MemoryStream batches == batch C matrix (kMax >= n)") {
+    val sp = spark; import sp.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Interaction]
+    val inter = ms.toDF()
+      .select(col("user"), col("item"), timestamp_millis(col("ts")).as("ts"))
+    val deltas = ReservoirStream.deltas(inter, kMax = 1000000, seed = 42L)
+    val name = s"resv_spec_${System.nanoTime()}"
+    val q = deltas.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    chunks(3).foreach { c => ms.addData(c); q.processAllAvailable() }
+    q.stop()
+    val streamed = ReservoirStream.countsFromDeltas(spark.table(name))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val batch = Cooccurrence.coocCounts(Cooccurrence.interactions(spark, sfDir))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+  }
+
+  test("streaming reservoir state is bounded by kMax") {
+    val sp = spark; import sp.implicits._
+    implicit val sq = spark.sqlContext
+    val kMax = 5
+    val ms = MemoryStream[Interaction]
+    val inter = ms.toDF()
+      .select(col("user"), col("item"), timestamp_millis(col("ts")).as("ts"))
+    val deltas = ReservoirStream.deltas(inter, kMax = kMax, seed = 42L)
+    val name = s"resv_bound_${System.nanoTime()}"
+    val q = deltas.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    chunks(2).foreach { c => ms.addData(c); q.processAllAvailable() }
+    q.stop()
+    // every delta burst for one event pairs with at most kMax-1 others ->
+    // per (item,other) cell counts stay small; total mass bounded
+    val total = spark.table(name).agg(sum(abs(col("inc")))).head.getLong(0)
+    val nEvents = Cooccurrence.interactions(spark, sfDir).count()
+    assert(total <= 2L * kMax * nEvents)
+  }
+
+  test("streaming windowed agg (update mode, AvailableNow) == batch day agg") {
+    val streamed = StreamingOps.streamWindowedAgg(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val batch = graft.operators.Tables.events(spark, sfDir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(20, 4))).cast("double").as("s"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(streamed == batch)
+  }
+}
