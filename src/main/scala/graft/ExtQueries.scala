@@ -82,11 +82,7 @@ object ExtQueries {
           col("user_id").cast("int").as("user"),
           get_json_object(col("props"), "$.k").cast("int").as("item"),
           col("ts"))
-      val deltaTable = graft.streaming.StreamingOps.runToMemory(
-        graft.streaming.ReservoirStream.deltas(inter, kMax = 1000000, seed = 42L),
-        s"resv_${System.nanoTime()}",
-        org.apache.spark.sql.streaming.OutputMode.Append())
-      graft.streaming.ReservoirStream.countsFromDeltas(deltaTable)
+      graft.streaming.ReservoirStream.coocCounts(inter, kMax = 1000000, seed = 42L)
         .orderBy(col("item"), col("other"))
     }),
 

@@ -184,12 +184,13 @@ object Dedup {
    * verifier; at scale gate with Similarity.lshBuckets candidates.
    */
   def embeddingNearDups(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val q = embeddings.select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+    val q = Similarity.quantizedWithNorm(embeddings)
     val a = q.as("a")
     val b = q.as("b")
     a.join(b, col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        Similarity.cosineQ(col("a.qv"), col("b.qv")).as("cos"))
+        Similarity.cosineFromParts(
+          Similarity.dotQ(col("a.qv"), col("b.qv")), col("a.norm"), col("b.norm")).as("cos"))
       .where(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
   }

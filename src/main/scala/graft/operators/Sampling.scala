@@ -126,6 +126,17 @@ object Sampling {
    * foreachBatch shell. Outputs are localCheckpoint-materialized so
    * iterative lineage stays flat.
    */
+  /**
+   * One materialization job per window: only the user-stage output is
+   * localCheckpoint-ed (it forces the item-stage cogroup through the
+   * persisted cache on the way); deltas, user state and item state are
+   * all derived LAZILY from the checkpointed/cached outputs with depth-1
+   * plans — so lineage never chains across windows (chaining lazy
+   * cogroups grows Catalyst's tree-shaped plans exponentially; per-window
+   * checkpoints keep every plan shallow, the same reason ALS checkpoints
+   * its iterations). The item state is checkpointed too (tiny, parents
+   * cached) so no cross-window plan spine survives at all.
+   */
   def processWindow(evW: Dataset[Interaction], itemState: Dataset[ItemCount],
       userState: Dataset[UserState], fMax: Int, kMax: Int, seed: Long, w: Long)
       : (Dataset[CoocDelta], Dataset[ItemCount], Dataset[UserState]) = {
@@ -148,6 +159,8 @@ object Sampling {
       .map(r => ItemCount(r.item, r.cnt))
 
     // --- user stage: reservoir fold, emit deltas + refunds ---
+    // The ONE materialization of the window: checkpointing userOut pulls
+    // the whole window through (filling itemOut's cache en route).
     val userOut = flagged.groupByKey(_.user)
       .cogroup(userState.groupByKey(_.user)) { (user, evs, sts) =>
         val st = sts.toSeq.headOption.getOrElse(UserState(user, 0, Array.empty))
@@ -156,15 +169,20 @@ object Sampling {
         deltas.iterator.map(d => UserStageRow(0, d.item, d.other, d.inc, 0, 0, null)) ++
           refunds.iterator.map(i => UserStageRow(1, i, 0, 0, 0, 0, null)) ++
           Iterator.single(UserStageRow(2, 0, 0, 0, newSt.user, newSt.total, newSt.history))
-      }.persist()
+      }.localCheckpoint(true)
 
+    // Aggregate the window's deltas lazily over the checkpointed userOut —
+    // the reference's windowed map-agg (#11, ItemRowAggregator): consumers
+    // only ever see per-window NET deltas.
     val deltas = userOut.filter(_.kind == 0)
-      .map(r => CoocDelta(r.item, r.other, r.inc))
-      .localCheckpoint(true)
+      .select(col("item"), col("other"), col("inc"))
+      .groupBy(col("item"), col("other"))
+      .agg(sum(col("inc")).cast("int").as("inc"))
+      .where(col("inc") =!= 0)
+      .as[CoocDelta]
 
     val newUserState = userOut.filter(_.kind == 2)
       .map(r => UserState(r.user, r.total, r.history))
-      .localCheckpoint(true)
 
     // --- refunds: re-open item slots before the next window ---
     val refundCounts = userOut.filter(_.kind == 1)
@@ -174,10 +192,9 @@ object Sampling {
       .groupByKey(_.item)
       .reduceGroups((a, b) => ItemCount(a.item, a.cnt + b.cnt))
       .map(_._2)
-      .localCheckpoint(true)
+      .localCheckpoint(true) // cheap: itemOut cached, userOut checkpointed
 
     itemOut.unpersist()
-    userOut.unpersist()
     (deltas, newItemState, newUserState)
   }
 

@@ -30,28 +30,40 @@ object Similarity {
   def quantize(emb: Column): Column =
     transform(emb, x => round(x.cast("double") * lit(1000000.0)).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors (codegen'd). */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.LongArrayDot.dot(a, b)
 
   /** Cosine similarity of two quantized vectors (double, deterministic). */
   def cosineQ(a: Column, b: Column): Column =
     dotQ(a, b).cast("double") /
       (sqrt(dotQ(a, a).cast("double")) * sqrt(dotQ(b, b).cast("double")))
 
+  /** Cosine from a precomputed dot and per-side norms — the all-pairs
+    * scan precomputes sqrt(n2) once per vector instead of per pair. */
+  def cosineFromParts(dot: Column, normA: Column, normB: Column): Column =
+    dot.cast("double") / (normA * normB)
+
+  /** (vec_id, qv, norm): quantized vector + its precomputed norm. */
+  def quantizedWithNorm(embeddings: DataFrame): DataFrame = {
+    val q = embeddings.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    q.select(col("vec_id"), col("qv"),
+      sqrt(dotQ(col("qv"), col("qv")).cast("double")).as("norm"))
+  }
+
   /**
    * Exact brute-force cosine top-k: for each query vector (vec_id in
    * queryIds), the k nearest corpus vectors (self excluded).
    */
   def bruteForceTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
-    val q = embeddings
+    val corpus = quantizedWithNorm(embeddings)
+    val q = corpus
       .where(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qv"))
-    val corpus = embeddings.select(col("vec_id"), quantize(col("embedding")).as("cv"))
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("norm").as("qnorm"))
     val scored = corpus
       .join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(cosineQ(col("qv"), col("cv")), 4).as("cos"))
+        round(cosineFromParts(dotQ(col("qqv"), col("qv")), col("qnorm"), col("norm")), 4).as("cos"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     scored
       .withColumn("rnk", row_number().over(w))
@@ -85,21 +97,20 @@ object Similarity {
    */
   def lshTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
       dims: Int, nPlanes: Int): DataFrame = {
-    val bucketed = embeddings
-      .select(col("vec_id"), quantize(col("embedding")).as("cv"))
-      .withColumn("bucket", lshBucket(col("cv"), dims, nPlanes))
+    val bucketed = quantizedWithNorm(embeddings)
+      .withColumn("bucket", lshBucket(col("qv"), dims, nPlanes))
     val probes = array(
       col("bucket") +:
         (0 until nPlanes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)
     val q = bucketed
       .where(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("cv").as("qv"),
-        explode(probes).as("bucket"))
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
+        col("norm").as("qnorm"), explode(probes).as("bucket"))
     val scored = bucketed
       .join(broadcast(q), Seq("bucket"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(cosineQ(col("qv"), col("cv")), 4).as("cos"))
+        round(cosineFromParts(dotQ(col("qqv"), col("qv")), col("qnorm"), col("norm")), 4).as("cos"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     scored
       .withColumn("rnk", row_number().over(w))

@@ -112,4 +112,31 @@ object ReservoirStream {
       .groupBy(col("item"), col("other"))
       .agg(sum(col("inc")).as("cnt"))
       .where(col("cnt") > 0)
+
+  /**
+   * End-to-end streaming co-occurrence counts: transformWithState deltas
+   * aggregated per microbatch in foreachBatch (distributed map-side
+   * combine into a small per-batch net-delta table), merged at the end —
+   * never funnels raw deltas through a driver-side sink.
+   */
+  def coocCounts(interactions: DataFrame, kMax: Int, seed: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val spark = interactions.sparkSession
+    val batches = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val q = deltas(interactions, kMax, seed).writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        batches += b.groupBy(col("item"), col("other"))
+          .agg(sum(col("inc")).as("inc")).localCheckpoint(true)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    if (batches.isEmpty) spark.emptyDataFrame
+    else batches.reduce(_ unionAll _)
+      .groupBy(col("item"), col("other"))
+      .agg(sum(col("inc")).as("cnt"))
+      .where(col("cnt") > 0)
+  }
 }
