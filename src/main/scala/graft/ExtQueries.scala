@@ -66,6 +66,18 @@ object ExtQueries {
     "media_decode_stub" -> ((s, dir) =>
       Multimodal.mediaFeatures(s, dir).orderBy(col("doc_id"))),
 
+    // CSV line round-trip through the codegen'd from_csv parse (reference
+    // InteractionLineSplitter): serialize interactions to `u,i,ts` lines,
+    // parse back, verify against the source values.
+    "csv_parse" -> ((s, dir) => {
+      val lines = Cooccurrence.interactions(s, dir)
+        .select(concat_ws(",",
+          col("user"), col("item"), unix_millis(col("ts"))).as("value"))
+      Main.parseCsvLines(lines)
+        .select(col("user"), col("item"), unix_millis(col("ts")).as("ts_ms"))
+        .orderBy(col("user"), col("item"), col("ts_ms"))
+    }),
+
     // --- Structured Streaming surface (run to completion via AvailableNow,
     //     materialized to memory sinks, then oracle-compared like batch) ---
 
@@ -171,6 +183,11 @@ object ExtQueries {
       |qn AS (SELECT vec_id, qv, list_inner_product(qv, qv) AS n2 FROM q)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "csv_parse" ->
+      s"""WITH inter AS (${SparkEntry.interSql})
+         |SELECT usr AS "user", item, epoch_ms(ts) AS ts_ms
+         |FROM inter ORDER BY "user", item, ts_ms""".stripMargin,
+
     "stream_windowed_agg" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value

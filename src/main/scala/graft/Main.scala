@@ -1,0 +1,123 @@
+package graft
+
+import java.util.concurrent.TimeUnit
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Cooccurrence, Sampling}
+
+/**
+ * CLI configuration — same surface as the reference's commons-cli config
+ * (reference: Configuration.java:56-199, defaults :151-153,157,181-182):
+ * -i/--input (required), -sc/--skip-cuts, -ic/--item-cut (500),
+ * -uc/--user-cut (500), -k/--top-k (10), -ws/--window-size (required),
+ * -wu/--window-unit (MILLISECONDS..DAYS, default ms), -s/--seed (hex ok),
+ * -o/--output (ours: parquet results instead of the reference's no-op
+ * sink, FlinkCooccurrences.java:169-171).
+ */
+final case class Config(
+    input: String = "",
+    output: Option[String] = None,
+    skipCuts: Boolean = false,
+    itemCut: Int = 500,
+    userCut: Int = 500,
+    topK: Int = 10,
+    windowSize: Long = -1L,
+    windowUnit: TimeUnit = TimeUnit.MILLISECONDS,
+    seed: Long = System.nanoTime()) {
+  def windowMs: Long = windowUnit.toMillis(windowSize)
+}
+
+object Config {
+  def parse(args: Array[String]): Either[String, Config] = {
+    @annotation.tailrec
+    def go(rest: List[String], c: Config): Either[String, Config] = rest match {
+      case Nil => Right(c)
+      case ("-i" | "--input") :: v :: t => go(t, c.copy(input = v))
+      case ("-o" | "--output") :: v :: t => go(t, c.copy(output = Some(v)))
+      case ("-sc" | "--skip-cuts") :: t => go(t, c.copy(skipCuts = true))
+      case ("-ic" | "--item-cut") :: v :: t => go(t, c.copy(itemCut = v.toInt))
+      case ("-uc" | "--user-cut") :: v :: t => go(t, c.copy(userCut = v.toInt))
+      case ("-k" | "--top-k") :: v :: t => go(t, c.copy(topK = v.toInt))
+      case ("-ws" | "--window-size") :: v :: t => go(t, c.copy(windowSize = v.toLong))
+      case ("-wu" | "--window-unit") :: v :: t =>
+        go(t, c.copy(windowUnit = TimeUnit.valueOf(v.toUpperCase match {
+          case u if u.endsWith("S") => u
+          case u => u + "S"
+        })))
+      case ("-s" | "--seed") :: v :: t =>
+        val seed = if (v.startsWith("0x")) java.lang.Long.parseLong(v.drop(2), 16) else v.toLong
+        go(t, c.copy(seed = seed))
+      case ("-h" | "--help") :: _ => Left(usage)
+      case other :: _ => Left(s"unknown argument: $other\n$usage")
+    }
+    go(args.toList, Config()).flatMap { c =>
+      if (c.input.isEmpty) Left("missing required -i/--input\n" + usage)
+      else if (c.windowSize <= 0 && !c.skipCuts) Left("missing required -ws/--window-size\n" + usage)
+      else Right(c)
+    }
+  }
+
+  val usage: String =
+    """usage: graft.Main -i <path> [-o <path>] [-sc] [-ic N] [-uc N] [-k N]
+      |       -ws N [-wu MILLISECONDS|SECONDS|MINUTES|HOURS|DAYS] [-s seed|0xhex]
+      |input: CSV lines `user,item,timestampMillis` (file or directory)""".stripMargin
+}
+
+/**
+ * Job entry point — the reference's FlinkCooccurrences.main re-expressed:
+ * CSV interactions -> (optional) interaction cuts -> co-occurrence matrix
+ * -> LLR top-K per item -> parquet (or stdout sample).
+ */
+object Main {
+
+  /** Parse `user,item,ts` CSV lines (reference InteractionLineSplitter,
+    * FlinkCooccurrences.java:207-219) via the codegen'd from_csv path. */
+  def parseCsvLines(lines: DataFrame): DataFrame =
+    lines
+      .select(from_csv(col("value"), org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("item", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType))),
+        Map.empty[String, String]).as("r"))
+      .select(col("r.user").as("user"), col("r.item").as("item"),
+        timestamp_millis(col("r.ts")).as("ts"))
+
+  def csvInteractions(spark: SparkSession, path: String): DataFrame =
+    parseCsvLines(spark.read.text(path))
+
+  def run(spark: SparkSession, c: Config): DataFrame = {
+    val inter = csvInteractions(spark, c.input)
+    val counts =
+      if (c.skipCuts) Cooccurrence.coocCounts(inter)
+      else Sampling.sampledCoocCounts(inter, c.itemCut, c.userCut, c.seed, c.windowMs)
+    Cooccurrence.llrTopKFromCounts(counts, c.topK)
+  }
+
+  def main(args: Array[String]): Unit = Config.parse(args) match {
+    case Left(msg) =>
+      System.err.println(msg)
+      sys.exit(2)
+    case Right(c) =>
+      val spark = SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_MASTER",
+          s"local[${Runtime.getRuntime.availableProcessors()}]"))
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS",
+            Runtime.getRuntime.availableProcessors().toString))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val t0 = System.nanoTime()
+      val result = run(spark, c)
+      c.output match {
+        case Some(out) => result.write.mode("overwrite").parquet(out)
+        case None => result.show(20, truncate = false)
+      }
+      // reference reports wall duration the same way (FlinkCooccurrences.java:173-179)
+      println(s"Duration\t${(System.nanoTime() - t0) / 1000000} ms")
+      spark.stop()
+  }
+}

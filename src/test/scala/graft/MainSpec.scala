@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.TimeUnit
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** CLI surface: config parsing (reference Configuration.java semantics)
+  * and the end-to-end CSV job entry point. */
+class MainSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("config defaults mirror the reference (ic=500, uc=500, k=10, unit=ms)") {
+    val c = Config.parse(Array("-i", "/x", "-ws", "3600000")).toOption.get
+    assert(c.itemCut == 500 && c.userCut == 500 && c.topK == 10)
+    assert(c.windowUnit == TimeUnit.MILLISECONDS && c.windowMs == 3600000L)
+  }
+
+  test("config full form, hex seed, window units") {
+    val c = Config.parse(Array("--input", "/x", "--skip-cuts", "--item-cut", "7",
+      "--user-cut", "9", "--top-k", "3", "--window-size", "2",
+      "--window-unit", "DAYS", "--seed", "0xC0FFEE")).toOption.get
+    assert(c.skipCuts && c.itemCut == 7 && c.userCut == 9 && c.topK == 3)
+    assert(c.windowMs == 2L * 86400000L)
+    assert(c.seed == 0xC0FFEEL)
+  }
+
+  test("config rejects missing input / unknown args") {
+    assert(Config.parse(Array("-ws", "1")).isLeft)
+    assert(Config.parse(Array("-i", "/x", "-ws", "1", "--bogus")).isLeft)
+  }
+
+  test("end-to-end CSV job: known tiny dataset produces the expected top-K") {
+    // users 1 and 2 both interact with items 10 and 20 -> strong cooc
+    val lines = Seq(
+      "1,10,1000", "1,20,2000", "2,10,3000", "2,20,4000", "3,30,5000")
+    val dir = Files.createTempDirectory("graft_csv").toFile
+    val f = new java.io.File(dir, "interactions.csv")
+    Files.write(f.toPath, lines.mkString("\n").getBytes)
+    val c = Config.parse(Array("-i", f.getAbsolutePath, "-sc", "-ws", "1",
+      "-k", "5")).toOption.get
+    val result = Main.run(spark, c).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    // items 10 and 20 co-occur (count 2); item 30 has no pairs
+    val items = result.map(_._1).toSet
+    assert(items == Set(10, 20))
+    assert(result.filter(_._1 == 10).head._3 == 20)
+    assert(result.filter(_._1 == 20).head._3 == 10)
+    assert(result.forall(_._4 > 0.0))
+  }
+
+  test("sampled mode from CLI runs and respects cuts") {
+    val lines = (1 to 50).flatMap(u => (1 to 10).map(i => s"$u,${i % 5},${u * 100 + i}"))
+    val dir = Files.createTempDirectory("graft_csv2").toFile
+    val f = new java.io.File(dir, "i.csv")
+    Files.write(f.toPath, lines.mkString("\n").getBytes)
+    val c = Config.parse(Array("-i", f.getAbsolutePath, "-ws", "1", "-wu", "HOURS",
+      "-ic", "20", "-uc", "3", "-s", "42")).toOption.get
+    val result = Main.run(spark, c)
+    assert(result.count() > 0)
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/**
+ * Physical-plan posture checks — the properties that matter at 100 TB,
+ * asserted so regressions in plan shape fail CI, not a cluster run:
+ * filter/column pushdown to the parquet scan, broadcast of small sides,
+ * whole-stage codegen over the scoring expressions.
+ */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.explainString(org.apache.spark.sql.execution.ExtendedMode)
+  }
+
+  test("filter pushdown reaches the parquet scan (join_semi: o_totalprice > 100000)") {
+    val p = plan("join_semi")
+    assert(p.contains("PushedFilters") && p.contains("100000"),
+      s"expected pushed filter in:\n${p.take(2000)}")
+  }
+
+  test("column pruning: q1_agg reads only the needed lineitem columns") {
+    val p = plan("q1_agg")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_quantity"))
+    // the 11 other lineitem columns must be pruned from the scan
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_shipdate"),
+      s"over-read: $readSchema")
+  }
+
+  test("broadcast_join uses BroadcastHashJoin for both dims") {
+    val p = plan("broadcast_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(1500))
+  }
+
+  test("LLR scoring joins broadcast the row sums (small side)") {
+    val p = plan("cooc_llr_topk")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
+  test("LLR scoring is a native expression in the plan (no ScalaUDF)") {
+    val p = plan("cooc_llr_topk")
+    assert(p.contains("llrexpression"), "LLR not planned as the native expression")
+    assert(!p.contains("ScalaUDF") && !p.toLowerCase.contains("udf("))
+  }
+
+  test("pair scoring runs inside whole-stage codegen at execution time") {
+    val df = SparkEntry.queries("cooc_llr_topk")(spark, sfDir)
+    df.collect() // force execution so AQE finalizes the physical plan
+    val executed = df.queryExecution.executedPlan.toString
+    // "*(n)" node prefixes mark whole-stage-codegen'd stages
+    assert(executed.contains("*("), executed.take(1200))
+  }
+
+  test("LongArrayDot is a native expression (no higher-order ArrayAggregate in the scan)") {
+    val df = graft.operators.Similarity.bruteForceTopK(
+      graft.operators.Tables.table(spark, sfDir, "embeddings"), Seq(0L), 5)
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.ExtendedMode)
+    assert(p.contains("longarraydot"), p.take(1200))
+    assert(!p.contains("aggregate(zip_with"), "dot product fell back to higher-order functions")
+  }
+
+  test("exact dedup is a single hash-aggregate exchange (one shuffle)") {
+    val df = SparkEntry.queries("dedup_exact")(spark, sfDir)
+    val exchanges = df.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"expected <=1 hash exchange, got $exchanges")
+  }
+}
