@@ -51,6 +51,12 @@ object ExtQueries {
       Similarity.lshTopK(embs(s, dir), AnnQueries, 10, dims = 64, nPlanes = 4)
         .orderBy(col("query_id"), col("rnk"))),
 
+    // IVF ANN (k-means inverted lists, deterministic): approximate by
+    // design -> rows-only check; recall measured in ExtOperatorsSpec.
+    "ann_topk_ivf" -> ((s, dir) =>
+      IvfIndex.ivfTopK(embs(s, dir), AnnQueries, 10, nLists = 16, nProbe = 4)
+        .orderBy(col("query_id"), col("rnk"))),
+
     "text_token_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(docs(s, dir)).orderBy(col("doc_id"))),
 

@@ -61,14 +61,47 @@ object Dedup {
    * The shingle equi-join IS the inverted index: fan-out is bounded by
    * shingle document frequency, not by |docs|^2.
    */
-  def jaccardPairs(shingles: DataFrame, threshold: Double): DataFrame = {
+  def jaccardPairs(shingles: DataFrame, threshold: Double): DataFrame =
+    jaccardPairs(shingles, threshold, maxDf = Int.MaxValue)
+
+  /**
+   * maxDf bounds the inverted-index skew: shingles appearing in more than
+   * maxDf documents are dropped from CANDIDATE GENERATION (their join
+   * fan-out is df^2 — a single stop-shingle can go quadratic in corpus
+   * size). Jaccard is still computed over the FULL shingle sets, so every
+   * emitted pair is exact; ultra-common shingles contribute little
+   * discrimination anyway (standard near-dup practice).
+   */
+  def jaccardPairs(shingles: DataFrame, threshold: Double, maxDf: Int): DataFrame = {
     val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val a = shingles.as("a")
-    val b = shingles.as("b")
-    val common = a
-      .join(b, col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
+    val common =
+      if (maxDf == Int.MaxValue) {
+        // uncapped: the index join's group count IS the true common count
+        val a = shingles.as("a")
+        val b = shingles.as("b")
+        a.join(b, col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("n_common"))
+      } else {
+        // capped: candidates from the rare-shingle index only, then the
+        // true common count recomputed over the FULL shingle sets
+        val rare = shingles.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df")).where(col("df") <= maxDf)
+          .select(col("shingle"))
+        val index = shingles.join(broadcast(rare), Seq("shingle"))
+        val a = index.as("a")
+        val b = index.as("b")
+        val cands = a
+          .join(b, col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        val sa = shingles.select(col("doc_id").as("doc_a"), col("shingle"))
+        val sb = shingles.select(col("doc_id").as("doc_b"), col("shingle").as("shingle_b"))
+        cands.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+          .where(col("shingle") === col("shingle_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("n_common"))
+      }
     common
       .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a")), "doc_a")
       .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b")), "doc_b")

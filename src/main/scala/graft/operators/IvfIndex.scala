@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * IVF (inverted-file) approximate nearest neighbor index: deterministic
+ * distributed k-means over quantized vectors partitions the corpus into
+ * nLists clusters; queries probe only the nProbe nearest clusters.
+ *
+ * Scale posture: centroids are tiny (nLists x dims doubles) -> always
+ * broadcast; assignment is one scan of the corpus per k-means iteration
+ * (map-side argmin against broadcast centroids, then a hash agg for the
+ * new means); search scans ~nProbe/nLists of the corpus per query. This
+ * is the standard IVF-flat layout (FAISS-style) expressed relationally.
+ *
+ * Determinism: init picks the lowest-vec_id vectors as seeds; every step
+ * is integer/double arithmetic over a fixed iteration count — same
+ * clusters on any partitioning or cluster size.
+ */
+object IvfIndex {
+
+  /** Squared L2 distance between a quantized vector column and a literal
+    * centroid array, as a codegen-friendly expression. */
+  private def dist2(qv: Column, centroid: Array[Double]): Column = {
+    // dot(v,v) - 2*dot(v,c) + dot(c,c); dot(v,c) via the native expression
+    // against a literal array (cast to long grid is NOT wanted here — the
+    // centroid is a mean, so keep double precision via a scaled literal).
+    val c = array(centroid.map(lit): _*)
+    aggregate(
+      zip_with(qv, c, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, x) => acc + x)
+  }
+
+  /** Cluster assignment for each vector against the given centroids.
+    * argmin via array_sort of (dist, idx) structs — expression size is
+    * LINEAR in nLists (a reduce of nested when()s duplicates both branch
+    * subtrees per step: 2^nLists nodes, which hangs Catalyst analysis). */
+  def assign(quantized: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val distStructs = centroids.zipWithIndex.map { case (c, i) =>
+      struct(dist2(col("qv"), c).as("d"), lit(i).as("c"))
+    }
+    quantized.withColumn("cluster",
+      element_at(array_sort(array(distStructs: _*)), 1).getField("c"))
+  }
+
+  /** Deterministic k-means: seeds = nLists lowest vec_ids; `iters` fixed
+    * Lloyd iterations (assignment scan + hash-agg mean per iteration). */
+  def fitCentroids(quantized: DataFrame, nLists: Int, iters: Int): Array[Array[Double]] = {
+    val spark = quantized.sparkSession
+    var centroids: Array[Array[Double]] = quantized
+      .orderBy(col("vec_id")).limit(nLists)
+      .select(col("qv")).collect()
+      .map(_.getSeq[Long](0).map(_.toDouble).toArray)
+    for (_ <- 0 until iters) {
+      val assigned = assign(quantized, centroids)
+      val means = assigned
+        .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("cluster"))
+        .agg(map_from_arrays(collect_list(col("pos")), collect_list(col("m"))).as("dims"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getMap[Int, Double](1))
+        .toMap
+      centroids = centroids.indices.map { c =>
+        means.get(c) match {
+          case Some(m) => Array.tabulate(centroids(c).length)(d => m.getOrElse(d, 0.0))
+          case None => centroids(c) // empty cluster keeps its seed
+        }
+      }.toArray
+    }
+    centroids
+  }
+
+  /**
+   * IVF approximate top-k: probe the nProbe nearest clusters per query,
+   * exact cosine within the probed lists.
+   */
+  def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      nLists: Int, nProbe: Int, iters: Int = 3): DataFrame = {
+    val corpus = Similarity.quantizedWithNorm(embeddings)
+    val centroids = fitCentroids(corpus.select(col("vec_id"), col("qv")), nLists, iters)
+    val indexed = assign(corpus, centroids)
+
+    // probe lists per query: nProbe nearest centroids
+    val qAssigned = indexed.where(col("vec_id").isin(queryIds: _*))
+    val probeCols = centroids.zipWithIndex.map { case (c, i) =>
+      struct(dist2(col("qv"), c).as("d"), lit(i).as("c"))
+    }
+    val probes = qAssigned
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
+        col("norm").as("qnorm"),
+        explode(slice(array_sort(array(probeCols: _*)), 1, nProbe)).as("p"))
+      .select(col("query_id"), col("qqv"), col("qnorm"), col("p.c").as("cluster"))
+
+    val scored = indexed
+      .join(broadcast(probes), Seq("cluster"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(Similarity.cosineFromParts(
+          Similarity.dotQ(col("qqv"), col("qv")), col("qnorm"), col("norm")), 4).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("vec_id"), col("cos"))
+  }
+}

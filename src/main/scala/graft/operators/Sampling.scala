@@ -60,16 +60,32 @@ object Sampling {
   case class ItemCount(item: Int, cnt: Int)
   case class UserState(user: Int, total: Int, history: Array[Int])
 
+
+  /**
+   * Accumulator parity with the reference's measurement harness
+   * (BASELINE.md): same counter names, collected per job. Accumulators
+   * travel into the fold closures and aggregate across executors.
+   */
+  final class PipelineMetrics(sc: org.apache.spark.SparkContext) extends Serializable {
+    val observedCooccurrences =
+      sc.longAccumulator("UserInteractionCounterObservedCooccurrences")
+    val sampledInteractions = sc.longAccumulator("ItemInteractionCounterSampled")
+    val droppedInteractions = sc.longAccumulator("ItemInteractionCounterDropped")
+    val feedbackElements = sc.longAccumulator("ItemInteractionCounterFeedbackElements")
+  }
+
   /** Per-(user, window) RNG — deterministic under any partitioning. */
   private def rngFor(seed: Long, user: Int, window: Long): java.util.Random =
     new java.util.Random(seed ^ (user * 0x9E3779B97F4A7C15L) ^ (window * 0xC2B2AE3D27D4EB4FL))
 
   /** Item-cut fold for one item's window slice (events pre-sorted). */
-  private def itemCutFold(events: Seq[Interaction], startCnt: Int, fMax: Int)
+  private def itemCutFold(events: Seq[Interaction], startCnt: Int, fMax: Int,
+      metrics: Option[PipelineMetrics])
       : (Seq[Flagged], Int) = {
     var cnt = startCnt
     val out = events.map { e =>
       val sample = cnt < fMax
+      metrics.foreach(m => if (sample) m.sampledInteractions.add(1) else m.droppedInteractions.add(1))
       if (sample) cnt += 1
       Flagged(e.user, e.item, e.ts, sample)
     }
@@ -79,7 +95,8 @@ object Sampling {
   /** User-stage fold for one user's window slice (events pre-sorted).
     * Returns (deltas, refundedItems, newState). */
   private def userFold(events: Seq[Flagged], st: UserState, kMax: Int,
-      rng: java.util.Random): (Seq[CoocDelta], Seq[Int], UserState) = {
+      rng: java.util.Random, metrics: Option[PipelineMetrics])
+      : (Seq[CoocDelta], Seq[Int], UserState) = {
     val deltas = new ArrayBuffer[CoocDelta]()
     val refunds = new ArrayBuffer[Int]()
     var total = st.total
@@ -94,6 +111,7 @@ object Sampling {
             deltas += CoocDelta(history(i), e.item, 1)
             i += 1
           }
+          metrics.foreach(_.observedCooccurrences.add(2L * (history.length)))
           history += e.item
         } else {
           val k = rng.nextInt(total)
@@ -111,6 +129,7 @@ object Sampling {
             }
             history(k) = e.item
           } else {
+            metrics.foreach(_.feedbackElements.add(1))
             refunds += e.item
           }
         }
@@ -123,10 +142,8 @@ object Sampling {
    * One window/microbatch step: item-cut cogroup (shuffle by item), user
    * reservoir cogroup (shuffle by user), refunds folded into item counts
    * for the next step. Shared by the batch window loop and the streaming
-   * foreachBatch shell. Outputs are localCheckpoint-materialized so
-   * iterative lineage stays flat.
-   */
-  /**
+   * foreachBatch shell.
+   *
    * One materialization job per window: only the user-stage output is
    * localCheckpoint-ed (it forces the item-stage cogroup through the
    * persisted cache on the way); deltas, user state and item state are
@@ -138,7 +155,8 @@ object Sampling {
    * cached) so no cross-window plan spine survives at all.
    */
   def processWindow(evW: Dataset[Interaction], itemState: Dataset[ItemCount],
-      userState: Dataset[UserState], fMax: Int, kMax: Int, seed: Long, w: Long)
+      userState: Dataset[UserState], fMax: Int, kMax: Int, seed: Long, w: Long,
+      metrics: Option[PipelineMetrics] = None)
       : (Dataset[CoocDelta], Dataset[ItemCount], Dataset[UserState]) = {
     val spark = evW.sparkSession
     import spark.implicits._
@@ -148,7 +166,7 @@ object Sampling {
       .cogroup(itemState.groupByKey(_.item)) { (item, evs, sts) =>
         val startCnt = sts.toSeq.headOption.map(_.cnt).getOrElse(0)
         val sorted = evs.toSeq.sortBy(e => (e.ts, e.user, e.item))
-        val (flagged, endCnt) = itemCutFold(sorted, startCnt, fMax)
+        val (flagged, endCnt) = itemCutFold(sorted, startCnt, fMax, metrics)
         flagged.iterator.map(f => ItemStageRow(0, f.user, f.item, f.ts, f.sample, 0)) ++
           Iterator.single(ItemStageRow(1, 0, item, 0L, false, endCnt))
       }.persist()
@@ -165,7 +183,7 @@ object Sampling {
       .cogroup(userState.groupByKey(_.user)) { (user, evs, sts) =>
         val st = sts.toSeq.headOption.getOrElse(UserState(user, 0, Array.empty))
         val sorted = evs.toSeq.sortBy(e => (e.ts, e.item, e.user))
-        val (deltas, refunds, newSt) = userFold(sorted, st, kMax, rngFor(seed, user, w))
+        val (deltas, refunds, newSt) = userFold(sorted, st, kMax, rngFor(seed, user, w), metrics)
         deltas.iterator.map(d => UserStageRow(0, d.item, d.other, d.inc, 0, 0, null)) ++
           refunds.iterator.map(i => UserStageRow(1, i, 0, 0, 0, 0, null)) ++
           Iterator.single(UserStageRow(2, 0, 0, 0, newSt.user, newSt.total, newSt.history))
@@ -205,7 +223,8 @@ object Sampling {
    * window.
    */
   def sampledCoocDeltas(interactions: DataFrame, fMax: Int, kMax: Int,
-      seed: Long, windowMs: Long): Dataset[CoocDelta] = {
+      seed: Long, windowMs: Long,
+      metrics: Option[PipelineMetrics] = None): Dataset[CoocDelta] = {
     val spark = interactions.sparkSession
     import spark.implicits._
 
@@ -226,7 +245,7 @@ object Sampling {
     for (w <- windows) {
       val evW = ds.where($"wnd" === w).select($"ev.*").as[Interaction]
       val (deltas, newItemState, newUserState) =
-        processWindow(evW, itemState, userState, fMax, kMax, seed, w)
+        processWindow(evW, itemState, userState, fMax, kMax, seed, w, metrics)
       allDeltas += deltas
       itemState = newItemState
       userState = newUserState

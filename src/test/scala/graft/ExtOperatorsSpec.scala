@@ -47,6 +47,22 @@ class ExtOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.3, s"recall $recall too low")
   }
 
+  test("IVF ANN: scores exact within probed lists, recall >= 0.3, deterministic") {
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val exact = Similarity.bruteForceTopK(embs, qids, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val allScores = Similarity.bruteForceTopK(embs, qids, Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val ivf1 = IvfIndex.ivfTopK(embs, qids, 10, nLists = 16, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+    val ivf2 = IvfIndex.ivfTopK(embs.repartition(9), qids, 10, nLists = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+    assert(ivf1.toMap == ivf2.toMap, "IVF must be partition-independent")
+    ivf1.foreach { case (key, s) => assert(allScores(key) == s) }
+    val recall = ivf1.map(_._1).count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall too low")
+  }
+
   test("SimHash banded join finds EVERY pair within hamming <= 3 (pigeonhole)") {
     val fps = Dedup.simhashFingerprints(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
@@ -68,6 +84,19 @@ class ExtOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r1 == r2, "partitioning must not change the result")
     assert(r1.nonEmpty)
     assert(r1.forall(_._3 >= 0.9))
+  }
+
+  test("df-capped inverted index: emitted pairs are exact and a subset; generous cap is lossless") {
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sh = Dedup.ngramShingles(docs, 3)
+    val full = toSet(Dedup.jaccardPairs(sh, 0.1))
+    val capped = toSet(Dedup.jaccardPairs(sh, 0.1, maxDf = 2))
+    val generous = toSet(Dedup.jaccardPairs(sh, 0.1, maxDf = 1000000))
+    assert(capped.subsetOf(full), "capped candidates must never invent pairs")
+    assert(generous == full, "a cap above every df must be lossless")
+    // exactness: every capped pair carries the same jaccard as the full run
+    capped.foreach(p => assert(full.contains(p)))
   }
 
   test("multimodal decode stub: features derive from payload bytes, schema is typed") {

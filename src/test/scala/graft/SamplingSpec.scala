@@ -64,6 +64,23 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(totalMass <= 2L * kMax * nEvents)
   }
 
+  test("metrics parity: observedCooccurrences == append-path delta mass; counters consistent") {
+    val m = new Sampling.PipelineMetrics(spark.sparkContext)
+    // no cuts -> every event appends; observed == total delta emissions
+    val mass = Sampling.sampledCoocDeltas(inter, 1000000, 1000000, 42L, DayMs, Some(m))
+      .agg(sum(abs(col("inc")))).head.getLong(0)
+    assert(m.observedCooccurrences.value == mass)
+    assert(m.sampledInteractions.value == inter.count())
+    assert(m.droppedInteractions.value == 0L)
+    assert(m.feedbackElements.value == 0L)
+    // with cuts: drops and refunds appear
+    val m2 = new Sampling.PipelineMetrics(spark.sparkContext)
+    Sampling.sampledCoocDeltas(inter, 5, 3, 42L, DayMs, Some(m2))
+      .agg(count(lit(1))).head.getLong(0)
+    assert(m2.droppedInteractions.value > 0L)
+    assert(m2.sampledInteractions.value > 0L)
+  }
+
   test("small cuts produce a proper subsample (strictly less mass than no cuts)") {
     val full = Cooccurrence.coocCounts(inter).agg(sum("cnt")).head.getLong(0)
     val cut = Sampling.sampledCoocCounts(inter, 60, 20, 42L, DayMs)
