@@ -72,6 +72,52 @@ object ExtQueries {
     "media_decode_stub" -> ((s, dir) =>
       Multimodal.mediaFeatures(s, dir).orderBy(col("doc_id"))),
 
+    // per-group top-K via the typed bounded-heap UDAF (TopKAggregator,
+    // O(K) mergeable state — the streaming-safe form of #14); same
+    // semantics and oracle as the window-rank form in group_topk.
+    "group_topk_heap" -> ((s, dir) => {
+      val topk = udaf(new graft.functions.TopKAggregator(3),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[graft.functions.TopKEntry]())
+      val cnt = Tables.table(s, dir, "events")
+        .select(col("user_id"), get_json_object(col("props"), "$.k").cast("int").as("item"))
+        .groupBy(col("user_id"), col("item")).agg(count(lit(1)).as("n"))
+      cnt.groupBy(col("user_id"))
+        .agg(topk(col("item"), col("n").cast("double")).as("tk"))
+        .select(col("user_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("user_id"), (col("pos") + 1).as("rnk"),
+          col("e.value").as("item"), col("e.score").cast("long").as("n"))
+        .orderBy(col("user_id"), col("rnk"))
+    }),
+
+    // salted skew join: scatter hot keys across `salt` replicas of the
+    // small side — output must equal the plain join (same oracle shape).
+    "salted_join" -> ((s, dir) => {
+      val l = Tables.table(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_quantity"))
+      val r = Tables.table(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+      SkewJoin.saltedJoin(l, r, "l_suppkey", salt = 8)
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(20, 4)))
+            .cast("double").as("qty"))
+        .orderBy(col("s_name"))
+    }),
+
+    // array scalar-function surface over the documents words
+    "scalar_array" -> ((s, dir) => {
+      val w = split(col("text"), " ")
+      docs(s, dir).select(
+        col("doc_id"),
+        size(w).as("n_words"),
+        size(array_distinct(w)).as("n_distinct"),
+        array_contains(w, "the").as("has_the"),
+        element_at(array_sort(w), 1).as("first_sorted"),
+        element_at(w, 1).as("first_word"),
+        size(array_intersect(w, array(lit("a"), lit("the"), lit("key")))).as("n_special"))
+        .orderBy(col("doc_id"))
+    }),
+
     // CSV line round-trip through the codegen'd from_csv parse (reference
     // InteractionLineSplitter): serialize interactions to `u,i,ts` lines,
     // parse back, verify against the source values.
@@ -189,6 +235,33 @@ object ExtQueries {
       |qn AS (SELECT vec_id, qv, list_inner_product(qv, qv) AS n2 FROM q)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "group_topk_heap" ->
+      """WITH cnt AS (
+        |  SELECT user_id, CAST(json_extract_string(props, 'k') AS INT) AS item, COUNT(*) AS n
+        |  FROM events GROUP BY user_id, item),
+        |ranked AS (
+        |  SELECT user_id, item, n,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, item) AS rnk
+        |  FROM cnt)
+        |SELECT user_id, rnk, item, n FROM ranked WHERE rnk <= 3
+        |ORDER BY user_id, rnk""".stripMargin,
+
+    "salted_join" ->
+      """SELECT s_name, COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin,
+
+    "scalar_array" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |SELECT doc_id, len(w) AS n_words,
+        |       len(list_distinct(w)) AS n_distinct,
+        |       list_contains(w, 'the') AS has_the,
+        |       list_sort(w)[1] AS first_sorted,
+        |       w[1] AS first_word,
+        |       len(list_intersect(list_distinct(w), ['a', 'the', 'key'])) AS n_special
+        |FROM t ORDER BY doc_id""".stripMargin,
+
     "csv_parse" ->
       s"""WITH inter AS (${SparkEntry.interSql})
          |SELECT usr AS "user", item, epoch_ms(ts) AS ts_ms

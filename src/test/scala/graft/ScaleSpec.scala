@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.{SkewJoin, Tables}
+
+/**
+ * Scale-technique semantics: bucketed co-located joins (no shuffle),
+ * salted skew joins (identical output), and watermark-driven late-data
+ * dropping (the reference's late filter, #6/#7).
+ */
+class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  @transient private var spark: SparkSession = _
+  private val warehouse = Files.createTempDirectory("graft_wh").toString
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", warehouse)
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    val l = Tables.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val o = Tables.table(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    l.write.mode("overwrite").bucketBy(4, "l_orderkey").saveAsTable("li_b")
+    o.write.mode("overwrite").bucketBy(4, "o_orderkey").saveAsTable("or_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      val joined = spark.table("li_b")
+        .join(spark.table("or_b"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n${plan.take(1500)}")
+      // and it still computes the right thing
+      val expected = l.join(o, col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() == expected)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("salted join output == plain join output (inner and left_outer)") {
+    val l = Tables.table(spark, sfDir, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    val r = Tables.table(spark, sfDir, "supplier")
+      .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getInt(2), x.getString(3))).toSet
+
+    val plain = key(l.join(r, Seq("l_suppkey")))
+    val salted = key(SkewJoin.saltedJoin(l, r, "l_suppkey", salt = 8))
+    assert(salted == plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("watermark drops late events from the streaming windowed agg") {
+    val sp = spark; import sp.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, Double)]
+    val events = ms.toDF().toDF("ts_ms", "value")
+      .select(timestamp_millis(col("ts_ms")).as("ts"), col("value"))
+    val agg = events
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("long").as("ws"), col("n"))
+    val name = s"late_${System.nanoTime()}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    val H = 3600L * 1000
+    // batch 1: two events in hour 0, one in hour 2 -> watermark to hour 2
+    ms.addData((10L * 1000, 1.0), (20L * 1000, 1.0), (2 * H + 1000, 1.0))
+    q.processAllAvailable()
+    // batch 2: a LATE event back in hour 0 (watermark is already hour 2)
+    // and one in hour 3 to advance/flush
+    ms.addData((30L * 1000, 1.0), (3 * H + 1000, 1.0))
+    q.processAllAvailable()
+    ms.addData((5 * H, 1.0)) // push watermark so hour-2/3 windows flush
+    q.processAllAvailable()
+    q.stop()
+    val byWindow = spark.table(name).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hour-0 window closed with 2 events; the late third was DROPPED
+    assert(byWindow(0L) == 2L, s"late event leaked into closed window: $byWindow")
+    assert(byWindow(2 * 3600L) == 1L && byWindow(3 * 3600L) == 1L)
+  }
+}
