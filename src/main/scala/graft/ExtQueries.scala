@@ -72,6 +72,54 @@ object ExtQueries {
     "media_decode_stub" -> ((s, dir) =>
       Multimodal.mediaFeatures(s, dir).orderBy(col("doc_id"))),
 
+    // sliding event-time windows (2-day window, 1-day slide): each event
+    // lands in 2 windows — the window shape the reference lacks (#10 is
+    // tumbling-only) but Spark's window() provides
+    "windowed_sliding" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "2 days", "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd").as("wstart"),
+          col("event_type"), col("n"))
+        .orderBy(col("wstart"), col("event_type"))),
+
+    // session windows per user (30-min inactivity gap): gap-based
+    // sessionization, oracle'd via the classic lag/cumsum SQL form
+    "windowed_session" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          max(col("n_events")).as("max_session_events"))
+        .orderBy(col("user_id"))),
+
+    // TPC-H Q5-shaped 5-way join: region -> nation -> customer/supplier ->
+    // orders -> lineitem with co-located supplier/customer nation predicate
+    "q5_multijoin" -> ((s, dir) => {
+      val r = Tables.table(s, dir, "region")
+      val n = Tables.table(s, dir, "nation")
+      val c = Tables.table(s, dir, "customer")
+      val o = Tables.table(s, dir, "orders")
+      val l = Tables.table(s, dir, "lineitem")
+      val sup = Tables.table(s, dir, "supplier")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sum((col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(20, 4)) *
+            (lit(BigDecimal(1)).cast(org.apache.spark.sql.types.DecimalType(20, 4)) -
+              col("l_discount").cast(org.apache.spark.sql.types.DecimalType(20, 4)))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
     // per-group top-K via the typed bounded-heap UDAF (TopKAggregator,
     // O(K) mergeable state — the streaming-safe form of #14); same
     // semantics and oracle as the window-rank form in group_topk.
@@ -235,6 +283,44 @@ object ExtQueries {
       |qn AS (SELECT vec_id, qv, list_inner_product(qv, qv) AS n2 FROM q)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "windowed_sliding" ->
+      """WITH ev AS (SELECT date_trunc('day', ts) AS d0, event_type FROM events),
+        |x AS (SELECT unnest([d0, d0 - INTERVAL 1 DAY]) AS ws, event_type FROM ev)
+        |SELECT strftime(ws, '%Y-%m-%d') AS wstart, event_type, COUNT(*) AS n
+        |FROM x GROUP BY wstart, event_type ORDER BY wstart, event_type""".stripMargin,
+
+    "windowed_session" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN LAG(ts) OVER w IS NULL
+        |                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sgrp AS (
+        |  SELECT user_id,
+        |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o),
+        |sess AS (SELECT user_id, sid, COUNT(*) AS n_events FROM sgrp GROUP BY user_id, sid)
+        |SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+        |       MAX(n_events) AS max_session_events
+        |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q5_multijoin" ->
+      """SELECT r_name, n_name,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) *
+        |                (CAST(1 AS DECIMAL(20,4)) - CAST(l_discount AS DECIMAL(20,4)))) AS DOUBLE)
+        |         AS revenue,
+        |       COUNT(*) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
     "group_topk_heap" ->
       """WITH cnt AS (
         |  SELECT user_id, CAST(json_extract_string(props, 'k') AS INT) AS item, COUNT(*) AS n
