@@ -72,6 +72,36 @@ object ExtQueries {
     "media_decode_stub" -> ((s, dir) =>
       Multimodal.mediaFeatures(s, dir).orderBy(col("doc_id"))),
 
+    // CUBE over two dims (rollup's sibling; reference has neither)
+    "cube_agg" -> ((s, dir) =>
+      Tables.table(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"))
+        .select(col("gid"), col("l_returnflag"), col("l_linestatus"), col("n"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))),
+
+    // pivot: event counts per user pivoted by event_type (oracle via
+    // conditional aggregation — engine-portable form of PIVOT)
+    "pivot_agg" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot(col("event_type"), types)
+        .agg(count(lit(1)))
+        .na.fill(0, types)
+        .orderBy(col("user_id"))
+    }),
+
+    // null-handling scalars: coalesce / nullif / nvl
+    "scalar_null" -> ((s, dir) =>
+      Tables.table(s, dir, "orders")
+        .select(col("o_orderkey"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status_c"),
+          nvl(nullif(col("o_orderpriority"), lit("1-URGENT")), lit("urgent")).as("prio_c"),
+          when(col("o_orderpriority").isNull, 0)
+            .otherwise(length(col("o_orderpriority"))).as("plen"))
+        .orderBy(col("o_orderkey"))),
+
     // sliding event-time windows (2-day window, 1-day slide): each event
     // lands in 2 windows — the window shape the reference lacks (#10 is
     // tumbling-only) but Spark's window() provides
@@ -283,6 +313,29 @@ object ExtQueries {
       |qn AS (SELECT vec_id, qv, list_inner_product(qv, qv) AS n2 FROM q)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "cube_agg" ->
+      """SELECT GROUPING(l_returnflag, l_linestatus) AS gid,
+        |       l_returnflag, l_linestatus, COUNT(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+
+    "pivot_agg" ->
+      """SELECT user_id,
+        |       COUNT(*) FILTER (event_type = 'click') AS click,
+        |       COUNT(*) FILTER (event_type = 'error') AS error,
+        |       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |       COUNT(*) FILTER (event_type = 'signup') AS signup,
+        |       COUNT(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "scalar_null" ->
+      """SELECT o_orderkey,
+        |       COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_c,
+        |       COALESCE(NULLIF(o_orderpriority, '1-URGENT'), 'urgent') AS prio_c,
+        |       CASE WHEN o_orderpriority IS NULL THEN 0
+        |            ELSE LENGTH(o_orderpriority) END AS plen
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "windowed_sliding" ->
       """WITH ev AS (SELECT date_trunc('day', ts) AS d0, event_type FROM events),
         |x AS (SELECT unnest([d0, d0 - INTERVAL 1 DAY]) AS ws, event_type FROM ev)
