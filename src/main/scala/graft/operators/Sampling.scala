@@ -236,14 +236,28 @@ object Sampling {
       .map { case (u, i, w, t) => (w, Interaction(u, i, t)) }
       .toDF("wnd", "ev").cache()
 
-    val windows = ds.select($"wnd").distinct().as[Long].collect().sorted
+    // Fast path: if NO event can hit either cut (max per-item count <=
+    // fMax and max per-user count <= kMax), the reservoir and refund
+    // machinery can never trigger — every event takes the append path and
+    // window boundaries carry no state effects. One pass over everything
+    // (same (ts,user,item) fold order per key) emits the identical delta
+    // stream with 2 jobs instead of 2 per window.
+    val windows: Array[Long] = {
+      val Array(maxPerItem, maxPerUser) = ds.select($"ev.*")
+        .groupBy($"item").count().agg(max($"count")).as[Long].collect() ++
+        ds.select($"ev.*")
+          .groupBy($"user").count().agg(max($"count")).as[Long].collect()
+      if (maxPerItem <= fMax && maxPerUser <= kMax) Array(-1L) // sentinel: all data, one pass
+      else ds.select($"wnd").distinct().as[Long].collect().sorted
+    }
 
     var itemState = spark.emptyDataset[ItemCount]
     var userState = spark.emptyDataset[UserState]
     val allDeltas = new ArrayBuffer[Dataset[CoocDelta]]()
 
     for (w <- windows) {
-      val evW = ds.where($"wnd" === w).select($"ev.*").as[Interaction]
+      val evW = (if (w == -1L) ds else ds.where($"wnd" === w))
+        .select($"ev.*").as[Interaction]
       val (deltas, newItemState, newUserState) =
         processWindow(evW, itemState, userState, fMax, kMax, seed, w, metrics)
       allDeltas += deltas
