@@ -72,6 +72,76 @@ object ExtQueries {
     "media_decode_stub" -> ((s, dir) =>
       Multimodal.mediaFeatures(s, dir).orderBy(col("doc_id"))),
 
+    // as-of join composed from existing ops (brief's preference (a)): per
+    // event, the latest order of that user at or before the event date;
+    // deterministic tiebreak (latest date, then highest orderkey)
+    "join_asof" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), to_date(col("ts")).as("ed"))
+      val o = Tables.table(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_id"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      e.join(o, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ed"),
+          "left_outer")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("event_id"), col("user_id"),
+          col("o_orderkey").as("asof_order"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("asof_date"))
+        .orderBy(col("event_id"))
+    }),
+
+    // range (theta) join against a tiny tier table -> broadcast
+    // nested-loop join, the non-equi join physical path
+    "join_range" -> ((s, dir) => {
+      val tiers = s.createDataFrame(Seq(
+        ("small", 0.0, 50000.0),
+        ("medium", 50000.0, 150000.0),
+        ("large", 150000.0, 1e9))).toDF("tier", "lo", "hi")
+      Tables.table(s, dir, "orders")
+        .join(broadcast(tiers),
+          col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(20, 4)))
+            .cast("double").as("total"))
+        .orderBy(col("tier"))
+    }),
+
+    // exact interpolated percentiles (sorts within group - the exact
+    // form; approx_percentile is the sketch variant, see approx_distinct)
+    "percentile_agg" -> ((s, dir) =>
+      Tables.table(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"))
+        .orderBy(col("o_orderpriority"))),
+
+    // HLL++ distinct-count sketch: approximate by design -> rows-only
+    // check; ExtOperatorsSpec asserts relative error vs exact
+    "approx_distinct" -> ((s, dir) =>
+      Tables.table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))),
+
+    // wider string-function surface
+    "scalar_string2" -> ((s, dir) =>
+      Tables.table(s, dir, "customer")
+        .select(col("c_custkey"),
+          regexp_replace(col("c_name"), "[0-9]+", "#").as("masked"),
+          lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+          translate(col("c_mktsegment"), "AEIOU", "aeiou").as("translated"),
+          reverse(col("c_name")).as("rev"),
+          repeat(lit("-"), 3).as("dashes"),
+          instr(col("c_name"), "#").as("hash_pos"))
+        .orderBy(col("c_custkey"))),
+
     // CUBE over two dims (rollup's sibling; reference has neither)
     "cube_agg" -> ((s, dir) =>
       Tables.table(s, dir, "lineitem")
@@ -313,6 +383,44 @@ object ExtQueries {
       |qn AS (SELECT vec_id, qv, list_inner_product(qv, qv) AS n2 FROM q)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "join_asof" ->
+      """WITH j AS (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+        |         ROW_NUMBER() OVER (PARTITION BY e.event_id
+        |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e
+        |  LEFT JOIN orders o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= CAST(e.ts AS DATE))
+        |SELECT event_id, user_id, o_orderkey AS asof_order,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS asof_date
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "join_range" ->
+      """WITH tiers(tier, lo, hi) AS (VALUES
+        |  ('small', 0.0, 50000.0), ('medium', 50000.0, 150000.0),
+        |  ('large', 150000.0, 1000000000.0))
+        |SELECT tier, COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total
+        |FROM orders JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY tier ORDER BY tier""".stripMargin,
+
+    "percentile_agg" ->
+      """SELECT o_orderpriority,
+        |       ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        |       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |       ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "scalar_string2" ->
+      """SELECT c_custkey,
+        |       regexp_replace(c_name, '[0-9]+', '#', 'g') AS masked,
+        |       lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+        |       translate(c_mktsegment, 'AEIOU', 'aeiou') AS translated,
+        |       reverse(c_name) AS rev,
+        |       repeat('-', 3) AS dashes,
+        |       CAST(COALESCE(strpos(c_name, '#'), 0) AS INT) AS hash_pos
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
     "cube_agg" ->
       """SELECT GROUPING(l_returnflag, l_linestatus) AS gid,
         |       l_returnflag, l_linestatus, COUNT(*) AS n

@@ -99,6 +99,22 @@ class ExtOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     capped.foreach(p => assert(full.contains(p)))
   }
 
+  test("approx_count_distinct sketch: relative error < 5% vs exact") {
+    val li = Tables.table(spark, sfDir, "lineitem")
+    val rows = li.groupBy(org.apache.spark.sql.functions.col("l_returnflag"))
+      .agg(
+        org.apache.spark.sql.functions.approx_count_distinct(
+          org.apache.spark.sql.functions.col("l_orderkey")).as("a"),
+        org.apache.spark.sql.functions.countDistinct(
+          org.apache.spark.sql.functions.col("l_orderkey")).as("e"))
+      .collect()
+    rows.foreach { r =>
+      val (a, e) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      // default HLL++ rsd is 0.05 (one standard deviation) — bound at 2 sigma
+      assert(math.abs(a - e) / e < 0.10, s"approx $a vs exact $e")
+    }
+  }
+
   test("multimodal decode stub: features derive from payload bytes, schema is typed") {
     val feats = Multimodal.mediaFeatures(spark, sfDir)
     assert(feats.schema.fieldNames.toSeq ==
