@@ -115,8 +115,11 @@ object Dedup {
    * MinHash signatures: one shuffle, NumHashes min() aggregations over the
    * per-(doc, word) hash — all inside whole-stage codegen.
    */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val hashed = docWords(docs).withColumn("hm", hMod(col("word")))
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    minhashSignaturesFromWords(docWords(docs))
+
+  def minhashSignaturesFromWords(words: DataFrame): DataFrame = {
+    val hashed = words.withColumn("hm", hMod(col("word")))
     val aggs = (0 until NumHashes).map(j => min(minhash(j, col("hm"))).as(s"mh$j"))
     hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
@@ -155,9 +158,12 @@ object Dedup {
     // size(array_intersect) — measured 2.4x SLOWER: array_intersect is an
     // interpreted per-row expression that builds a hash set per call,
     // while the explode join stays inside whole-stage codegen.
-    val words = docWords(docs)
+    // the distinct (doc, word) set feeds sizes, the verification join
+    // (twice) and the signature hash — cache it so the distinct shuffle
+    // runs once instead of per consumer (ReuseExchange only catches some)
+    val words = docWords(docs).persist()
     val sizes = words.groupBy(col("doc_id")).agg(count(lit(1)).as("n_w"))
-    val cands = lshCandidates(minhashSignatures(docs))
+    val cands = lshCandidates(minhashSignaturesFromWords(words))
     val wa = words.select(col("doc_id").as("doc_a"), col("word"))
     val wb = words.select(col("doc_id").as("doc_b"), col("word").as("word_b"))
     cands
