@@ -74,9 +74,21 @@ object Sampling {
     val feedbackElements = sc.longAccumulator("ItemInteractionCounterFeedbackElements")
   }
 
+  /** splitmix64 finalizer: java.util.Random's seed scrambler is weak —
+    * structurally related seeds (adjacent users/windows) yield CORRELATED
+    * draw sequences, which the reservoir-uniformity property test caught
+    * as specific positions being systematically over-sampled. Full
+    * avalanche before handing the seed over removes the correlation. */
+  private[graft] def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
   /** Per-(user, window) RNG — deterministic under any partitioning. */
   private def rngFor(seed: Long, user: Int, window: Long): java.util.Random =
-    new java.util.Random(seed ^ (user * 0x9E3779B97F4A7C15L) ^ (window * 0xC2B2AE3D27D4EB4FL))
+    new java.util.Random(mix64(seed ^ mix64(user.toLong ^ mix64(window))))
 
   /** Item-cut fold for one item's window slice (events pre-sorted). */
   private def itemCutFold(events: Seq[Interaction], startCnt: Int, fMax: Int,
@@ -93,8 +105,9 @@ object Sampling {
   }
 
   /** User-stage fold for one user's window slice (events pre-sorted).
-    * Returns (deltas, refundedItems, newState). */
-  private def userFold(events: Seq[Flagged], st: UserState, kMax: Int,
+    * Returns (deltas, refundedItems, newState). private[graft] for the
+    * reservoir-uniformity property test. */
+  private[graft] def userFold(events: Seq[Flagged], st: UserState, kMax: Int,
       rng: java.util.Random, metrics: Option[PipelineMetrics])
       : (Seq[CoocDelta], Seq[Int], UserState) = {
     val deltas = new ArrayBuffer[CoocDelta]()
