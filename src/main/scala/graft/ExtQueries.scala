@@ -464,7 +464,7 @@ object ExtQueries {
         |                        ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM o),
         |sess AS (SELECT user_id, sid, COUNT(*) AS n_events FROM sgrp GROUP BY user_id, sid)
-        |SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+        |SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n_events) AS BIGINT) AS n_events,
         |       MAX(n_events) AS max_session_events
         |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
 
@@ -600,7 +600,7 @@ object ExtQueries {
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS wd FROM documents),
          |pw AS (SELECT doc_id, i, wd[i] AS word FROM t, UNNEST(range(1, len(wd) + 1)) AS r(i)),
          |terms AS (SELECT doc_id, (${hModSql("word")} * i) % $P AS term FROM pw)
-         |SELECT doc_id, SUM(term) % $P AS fingerprint FROM terms
+         |SELECT doc_id, CAST(SUM(term) % $P AS BIGINT) AS fingerprint FROM terms
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "media_decode_stub" ->

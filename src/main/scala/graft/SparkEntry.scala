@@ -294,13 +294,15 @@ object SparkEntry {
   private[graft] val interSql =
     "SELECT user_id AS usr, CAST(json_extract_string(props, 'k') AS INT) AS item, ts FROM events"
 
-  /** Shared SQL fragment: the co-occurrence pair counts (C matrix). */
+  /** Shared SQL fragment: the co-occurrence pair counts (C matrix).
+    * cnt is CAST to BIGINT: DuckDB SUM(int) yields HUGEINT, which the
+    * driver's pandas/arrow bridge turns into float64 -> hash mismatch. */
   private[graft] val pairsSql =
     s"""WITH inter AS ($interSql),
        |pu AS (SELECT usr, item, COUNT(*) AS n FROM inter GROUP BY usr, item),
        |pairs AS (
        |  SELECT a.item AS item, b.item AS other,
-       |         SUM(CASE WHEN a.item = b.item THEN a.n * (a.n - 1) ELSE a.n * b.n END) AS cnt
+       |         CAST(SUM(CASE WHEN a.item = b.item THEN a.n * (a.n - 1) ELSE a.n * b.n END) AS BIGINT) AS cnt
        |  FROM pu a JOIN pu b ON a.usr = b.usr
        |  GROUP BY a.item, b.item
        |  HAVING SUM(CASE WHEN a.item = b.item THEN a.n * (a.n - 1) ELSE a.n * b.n END) > 0)
@@ -352,7 +354,7 @@ object SparkEntry {
     "cooc_pairs" -> (pairsSql + "SELECT item, other, cnt FROM pairs ORDER BY item, other"),
 
     "cooc_rowsums" -> (pairsSql +
-      "SELECT item, SUM(cnt) AS row_sum FROM pairs GROUP BY item ORDER BY item"),
+      "SELECT item, CAST(SUM(cnt) AS BIGINT) AS row_sum FROM pairs GROUP BY item ORDER BY item"),
 
     "cooc_llr_topk" -> llrTopKFullSql,
 

@@ -90,6 +90,12 @@ object Sampling {
   private def rngFor(seed: Long, user: Int, window: Long): java.util.Random =
     new java.util.Random(mix64(seed ^ mix64(user.toLong ^ mix64(window))))
 
+  /** RNG for the streaming reservoir (ReservoirProcessor): keyed by
+    * (user, total-at-batch-start) — same finalization discipline as
+    * rngFor, shared so batch and streaming can't drift apart. */
+  private[graft] def rngForStream(seed: Long, user: Int, total: Int): java.util.Random =
+    new java.util.Random(mix64(seed ^ mix64(user.toLong ^ mix64(total.toLong))))
+
   /** Item-cut fold for one item's window slice (events pre-sorted). */
   private def itemCutFold(events: Seq[Interaction], startCnt: Int, fMax: Int,
       metrics: Option[PipelineMetrics])
@@ -256,10 +262,12 @@ object Sampling {
     // (same (ts,user,item) fold order per key) emits the identical delta
     // stream with 2 jobs instead of 2 per window.
     val windows: Array[Long] = {
+      // coalesce: agg(max) over an empty input yields one NULL row, which
+      // the non-nullable Long encoder would reject
       val Array(maxPerItem, maxPerUser) = ds.select($"ev.*")
-        .groupBy($"item").count().agg(max($"count")).as[Long].collect() ++
+        .groupBy($"item").count().agg(coalesce(max($"count"), lit(0L))).as[Long].collect() ++
         ds.select($"ev.*")
-          .groupBy($"user").count().agg(max($"count")).as[Long].collect()
+          .groupBy($"user").count().agg(coalesce(max($"count"), lit(0L))).as[Long].collect()
       if (maxPerItem <= fMax && maxPerUser <= kMax) Array(-1L) // sentinel: all data, one pass
       else ds.select($"wnd").distinct().as[Long].collect().sorted
     }

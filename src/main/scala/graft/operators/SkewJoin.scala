@@ -18,9 +18,19 @@ import org.apache.spark.sql.functions._
  */
 object SkewJoin {
 
+  /** Join types whose output is provably identical to the unsalted join:
+    * right/full outer would replicate each unmatched RIGHT row once per
+    * salt replica (null-padded `salt`-fold duplicates), so they are
+    * rejected rather than silently wrong. */
+  private val SupportedJoinTypes =
+    Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")
+
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, salt: Int,
       joinType: String = "inner"): DataFrame = {
     require(salt > 1, "salt must be > 1")
+    require(SupportedJoinTypes.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left-variant join types only, got $joinType " +
+        "(right/full outer would duplicate unmatched right rows per salt replica)")
     // left: random-ish but DETERMINISTIC scatter (hash of all columns mod salt
     // would be ideal; monotonically_increasing_id is partition-dependent, so
     // derive the scatter from the row content via a stable hash)

@@ -45,8 +45,10 @@ class ReservoirProcessor(kMax: Int, seed: Long)
     val history = scala.collection.mutable.ArrayBuffer[Int](
       (if (histState.exists()) histState.get() else Array.empty[Int]): _*)
     val out = scala.collection.mutable.ArrayBuffer[CoocDelta]()
-    val rng = new java.util.Random(
-      seed ^ (user * 0x9E3779B97F4A7C15L) ^ (total * 0xC2B2AE3D27D4EB4FL))
+    // Same splitmix64 finalization as the batch path (Sampling.rngFor):
+    // raw xor/multiply seeding leaves adjacent (user, total) seeds
+    // correlated through java.util.Random's weak scrambler.
+    val rng = graft.operators.Sampling.rngForStream(seed, user, total)
     sorted.foreach { e =>
       total += 1
       if (e.sample) {

@@ -55,12 +55,15 @@ object StreamingOps {
 
   /**
    * Run a streaming DataFrame to completion (AvailableNow) into an
-   * in-memory sink and return the final table. Update mode keeps the
-   * latest row per aggregation key, so the final table equals the batch
-   * result — which is exactly what the oracle compare needs.
+   * in-memory sink and return the final table. For aggregations use
+   * Complete mode: the memory sink APPENDS each batch's rows, so in
+   * Update mode a key updated in two microbatches (multiple files /
+   * maxFilesPerTrigger) would appear twice in the final table; Complete
+   * rewrites the full table each trigger, so the final table always
+   * equals the batch result.
    */
   def runToMemory(df: DataFrame, name: String,
-      mode: OutputMode = OutputMode.Update()): DataFrame = {
+      mode: OutputMode = OutputMode.Complete()): DataFrame = {
     val spark = df.sparkSession
     val q = df.writeStream
       .format("memory")

@@ -50,6 +50,31 @@ class ReservoirPropertySpec extends AnyFunSuite {
       s"positional bias: early=$early late=$late")
   }
 
+  test("streaming processor seeding (rngForStream) is uniform across adjacent users") {
+    // the streaming reservoir seeds per (user, batch-start total) — adjacent
+    // user ids are exactly the structurally-related seeds that the raw
+    // xor/multiply scheme correlated; same 4-sigma uniformity bar as above
+    val n = 200
+    val kMax = 40
+    val trials = 400
+    val counts = new Array[Int](n)
+    (0 until trials).foreach { user =>
+      val events = (0 until n).map(i => Flagged(user, i, i.toLong, sample = true))
+      val (_, _, st) = Sampling.userFold(events, UserState(user, 0, Array.empty), kMax,
+        Sampling.rngForStream(seed = 42L, user = user, total = 0), None)
+      st.history.foreach(item => counts(item) += 1)
+    }
+    val expected = trials.toDouble * kMax / n
+    val sigma = math.sqrt(trials * (kMax.toDouble / n) * (1.0 - kMax.toDouble / n))
+    val bad = counts.zipWithIndex.filter { case (c, _) => math.abs(c - expected) > 4 * sigma }
+    assert(bad.length == 0,
+      s"items outside 4-sigma: ${bad.take(5).mkString(",")} (expected $expected +- $sigma)")
+    val early = counts.slice(0, n / 2).sum.toDouble
+    val late = counts.slice(n / 2, n).sum.toDouble
+    assert(math.abs(early - late) / (early + late) < 0.05,
+      s"positional bias: early=$early late=$late")
+  }
+
   test("history size is exactly min(kMax, distinct positions) and refunds happen when k >= kMax") {
     val hist = finalHistory(0 until 100, 10, seed = 7L)
     assert(hist.length == 10)

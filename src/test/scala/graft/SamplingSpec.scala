@@ -81,6 +81,11 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m2.sampledInteractions.value > 0L)
   }
 
+  test("empty input: sampled pipeline returns an empty delta set, no NPE from agg(max)") {
+    val empty = inter.where(lit(false))
+    assert(Sampling.sampledCoocDeltas(empty, 60, 20, 42L, DayMs).count() == 0L)
+  }
+
   test("small cuts produce a proper subsample (strictly less mass than no cuts)") {
     val full = Cooccurrence.coocCounts(inter).agg(sum("cnt")).head.getLong(0)
     val cut = Sampling.sampledCoocCounts(inter, 60, 20, 42L, DayMs)

@@ -71,6 +71,18 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plain.nonEmpty)
   }
 
+  test("salted join rejects right/full outer (salt-fold duplicate null rows)") {
+    val l = Tables.table(spark, sfDir, "lineitem").select(col("l_suppkey"))
+    val r = Tables.table(spark, sfDir, "supplier")
+      .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(l, r, "l_suppkey", salt = 4, joinType = "right_outer")
+    }
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(l, r, "l_suppkey", salt = 4, joinType = "full")
+    }
+  }
+
   test("watermark drops late events from the streaming windowed agg") {
     val sp = spark; import sp.implicits._
     implicit val sq = spark.sqlContext

@@ -14,6 +14,8 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 def canon(v):
     if v is None:
         return None
+    if type(v).__module__ == "numpy":  # unwrap numpy scalars from the pandas path
+        v = v.item()
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -44,7 +46,10 @@ def main(sf_dir, out_dir):
         try:
             res = con.execute(sql)
             ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            # go through pandas like the driver does: DuckDB HUGEINT (SUM of
+            # ints) becomes float64 here, so un-cast sums fail the hash gate
+            odf = res.df()
+            orows = [tuple(r) for r in odf.itertuples(index=False, name=None)]
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
