@@ -18,7 +18,10 @@ object Bench {
     // JIT/codegen warm-up outside the timed region
     try SparkEntry.queries("q1_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated filter for targeted profiling runs
+    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -94,12 +94,13 @@ object SparkEntry {
 
     // late-data drop (SURVEY §2 #6/#7 late filter): an event is late iff some
     // earlier-ingested event (by event_id) already carried a ts >= its ts.
+    // The running watermark is a distributed two-level prefix scan
+    // (PrefixScan) — not a global unpartitioned Window, which funnels
+    // every row through one partition.
     "cooc_late_drop" -> ((s, dir) => {
       val ev = table(s, dir, "events")
         .select(col("event_id"), col("ts"))
-      val w = Window.orderBy(col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      ev.withColumn("wm", max(col("ts")).over(w))
+      graft.operators.PrefixScan.runningMaxExclusive(ev, "event_id", "ts", "wm")
         .where(col("wm").isNull || col("ts") > col("wm"))
         .select(col("event_id"))
         .orderBy(col("event_id"))

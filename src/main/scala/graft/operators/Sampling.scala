@@ -50,10 +50,12 @@ object Sampling {
   case class Flagged(user: Int, item: Int, ts: Long, sample: Boolean)
   case class CoocDelta(item: Int, other: Int, inc: Int)
 
-  /** Item-stage cogroup row: either a flagged event or the new count state. */
+  /** Item-stage cogroup row: kind 0 = flagged event, 1 = new count state. */
   case class ItemStageRow(kind: Int, user: Int, item: Int, ts: Long,
       sample: Boolean, cnt: Int)
-  /** User-stage cogroup row: kind 0 = delta, 1 = refund, 2 = new state. */
+  /** User-stage cogroup row: kind 0 = delta, 1 = refund, 2 = new user
+    * state, 3 = item-count state passed through from the item stage (the
+    * count rides in `inc`). */
   case class UserStageRow(kind: Int, item: Int, other: Int, inc: Int,
       user: Int, total: Int, history: Array[Int])
 
@@ -163,15 +165,17 @@ object Sampling {
    * for the next step. Shared by the batch window loop and the streaming
    * foreachBatch shell.
    *
-   * One materialization job per window: only the user-stage output is
-   * localCheckpoint-ed (it forces the item-stage cogroup through the
-   * persisted cache on the way); deltas, user state and item state are
-   * all derived LAZILY from the checkpointed/cached outputs with depth-1
-   * plans — so lineage never chains across windows (chaining lazy
-   * cogroups grows Catalyst's tree-shaped plans exponentially; per-window
-   * checkpoints keep every plan shallow, the same reason ALS checkpoints
-   * its iterations). The item state is checkpointed too (tiny, parents
-   * cached) so no cross-window plan spine survives at all.
+   * EXACTLY ONE materialization job per window: the item stage's new
+   * per-item counts are routed THROUGH the user-stage cogroup as
+   * passthrough rows under synthetic negative keys (user ids are
+   * non-negative), so the single localCheckpoint of the user-stage
+   * output captures the whole window — flagged-event fold, deltas,
+   * refunds, user state AND item state. Everything downstream (delta
+   * aggregation, both state tables for the next window) derives LAZILY
+   * from that one checkpoint with depth-1 plans, so lineage never chains
+   * across windows (chaining lazy cogroups grows Catalyst's tree-shaped
+   * plans exponentially; per-window checkpoints keep every plan shallow,
+   * the same reason ALS checkpoints its iterations).
    */
   def processWindow(evW: Dataset[Interaction], itemState: Dataset[ItemCount],
       userState: Dataset[UserState], fMax: Int, kMax: Int, seed: Long, w: Long,
@@ -188,25 +192,40 @@ object Sampling {
         val (flagged, endCnt) = itemCutFold(sorted, startCnt, fMax, metrics)
         flagged.iterator.map(f => ItemStageRow(0, f.user, f.item, f.ts, f.sample, 0)) ++
           Iterator.single(ItemStageRow(1, 0, item, 0L, false, endCnt))
-      }.persist()
+      }
 
-    val flagged = itemOut.filter(_.kind == 0)
-      .map(r => Flagged(r.user, r.item, r.ts, r.sample))
-    val itemStateAfterCut = itemOut.filter(_.kind == 1)
-      .map(r => ItemCount(r.item, r.cnt))
+    // --- user stage: reservoir fold, emit deltas + refunds; item-count
+    // state rows (kind 1) pass through under synthetic negative keys so
+    // they land in the same checkpointed output ---
+    val userOutRaw = itemOut
+      .groupByKey(r => if (r.kind == 0) r.user else Int.MinValue | r.item)
+      .cogroup(userState.groupByKey(_.user)) { (user, rows, sts) =>
+        val seq = rows.toSeq
+        val (stateRows, eventRows) = seq.partition(_.kind == 1)
+        val passthrough = stateRows.iterator
+          .map(r => UserStageRow(3, r.item, 0, r.cnt, 0, 0, null))
+        if (eventRows.isEmpty && sts.isEmpty) passthrough
+        else {
+          val st = sts.toSeq.headOption.getOrElse(UserState(user, 0, Array.empty))
+          val sorted = eventRows
+            .map(r => Flagged(r.user, r.item, r.ts, r.sample))
+            .sortBy(e => (e.ts, e.item, e.user))
+          val (deltas, refunds, newSt) = userFold(sorted, st, kMax, rngFor(seed, user, w), metrics)
+          passthrough ++
+            deltas.iterator.map(d => UserStageRow(0, d.item, d.other, d.inc, 0, 0, null)) ++
+            refunds.iterator.map(i => UserStageRow(1, i, 0, 0, 0, 0, null)) ++
+            Iterator.single(UserStageRow(2, 0, 0, 0, newSt.user, newSt.total, newSt.history))
+        }
+      }
 
-    // --- user stage: reservoir fold, emit deltas + refunds ---
-    // The ONE materialization of the window: checkpointing userOut pulls
-    // the whole window through (filling itemOut's cache en route).
-    val userOut = flagged.groupByKey(_.user)
-      .cogroup(userState.groupByKey(_.user)) { (user, evs, sts) =>
-        val st = sts.toSeq.headOption.getOrElse(UserState(user, 0, Array.empty))
-        val sorted = evs.toSeq.sortBy(e => (e.ts, e.item, e.user))
-        val (deltas, refunds, newSt) = userFold(sorted, st, kMax, rngFor(seed, user, w), metrics)
-        deltas.iterator.map(d => UserStageRow(0, d.item, d.other, d.inc, 0, 0, null)) ++
-          refunds.iterator.map(i => UserStageRow(1, i, 0, 0, 0, 0, null)) ++
-          Iterator.single(UserStageRow(2, 0, 0, 0, newSt.user, newSt.total, newSt.history))
-      }.localCheckpoint(true)
+    // The ONE eager job of the window. dropCarriedStats: localCheckpoint
+    // carries the plan's estimated stats into the LogicalRDD, and carried
+    // estimates COMPOUND multiplicatively across chained windows (BigInt
+    // bit-length doubles per window -> driver livelock in stats
+    // estimation by window ~25); stripping them restarts each window
+    // from the flat default estimate (see StatsBridge).
+    val userOut = org.apache.spark.sql.graftbridge.StatsBridge
+      .dropCarriedStats(userOutRaw.localCheckpoint(true))
 
     // Aggregate the window's deltas lazily over the checkpointed userOut —
     // the reference's windowed map-agg (#11, ItemRowAggregator): consumers
@@ -221,7 +240,10 @@ object Sampling {
     val newUserState = userOut.filter(_.kind == 2)
       .map(r => UserState(r.user, r.total, r.history))
 
-    // --- refunds: re-open item slots before the next window ---
+    // --- refunds: re-open item slots before the next window (lazy over
+    // the checkpoint; the next window's own checkpoint materializes it) ---
+    val itemStateAfterCut = userOut.filter(_.kind == 3)
+      .map(r => ItemCount(r.item, r.inc))
     val refundCounts = userOut.filter(_.kind == 1)
       .groupByKey(_.item).count()
       .map { case (item, n) => ItemCount(item, -n.toInt) }
@@ -229,9 +251,7 @@ object Sampling {
       .groupByKey(_.item)
       .reduceGroups((a, b) => ItemCount(a.item, a.cnt + b.cnt))
       .map(_._2)
-      .localCheckpoint(true) // cheap: itemOut cached, userOut checkpointed
 
-    itemOut.unpersist()
     (deltas, newItemState, newUserState)
   }
 

@@ -41,7 +41,10 @@ object StreamingCooc {
       Sampling.processWindow(batch, st.itemState, st.userState, fMax, kMax, seed, batchId)
     st.itemState = is
     st.userState = us
-    st.deltas = st.deltas.union(d).localCheckpoint(true)
+    // dropCarriedStats: chained checkpoint-union-checkpoint would compound
+    // carried stats estimates across batches (see StatsBridge scaladoc)
+    st.deltas = org.apache.spark.sql.graftbridge.StatsBridge
+      .dropCarriedStats(st.deltas.union(d).localCheckpoint(true))
   }
 
   /** Rescore the accumulated matrix: row sums first, then LLR top-K. */

@@ -71,6 +71,23 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plain.nonEmpty)
   }
 
+  test("PrefixScan.runningMaxExclusive == global-window running max, without the all-to-one window") {
+    val ev = Tables.table(spark, sfDir, "events").select(col("event_id"), col("ts"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val expected = ev.withColumn("wm", max(col("ts")).over(w))
+      .collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    val scanned = graft.operators.PrefixScan
+      .runningMaxExclusive(ev, "event_id", "ts", "wm")
+    val got = scanned.collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(got == expected)
+    // the big input must NOT pass through an unpartitioned WindowExec:
+    // every Window over it is keyed by spark_partition_id()
+    val plan = scanned.queryExecution.executedPlan.toString
+    assert(!plan.contains("windowspecdefinition(event_id"),
+      s"found a global window over the input:\n${plan.take(1200)}")
+  }
+
   test("salted join rejects right/full outer (salt-fold duplicate null rows)") {
     val l = Tables.table(spark, sfDir, "lineitem").select(col("l_suppkey"))
     val r = Tables.table(spark, sfDir, "supplier")
