@@ -210,13 +210,19 @@ object Dedup {
       col("doc_id") +: col("fp") +:
         (0 until SimHashChunks).map(c =>
           shiftright(col("fp"), c * ChunkBits).bitwiseAND(lit((1L << ChunkBits) - 1)).as(s"c$c")): _*)
+    // Each pair is emitted ONLY by its first matching chunk (join c
+    // requires all chunks < c to differ), so the union is duplicate-free
+    // by construction — no distinct shuffle over the pair set.
     val pairs = (0 until SimHashChunks).map { c =>
       val a = chunked.as("a")
       val b = chunked.as("b")
-      a.join(b, col(s"a.c$c") === col(s"b.c$c") && col("a.doc_id") < col("b.doc_id"))
+      val firstMatch = (0 until c)
+        .map(p => col(s"a.c$p") =!= col(s"b.c$p"))
+        .foldLeft(col(s"a.c$c") === col(s"b.c$c"))(_ && _)
+      a.join(b, firstMatch && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
-    }.reduce(_ unionAll _).distinct()
+    }.reduce(_ unionAll _)
     pairs
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .where(col("hamming") <= maxHamming)

@@ -296,15 +296,33 @@ object Sampling {
     var userState = spark.emptyDataset[UserState]
     val allDeltas = new ArrayBuffer[Dataset[CoocDelta]]()
 
-    for (w <- windows) {
-      val evW = (if (w == -1L) ds else ds.where($"wnd" === w))
-        .select($"ev.*").as[Interaction]
-      val (deltas, newItemState, newUserState) =
-        processWindow(evW, itemState, userState, fMax, kMax, seed, w, metrics)
-      allDeltas += deltas
-      itemState = newItemState
-      userState = newUserState
-    }
+    // Size the loop's shuffles to per-window volume: a window carrying a
+    // few thousand rows gains nothing from default-width stages (32+
+    // tasks of pure scheduler overhead per shuffle); at real scale
+    // rows/window >> targetRowsPerPartition and this keeps the session
+    // default. Restored after the loop.
+    val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val loopParts =
+      if (windows.length <= 1) defaultParts // single pass: keep full width
+      else {
+        val rowsPerWindow = ds.count() / windows.length
+        val targetRowsPerPartition = 20000L
+        math.max(4L, math.min(defaultParts.toLong,
+          rowsPerWindow / targetRowsPerPartition + 1)).toInt
+      }
+
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+      for (w <- windows) {
+        val evW = (if (w == -1L) ds else ds.where($"wnd" === w))
+          .select($"ev.*").as[Interaction]
+        val (deltas, newItemState, newUserState) =
+          processWindow(evW, itemState, userState, fMax, kMax, seed, w, metrics)
+        allDeltas += deltas
+        itemState = newItemState
+        userState = newUserState
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", defaultParts)
 
     ds.unpersist()
     if (allDeltas.isEmpty) spark.emptyDataset[CoocDelta]
