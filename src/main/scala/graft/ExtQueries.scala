@@ -87,9 +87,11 @@ object ExtQueries {
           "left_outer")
         .withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
+        // coalesce: a single NULL turns the oracle's pandas int column
+        // into float64 ("123.0" vs 123 in the value hash)
         .select(col("event_id"), col("user_id"),
-          col("o_orderkey").as("asof_order"),
-          date_format(col("o_orderdate"), "yyyy-MM-dd").as("asof_date"))
+          coalesce(col("o_orderkey"), lit(-1L)).as("asof_order"),
+          coalesce(date_format(col("o_orderdate"), "yyyy-MM-dd"), lit("none")).as("asof_date"))
         .orderBy(col("event_id"))
     }),
 
@@ -391,8 +393,8 @@ object ExtQueries {
         |  FROM events e
         |  LEFT JOIN orders o
         |    ON e.user_id = o.o_custkey AND o.o_orderdate <= CAST(e.ts AS DATE))
-        |SELECT event_id, user_id, o_orderkey AS asof_order,
-        |       strftime(o_orderdate, '%Y-%m-%d') AS asof_date
+        |SELECT event_id, user_id, COALESCE(o_orderkey, -1) AS asof_order,
+        |       COALESCE(strftime(o_orderdate, '%Y-%m-%d'), 'none') AS asof_date
         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
     "join_range" ->

@@ -31,7 +31,8 @@ object SparkEntry {
   // queries — one per implemented operator from SURVEY.md §2
   // ---------------------------------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = baseQueries ++ ExtQueries.queries
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ ExtQueries.queries ++ ExtQueries2.queries
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- co-occurrence pipeline (SURVEY §2 #4..#14, batch skip-cuts mode) ---
@@ -344,7 +345,8 @@ object SparkEntry {
       |SELECT item, rnk, other, score FROM ranked WHERE rnk <= 10
       |ORDER BY item, rnk""".stripMargin
 
-  def oracleSql: Map[String, String] = baseOracleSql ++ ExtQueries.oracleSql
+  def oracleSql: Map[String, String] =
+    baseOracleSql ++ ExtQueries.oracleSql ++ ExtQueries2.oracleSql
 
   private def baseOracleSql: Map[String, String] = Map(
     "cooc_parse" ->

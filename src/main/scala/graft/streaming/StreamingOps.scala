@@ -79,4 +79,22 @@ object StreamingOps {
   def streamWindowedAgg(spark: SparkSession, dir: String): DataFrame =
     runToMemory(windowedAgg(eventsStream(spark, dir)), s"wagg_${System.nanoTime()}")
       .orderBy(col("day"), col("event_type"))
+
+  /**
+   * Sliding event-time windows in streaming (2-day window, 1-day slide):
+   * each event contributes to two windows; watermark-driven state
+   * cleanup bounds window state exactly as the tumbling case.
+   */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "2 days", "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("wstart"),
+        col("event_type"), col("n"))
+
+  /** Streaming sliding-window agg over the events table, materialized. */
+  def streamSlidingAgg(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(slidingAgg(eventsStream(spark, dir)), s"slide_${System.nanoTime()}")
+      .orderBy(col("wstart"), col("event_type"))
 }

@@ -136,4 +136,26 @@ class ExtOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b)
     assert(a.forall { case (_, _, c) => c >= 0.30 && c <= 1.0 })
   }
+
+  test("hash-gated sampling: partition-independent selected set, ~pct rate, stratified rates hold") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfDir)
+    val key = col("event_id").cast("string")
+    val s1 = DeterministicSample.bernoulli(ev, key, 10)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val s2 = DeterministicSample.bernoulli(ev.repartition(17), key, 10)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "selected set must not depend on partitioning")
+    val n = ev.count().toDouble
+    assert(s1.size > 0.05 * n && s1.size < 0.16 * n,
+      s"rate ${s1.size / n} should be near 0.10")
+    // stratified: a 0%-rate stratum is empty, a 100%-rate stratum is complete
+    val rates = Map("click" -> 0, "purchase" -> 100)
+    val got = DeterministicSample.stratified(ev, col("event_type"), key, rates, 0)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!got.contains("click"))
+    val nPurchase = ev.where(col("event_type") === "purchase").count()
+    assert(got.getOrElse("purchase", 0L) == nPurchase)
+  }
 }
