@@ -164,16 +164,21 @@ object Dedup {
     val words = docWords(docs).persist()
     val sizes = words.groupBy(col("doc_id")).agg(count(lit(1)).as("n_w"))
     val cands = lshCandidates(minhashSignaturesFromWords(words))
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_w", "n_a")), "doc_a")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_w", "n_b")), "doc_b")
+      // size-ratio prefilter (exactness-preserving): jac(A,B) <=
+      // min(|A|,|B|)/max(|A|,|B|), so mismatched-size candidates can't
+      // reach the threshold — drop them BEFORE the word fan-out join
+      .where(least(col("n_a"), col("n_b")) >=
+        lit(threshold) * greatest(col("n_a"), col("n_b")))
     val wa = words.select(col("doc_id").as("doc_a"), col("word"))
     val wb = words.select(col("doc_id").as("doc_b"), col("word").as("word_b"))
     cands
       .join(wa, Seq("doc_a"))
       .join(wb, Seq("doc_b"))
       .where(col("word") === col("word_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("n_common"))
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_w", "n_a")), "doc_a")
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_w", "n_b")), "doc_b")
       .withColumn("jaccard",
         col("n_common") * lit(1.0) / (col("n_a") + col("n_b") - col("n_common")))
       .where(col("jaccard") >= threshold)
