@@ -156,7 +156,11 @@ object ExtQueries2 {
     // sliding windows through Structured Streaming (overlapping-window
     // state the reference lacks; tumbling covered by stream_windowed_agg)
     "stream_sliding_agg" -> ((s, dir) =>
-      graft.streaming.StreamingOps.streamSlidingAgg(s, dir))
+      graft.streaming.StreamingOps.streamSlidingAgg(s, dir)),
+
+    // session windows through Structured Streaming (merging-window state)
+    "stream_session_agg" -> ((s, dir) =>
+      graft.streaming.StreamingOps.streamSessionAgg(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -252,6 +256,32 @@ object ExtQueries2 {
       """WITH ev AS (SELECT date_trunc('day', ts) AS d0, event_type FROM events),
         |x AS (SELECT unnest([d0, d0 - INTERVAL 1 DAY]) AS ws, event_type FROM ev)
         |SELECT strftime(ws, '%Y-%m-%d') AS wstart, event_type, COUNT(*) AS n
-        |FROM x GROUP BY wstart, event_type ORDER BY wstart, event_type""".stripMargin
+        |FROM x GROUP BY wstart, event_type ORDER BY wstart, event_type""".stripMargin,
+
+    // lag/cumsum sessionization restricted to CLOSED sessions (session
+    // end = last event + gap <= global max ts) — append-mode streaming
+    // emits exactly those; each key's trailing session stays open
+    "stream_session_agg" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN LAG(ts) OVER w IS NULL
+        |                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sgrp AS (
+        |  SELECT user_id, ts,
+        |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o),
+        |sess AS (
+        |  SELECT user_id, sid, COUNT(*) AS n_events,
+        |         MAX(ts) + INTERVAL 30 MINUTE AS send
+        |  FROM sgrp GROUP BY user_id, sid),
+        |closed AS (
+        |  SELECT * FROM sess WHERE send <= (SELECT MAX(ts) FROM events))
+        |SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n_events) AS BIGINT) AS n_events,
+        |       MAX(n_events) AS max_session_events
+        |FROM closed GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

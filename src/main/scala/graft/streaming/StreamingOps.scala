@@ -97,4 +97,30 @@ object StreamingOps {
   def streamSlidingAgg(spark: SparkSession, dir: String): DataFrame =
     runToMemory(slidingAgg(eventsStream(spark, dir)), s"slide_${System.nanoTime()}")
       .orderBy(col("wstart"), col("event_type"))
+
+  /**
+   * Session windows (30-min inactivity gap) through Structured Streaming
+   * — merging-window state, the hardest window shape (dynamic extents,
+   * sessions merge when a bridging event arrives).
+   *
+   * Session aggregation supports ONLY Append mode, which emits a session
+   * when the watermark passes its end (last event + gap). The final
+   * watermark of a drained AvailableNow stream is max(ts), so the
+   * emitted set is exactly the CLOSED sessions — sessions whose end <=
+   * max(ts). Each key's trailing session stays open by construction
+   * (its end is always past the last event). The oracle mirrors the
+   * closed-session semantics explicitly.
+   */
+  def streamSessionAgg(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    runToMemory(agg, s"sess_${System.nanoTime()}", OutputMode.Append())
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("n_events")).as("max_session_events"))
+      .orderBy(col("user_id"))
+  }
 }
