@@ -160,10 +160,69 @@ object ExtQueries2 {
 
     // session windows through Structured Streaming (merging-window state)
     "stream_session_agg" -> ((s, dir) =>
-      graft.streaming.StreamingOps.streamSessionAgg(s, dir))
+      graft.streaming.StreamingOps.streamSessionAgg(s, dir)),
+
+    // exact two-phase heavy hitters: Misra-Gries candidates (O(k)/
+    // partition, no shuffle) -> broadcast semi-join recount -> threshold;
+    // only candidate-matching rows ever shuffle
+    "heavy_hitters" -> ((s, dir) => {
+      val items = Tables.events(s, dir)
+        .select(get_json_object(col("props"), "$.k").cast("int").as("item"))
+      operators.HeavyHitters.exact(items, col("item"), threshold = 120)
+        .select(col("key").cast("int").as("item"), col("n"))
+        .orderBy(col("item"))
+    }),
+
+    // SQL frontend over the native LLR expression (GraftExtensions):
+    // per event_type, LLR association between the type and value > 50
+    "sql_llr" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      Tables.events(s, dir).createOrReplaceTempView("events_v")
+      s.sql("""
+        WITH c AS (
+          SELECT event_type,
+                 SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS k11,
+                 SUM(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS k12
+          FROM events_v GROUP BY event_type),
+        t AS (SELECT SUM(k11) AS t11, SUM(k12) AS t12 FROM c)
+        SELECT event_type, k11, k12, t11 - k11 AS k21, t12 - k12 AS k22,
+               ROUND(llr(k11, k12, t11 - k11, t12 - k12), 4) AS score
+        FROM c CROSS JOIN t ORDER BY event_type""")
+    })
   )
 
+  /** DuckDB mirror of LogLikelihood.logLikelihoodRatio (xLogX(0)=0,
+    * negatives clamped) — same shape as the cooc_llr_topk oracle. */
+  private def llrSqlExpr(k11: String, k12: String, k21: String, k22: String): String = {
+    def xlx(e: String) = s"(CASE WHEN ($e) = 0 THEN 0 ELSE ($e) * LN($e) END)"
+    val all = xlx(s"$k11+$k12+$k21+$k22")
+    s"""(2.0 * GREATEST(0.0,
+       |  ($all - ${xlx(s"$k11+$k12")} - ${xlx(s"$k21+$k22")}) +
+       |  ($all - ${xlx(s"$k11+$k21")} - ${xlx(s"$k12+$k22")}) -
+       |  ($all - ${xlx(k11)} - ${xlx(k12)} - ${xlx(k21)} - ${xlx(k22)})))""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "heavy_hitters" ->
+      """WITH i AS (SELECT CAST(json_extract_string(props, 'k') AS INT) AS item FROM events)
+        |SELECT item, COUNT(*) AS n FROM i GROUP BY item
+        |HAVING COUNT(*) >= 120 ORDER BY item""".stripMargin,
+
+    "sql_llr" ->
+      s"""WITH c AS (
+         |  SELECT event_type,
+         |         SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS k11r,
+         |         SUM(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS k12r
+         |  FROM events GROUP BY event_type),
+         |t AS (SELECT SUM(k11r) AS t11, SUM(k12r) AS t12 FROM c),
+         |x AS (
+         |  SELECT event_type, CAST(k11r AS BIGINT) AS k11, CAST(k12r AS BIGINT) AS k12,
+         |         CAST(t11 - k11r AS BIGINT) AS k21, CAST(t12 - k12r AS BIGINT) AS k22
+         |  FROM c CROSS JOIN t)
+         |SELECT event_type, k11, k12, k21, k22,
+         |       ROUND(${llrSqlExpr("k11", "k12", "k21", "k22")}, 4) AS score
+         |FROM x ORDER BY event_type""".stripMargin,
+
     "grouping_sets" ->
       """SELECT GROUPING(l_returnflag, l_linestatus) AS gid,
         |       l_returnflag, l_linestatus, COUNT(*) AS n,

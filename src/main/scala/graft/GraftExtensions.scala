@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.LlrExpression
+
+/**
+ * SparkSessionExtensions entry point: exposes the engine's native
+ * Catalyst expressions to the SQL frontend, so `spark.sql("... llr(...)
+ * ...")` plans the codegen'd expression — no UDF boundary.
+ *
+ * Use at session build:
+ *   spark.sql.extensions=graft.GraftExtensions
+ * or on an existing session: `GraftExtensions.register(spark)`.
+ *
+ * Reference mapping: the LLR scalar (LogLikelihood.java:41-61) becomes a
+ * first-class SQL function — the reference has no SQL surface at all, so
+ * this is strictly new capability on top of operator parity.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("llr"),
+      GraftExtensions.llrInfo,
+      GraftExtensions.llrBuilder))
+}
+
+object GraftExtensions {
+
+  private[graft] val llrInfo = new ExpressionInfo(
+    classOf[LlrExpression].getName, null, "llr",
+    "llr(k11, k12, k21, k22) - raw log-likelihood ratio of a 2x2 contingency table",
+    "")
+
+  private[graft] val llrBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 4, "llr(k11, k12, k21, k22) takes exactly 4 arguments")
+    val Seq(a, b, c, d) = args.map(e => Cast(e, LongType)): @unchecked
+    LlrExpression(a, b, c, d)
+  }
+
+  /** Register the function set on an already-built session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    org.apache.spark.sql.graftbridge.FunctionBridge
+      .registerTempFunction(spark, "llr", llrBuilder)
+}

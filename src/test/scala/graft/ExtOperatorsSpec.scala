@@ -137,6 +137,31 @@ class ExtOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.forall { case (_, _, c) => c >= 0.30 && c <= 1.0 })
   }
 
+  test("heavy hitters: exact == plain groupBy-having, partition-independent") {
+    import org.apache.spark.sql.functions._
+    val items = Tables.events(spark, sfDir)
+      .select(get_json_object(col("props"), "$.k").cast("string").as("item"))
+    val expected = items.groupBy(col("item")).count()
+      .where(col("count") >= 20)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = HeavyHitters.exact(items, col("item"), 20)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert(got.nonEmpty, "threshold should select some items at sf0.001")
+    val gotRepart = HeavyHitters.exact(items.repartition(13), col("item"), 20)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotRepart == expected)
+  }
+
+  test("GraftExtensions: llr available as a native SQL function (Dunning golden value)") {
+    GraftExtensions.register(spark)
+    val s = spark.sql("SELECT llr(110, 2442, 111, 29114) AS s").head.getDouble(0)
+    assert(math.abs(s - 270.72) < 0.1)
+    // native expression, not a UDF: plan must not contain a ScalaUDF node
+    val plan = spark.sql("SELECT llr(1, 2, 3, 4)").queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), plan)
+  }
+
   test("hash-gated sampling: partition-independent selected set, ~pct rate, stratified rates hold") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, sfDir)
