@@ -22,6 +22,11 @@ object Scratch {
       r
     }
 
+
+    val embs = Tables.table(spark, sfDir, "embeddings")
+    val corpus = time("quantize+persist") { val c = Similarity.quantizedWithNorm(embs).persist(); c.count(); c }
+    val cents = time("kmeans fit (3 iters)") { IvfIndex.fitCentroids(corpus.select(col("vec_id"), col("qv")), 16, 3) }
+    time("assign+search") { IvfIndex.ivfTopK(embs, Seq(0L,1L,2L,3L,4L), 10, 16, 4).count() }
     val docs = Tables.table(spark, sfDir, "documents")
     val words = time("docWords+persist") { val w = Dedup.docWords(docs).persist(); w.count(); w }
     val sigs = time("signatures") { val s = Dedup.minhashSignaturesFromWords(words).persist(); s.count(); s }

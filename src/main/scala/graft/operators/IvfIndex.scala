@@ -21,16 +21,20 @@ import org.apache.spark.sql.functions._
  */
 object IvfIndex {
 
-  /** Squared L2 distance between a quantized vector column and a literal
-    * centroid array, as a codegen-friendly expression. */
-  private def dist2(qv: Column, centroid: Array[Double]): Column = {
-    // dot(v,v) - 2*dot(v,c) + dot(c,c); dot(v,c) via the native expression
-    // against a literal array (cast to long grid is NOT wanted here — the
-    // centroid is a mean, so keep double precision via a scaled literal).
-    val c = array(centroid.map(lit): _*)
-    aggregate(
-      zip_with(qv, c, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-      lit(0.0), (acc, x) => acc + x)
+  /** RELATIVE squared L2 distance between a quantized vector column and a
+    * literal centroid: |v-c|^2 = |v|^2 - 2<v,c> + |c|^2, and |v|^2 is
+    * constant across centroids, so argmin/sort order only needs
+    * |c|^2 - 2<v,c>. The centroid is rounded onto the same e6 integer
+    * grid as the vectors so <v,c> runs through the native LongArrayDot
+    * expression (codegen) instead of interpreted aggregate(zip_with(..))
+    * lambdas — the same ~250x expression-vs-lambda gap PERF.md item 1
+    * measured. Grid rounding error (<=0.5 on a ~1e6-scale grid) is far
+    * below any cluster-boundary distance and keeps every step exactly
+    * deterministic. */
+  private def relDist2(qv: Column, centroid: Array[Double]): Column = {
+    val cq = centroid.map(math.round)
+    val c2 = cq.map(x => x * x).sum
+    lit(c2) - lit(2L) * Similarity.dotQ(qv, array(cq.map(lit): _*))
   }
 
   /** Cluster assignment for each vector against the given centroids.
@@ -39,7 +43,7 @@ object IvfIndex {
     * subtrees per step: 2^nLists nodes, which hangs Catalyst analysis). */
   def assign(quantized: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
     val distStructs = centroids.zipWithIndex.map { case (c, i) =>
-      struct(dist2(col("qv"), c).as("d"), lit(i).as("c"))
+      struct(relDist2(col("qv"), c).as("d"), lit(i).as("c"))
     }
     quantized.withColumn("cluster",
       element_at(array_sort(array(distStructs: _*)), 1).getField("c"))
@@ -80,14 +84,16 @@ object IvfIndex {
    */
   def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
       nLists: Int, nProbe: Int, iters: Int = 3): DataFrame = {
-    val corpus = Similarity.quantizedWithNorm(embeddings)
+    // quantization is scanned 2x per k-means iteration plus twice in the
+    // search — cache it once (vec_id + 64 longs + norm: tiny per row)
+    val corpus = Similarity.quantizedWithNorm(embeddings).persist()
     val centroids = fitCentroids(corpus.select(col("vec_id"), col("qv")), nLists, iters)
     val indexed = assign(corpus, centroids)
 
     // probe lists per query: nProbe nearest centroids
     val qAssigned = indexed.where(col("vec_id").isin(queryIds: _*))
     val probeCols = centroids.zipWithIndex.map { case (c, i) =>
-      struct(dist2(col("qv"), c).as("d"), lit(i).as("c"))
+      struct(relDist2(col("qv"), c).as("d"), lit(i).as("c"))
     }
     val probes = qAssigned
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
