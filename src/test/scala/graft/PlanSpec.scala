@@ -86,4 +86,34 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       .linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(exchanges <= 1, s"expected <=1 hash exchange, got $exchanges")
   }
+
+  test("heavy hitters recount uses a broadcast left-semi join (candidates are the small side)") {
+    val items = graft.operators.Tables.events(spark, sfDir)
+      .select(get_json_object(col("props"), "$.k").cast("string").as("item"))
+    val df = graft.operators.HeavyHitters.exact(items, col("item"), 20)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(1500))
+  }
+
+  test("range/theta join plans as broadcast nested loop (no cartesian shuffle)") {
+    val p = plan("join_range")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("hash-gated sampling prunes the scan to the key + projected columns") {
+    val df = SparkEntry.queries("sample_bernoulli")(spark, sfDir)
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.ExtendedMode)
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("event_id"))
+    assert(!readSchema.contains("props") && !readSchema.contains("event_type"),
+      s"over-read: $readSchema")
+  }
+
+  test("grouping_sets plans a single Expand + aggregate (no per-set re-scan)") {
+    val df = SparkEntry.queries("grouping_sets")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Expand"), p.take(1200))
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      "each grouping set must reuse one scan, not re-read the table")
+  }
 }
