@@ -162,6 +162,11 @@ object ExtQueries2 {
     "stream_session_agg" -> ((s, dir) =>
       graft.streaming.StreamingOps.streamSessionAgg(s, dir)),
 
+    // reference #6 in streaming form: transformWithState item-cut (first
+    // fMax per item in event-time order); same oracle as cooc_item_cut
+    "stream_item_cut" -> ((s, dir) =>
+      graft.streaming.ItemCutStream.sampled(s, dir, fMax = 50)),
+
     // exact two-phase heavy hitters: Misra-Gries candidates (O(k)/
     // partition, no shuffle) -> broadcast semi-join recount -> threshold;
     // only candidate-matching rows ever shuffle
@@ -207,6 +212,20 @@ object ExtQueries2 {
       """WITH i AS (SELECT CAST(json_extract_string(props, 'k') AS INT) AS item FROM events)
         |SELECT item, COUNT(*) AS n FROM i GROUP BY item
         |HAVING COUNT(*) >= 120 ORDER BY item""".stripMargin,
+
+    // identical to the batch cooc_item_cut oracle: the streaming
+    // transformWithState fold must reproduce the batch first-fMax cut
+    "stream_item_cut" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id AS usr,
+        |         CAST(json_extract_string(props, 'k') AS INT) AS item, ts
+        |  FROM events),
+        |ranked AS (
+        |  SELECT item, event_id, usr,
+        |         ROW_NUMBER() OVER (PARTITION BY item ORDER BY ts, event_id) AS rn
+        |  FROM ev)
+        |SELECT item, event_id, usr AS "user" FROM ranked WHERE rn <= 50
+        |ORDER BY item, event_id""".stripMargin,
 
     "sql_llr" ->
       s"""WITH c AS (

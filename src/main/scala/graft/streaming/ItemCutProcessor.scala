@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+
+/**
+ * Streaming item-cut sampler as a Spark 4.x StatefulProcessor — the
+ * reference's ItemInteractionCounterTwoInputStreamOperator re-expressed
+ * on transformWithState (reference :119-143): per item, a running count
+ * flags the first fMax interactions sample=true; everything after is
+ * dropped (flagged false). Refunds are the batch loop's job (SURVEY
+ * §7.4.1) — the acyclic streaming DAG runs cut-only.
+ *
+ * State per item is ONE int in RocksDB: bounded by |items| regardless of
+ * stream length — the 100 TB load-shedding contract. Rows are folded in
+ * (ts, event_id) order within each batch for the deterministic contract
+ * shared with the batch fold (Sampling.itemCutFold).
+ */
+object ItemCutProcessor {
+  case class EvRow(item: Int, event_id: Long, user: Int, tsMs: Long)
+}
+
+class ItemCutProcessor(fMax: Int)
+    extends StatefulProcessor[Int, ItemCutProcessor.EvRow, ItemCutProcessor.EvRow] {
+  import ItemCutProcessor.EvRow
+
+  @transient private var cntState: ValueState[Int] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    cntState = getHandle.getValueState[Int]("cnt", Encoders.scalaInt, TTLConfig.NONE)
+
+  override def handleInputRows(item: Int, rows: Iterator[EvRow],
+      timerValues: TimerValues): Iterator[EvRow] = {
+    var cnt = if (cntState.exists()) cntState.get() else 0
+    val sampled = rows.toSeq.sortBy(e => (e.tsMs, e.event_id)).iterator
+      .filter { _ =>
+        val keep = cnt < fMax
+        if (keep) cnt += 1
+        keep
+      }.toSeq
+    cntState.update(cnt)
+    sampled.iterator
+  }
+}
+
+object ItemCutStream {
+
+  /** Streaming first-fMax-per-item sampler over the events stream. */
+  def sampled(spark: org.apache.spark.sql.SparkSession, dir: String, fMax: Int): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = StreamingOps.eventsStream(spark, dir)
+      .select(
+        get_json_object(col("props"), "$.k").cast("int").as("item"),
+        col("event_id"),
+        col("user_id").cast("int").as("user"),
+        unix_millis(col("ts")).as("tsMs"))
+      .as[ItemCutProcessor.EvRow]
+    val out = stream
+      .groupByKey(_.item)
+      .transformWithState(new ItemCutProcessor(fMax),
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+    StreamingOps.runToMemory(out, s"itemcut_${System.nanoTime()}", OutputMode.Append())
+      .select(col("item"), col("event_id"), col("user"))
+      .orderBy(col("item"), col("event_id"))
+  }
+}
