@@ -210,7 +210,7 @@ object ExtQueries2 {
   def oracleSql: Map[String, String] = Map(
     "heavy_hitters" ->
       """WITH i AS (SELECT CAST(json_extract_string(props, 'k') AS INT) AS item FROM events)
-        |SELECT item, COUNT(*) AS n FROM i GROUP BY item
+        |SELECT item, COUNT(*) AS n FROM i WHERE item IS NOT NULL GROUP BY item
         |HAVING COUNT(*) >= 120 ORDER BY item""".stripMargin,
 
     // identical to the batch cooc_item_cut oracle: the streaming

@@ -55,17 +55,24 @@ object HeavyHitters {
    * Exact counts of every key with global count >= threshold.
    * `key` must be a string column named or aliasable to one key.
    */
+  /**
+   * Null keys are EXCLUDED (the left-semi recount's equi-join would
+   * silently drop them on one path but not the other); filter upstream
+   * or map nulls to a sentinel if the null group matters.
+   */
   def exact(df: DataFrame, key: Column, threshold: Long): DataFrame = {
     require(threshold > 0, "threshold must be positive")
-    val keys = df.select(key.cast("string").as("key"))
+    val keys = df.select(key.cast("string").as("key")).where(col("key").isNotNull)
     val n = keys.count()
     // k >= N/threshold makes MG's N/(k+1) bound strictly below threshold:
     // if x survived NO partition then count_i(x) <= n_i/(k+1) everywhere,
     // so C(x) <= N/(k+1) < threshold — contradiction
     val k = math.max(1L, n / threshold + 1L)
-    if (k > 1000000L) {
-      // threshold below N/1M isn't "heavy" — the candidate map would not
-      // be small, so the plain exact groupBy is the better plan
+    // The BROADCAST candidate set can reach k x numPartitions keys (each
+    // partition's MG summary holds up to k): fall back to the plain
+    // aggregate whenever that bound isn't comfortably broadcastable.
+    val partitions = math.max(1, keys.rdd.getNumPartitions)
+    if (k > 1000000L || k * partitions > 8000000L) {
       keys.groupBy(col("key")).agg(count(lit(1)).as("n"))
         .where(col("n") >= threshold)
     } else {

@@ -108,9 +108,12 @@ object IvfIndex {
         round(Similarity.cosineFromParts(
           Similarity.dotQ(col("qqv"), col("qv")), col("qnorm"), col("norm")), 4).as("cos"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored
+    val result = scored
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("vec_id"), col("cos"))
+      .localCheckpoint(true) // tiny (|queries| x k rows); lets the cache go
+    corpus.unpersist()
+    result
   }
 }

@@ -12,14 +12,18 @@ import org.apache.spark.sql.functions._
  * 100 TB).
  *
  * Classic two-level scan:
- *   1. range-partition by the order column (so partition i holds a
- *      contiguous key range, all keys < partition i+1's);
- *   2. per-partition running aggregate via a Window PARTITIONED by
- *      spark_partition_id() (parallel, no global funnel);
- *   3. per-partition totals (#partitions rows — tiny) get an exclusive
- *      running aggregate on the driver-scale side and are broadcast back;
- *   4. combine: running = combine(partition-local running, exclusive
- *      partition prefix).
+ *   1. bucket rows by VALUE-RANGE: boundaries come from one
+ *      approxQuantile pass, collected to the driver and embedded as
+ *      literals, so the bucket id is a PURE FUNCTION of the order value
+ *      (boundary quality affects only balance, never correctness — no
+ *      reliance on exchange reuse or consistent physical partition ids
+ *      across plan branches);
+ *   2. per-bucket running aggregate via a Window PARTITIONED by the
+ *      bucket id (parallel, no global funnel);
+ *   3. per-bucket totals (#buckets rows — tiny) get an exclusive
+ *      running aggregate and are broadcast back;
+ *   4. combine: running = combine(bucket-local running, exclusive
+ *      bucket prefix).
  *
  * Reference mapping: the ascending-watermark late-data filter
  * (ItemInteractionCounterTwoInputStreamOperator.java:75-77 — an event is
@@ -30,21 +34,30 @@ import org.apache.spark.sql.functions._
 object PrefixScan {
 
   /**
-   * Exclusive running max of `valueCol` over ascending `orderCol`
-   * (distinct values assumed — a total order). Adds `outCol`; null for
-   * the first row (empty prefix). Plan: one range shuffle + one
-   * partition-parallel window + one broadcast join; the only
-   * single-partition window runs over #partitions rows.
+   * Exclusive running max of `valueCol` over ascending `orderCol` (a
+   * numeric total order). Adds `outCol`; null for the first row (empty
+   * prefix). Plan: one quantile pass + one bucket-parallel window + one
+   * broadcast join; the only single-partition window runs over #buckets
+   * rows.
    */
   def runningMaxExclusive(df: DataFrame, orderCol: String, valueCol: String,
       outCol: String): DataFrame = {
-    val withPid = df
-      .repartitionByRange(col(orderCol))
-      .withColumn("__pid", spark_partition_id())
+    val spark = df.sparkSession
+    val nBuckets = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val bounds: Array[Double] =
+      if (probs.isEmpty) Array.empty
+      else df.stat.approxQuantile(orderCol, probs, 0.001).distinct.sorted
+    // bucket id = #boundaries strictly below the value — a flat codegen
+    // sum of comparisons against literals
+    val pid = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(orderCol) > lit(b), 1).otherwise(0)
+    }
+    val withPid = df.withColumn("__pid", pid)
 
-    // per-partition max -> exclusive prefix per partition (tiny: one row
-    // per partition; partitionBy(lit(0)) keeps WindowExec off the
-    // all-to-one warning path while staying a deliberate 1-partition op)
+    // per-bucket max -> exclusive prefix per bucket (tiny: one row per
+    // bucket; partitionBy(lit(0)) keeps WindowExec off the all-to-one
+    // warning path while staying a deliberate 1-partition op)
     val prefixes = withPid
       .groupBy(col("__pid"))
       .agg(max(col(valueCol)).as("__pmax"))

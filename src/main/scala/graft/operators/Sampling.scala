@@ -300,7 +300,11 @@ object Sampling {
     // few thousand rows gains nothing from default-width stages (32+
     // tasks of pure scheduler overhead per shuffle); at real scale
     // rows/window >> targetRowsPerPartition and this keeps the session
-    // default. Restored after the loop.
+    // default. Restored after the loop. NOTE: spark.sql.shuffle.partitions
+    // is SESSION-scoped — queries running concurrently on the same
+    // SparkSession during the loop would see the clamped width; run the
+    // sampled pipeline on its own session if sharing one with live
+    // workloads.
     val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val loopParts =
       if (windows.length <= 1) defaultParts // single pass: keep full width

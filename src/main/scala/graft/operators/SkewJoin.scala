@@ -23,7 +23,7 @@ object SkewJoin {
     * salt replica (null-padded `salt`-fold duplicates), so they are
     * rejected rather than silently wrong. */
   private val SupportedJoinTypes =
-    Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")
+    Set("inner", "left", "leftouter", "leftsemi", "leftanti", "semi", "anti", "cross")
 
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, salt: Int,
       joinType: String = "inner"): DataFrame = {

@@ -46,7 +46,17 @@ class ItemCutProcessor(fMax: Int)
 
 object ItemCutStream {
 
-  /** Streaming first-fMax-per-item sampler over the events stream. */
+  /**
+   * Streaming first-fMax-per-item sampler over the events stream.
+   *
+   * Streaming semantics select by ARRIVAL order (per microbatch, sorted
+   * by (ts, event_id) within each batch) — the reference's own contract.
+   * That equals the batch oracle's global (ts, event_id) order only when
+   * the stream drains in ONE data microbatch, which is asserted on the
+   * query's progress rather than assumed: a multi-file source could
+   * deliver later-ts events first and legitimately select a different
+   * arrival-order sample.
+   */
   def sampled(spark: org.apache.spark.sql.SparkSession, dir: String, fMax: Int): DataFrame = {
     import spark.implicits._
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -63,7 +73,18 @@ object ItemCutStream {
       .transformWithState(new ItemCutProcessor(fMax),
         TimeMode.None(), OutputMode.Append())
       .toDF()
-    StreamingOps.runToMemory(out, s"itemcut_${System.nanoTime()}", OutputMode.Append())
+    val name = s"itemcut_${System.nanoTime()}"
+    val q = out.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches <= 1,
+      s"stream_item_cut's batch-oracle equivalence needs one data microbatch, saw $dataBatches")
+    spark.table(name)
       .select(col("item"), col("event_id"), col("user"))
       .orderBy(col("item"), col("event_id"))
   }
