@@ -80,6 +80,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch)
   }
 
+  test("transformWithState item-cut across 3 ts-ordered batches == batch first-fMax selection") {
+    val sp = spark; import sp.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.streaming.{ItemCutProcessor => ICP}
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
+    val fMax = 7
+    val rows = Cooccurrence.interactions(spark, sfDir)
+      .select(col("item").cast("int"), col("user").cast("int"), unix_millis(col("ts")))
+      .as[(Int, Int, Long)].collect()
+      .sortBy { case (_, _, t) => t }
+      .zipWithIndex
+      .map { case ((i, u, t), id) => ICP.EvRow(i, id.toLong, u, t) }
+      .toSeq
+    val ms = MemoryStream[ICP.EvRow]
+    val out = ms.toDS()
+      .groupByKey(_.item)
+      .transformWithState(new graft.streaming.ItemCutProcessor(fMax),
+        TimeMode.None(), OM.Append())
+    val name = s"icut_spec_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(OM.Append()).start()
+    val sz = (rows.size + 2) / 3
+    rows.grouped(sz).foreach { c => ms.addData(c); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table(name).select("item", "event_id")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    // batch oracle: first fMax per item by (tsMs, event_id).
+    // (.values first — flatMap on a Map of pairs would rebuild a Map and
+    // keep one entry per item)
+    val expected = rows.groupBy(_.item).values.flatMap { evs =>
+      evs.sortBy(e => (e.tsMs, e.event_id)).take(fMax).map(e => (e.item, e.event_id))
+    }.toSet
+    assert(streamed == expected)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming reservoir state is bounded by kMax") {
     val sp = spark; import sp.implicits._
     implicit val sq = spark.sqlContext
