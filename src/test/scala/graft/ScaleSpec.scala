@@ -100,6 +100,27 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("source/sink round-trips: json, csv, orc preserve the interaction table") {
+    val dir = Files.createTempDirectory("graft_io").toString
+    val src = graft.operators.Cooccurrence.interactions(spark, sfDir)
+      .select(col("user"), col("item"), unix_millis(col("ts")).as("ts_ms"))
+    val expected = src.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+
+    src.write.mode("overwrite").json(s"$dir/j")
+    val fromJson = spark.read
+      .schema("user INT, item INT, ts_ms LONG").json(s"$dir/j")
+    assert(fromJson.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet == expected)
+
+    src.write.mode("overwrite").option("header", "true").csv(s"$dir/c")
+    val fromCsv = spark.read
+      .option("header", "true").schema("user INT, item INT, ts_ms LONG").csv(s"$dir/c")
+    assert(fromCsv.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet == expected)
+
+    src.write.mode("overwrite").orc(s"$dir/o")
+    val fromOrc = spark.read.orc(s"$dir/o")
+    assert(fromOrc.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet == expected)
+  }
+
   test("watermark drops late events from the streaming windowed agg") {
     val sp = spark; import sp.implicits._
     implicit val sq = spark.sqlContext
