@@ -167,6 +167,11 @@ object ExtQueries2 {
     "stream_item_cut" -> ((s, dir) =>
       graft.streaming.ItemCutStream.sampled(s, dir, fMax = 50)),
 
+    // watermarked stream-stream join (reference §2.1(a): keyed two-input
+    // connect = co-partitioned stream join); time-range-bounded state
+    "stream_stream_join" -> ((s, dir) =>
+      graft.streaming.StreamingOps.streamStreamJoin(s, dir)),
+
     // exact two-phase heavy hitters: Misra-Gries candidates (O(k)/
     // partition, no shuffle) -> broadcast semi-join recount -> threshold;
     // only candidate-matching rows ever shuffle
@@ -212,6 +217,14 @@ object ExtQueries2 {
       """WITH i AS (SELECT CAST(json_extract_string(props, 'k') AS INT) AS item FROM events)
         |SELECT item, COUNT(*) AS n FROM i WHERE item IS NOT NULL GROUP BY item
         |HAVING COUNT(*) >= 120 ORDER BY item""".stripMargin,
+
+    "stream_stream_join" ->
+      """SELECT a.event_id AS l_id, b.event_id AS r_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND b.event_type = 'purchase'
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        | AND a.event_id != b.event_id
+        |ORDER BY l_id, r_id""".stripMargin,
 
     // identical to the batch cooc_item_cut oracle: the streaming
     // transformWithState fold must reproduce the batch first-fMax cut

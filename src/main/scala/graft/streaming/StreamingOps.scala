@@ -99,6 +99,31 @@ object StreamingOps {
       .orderBy(col("wstart"), col("event_type"))
 
   /**
+   * Watermarked stream-stream inner join — the Spark-native form of the
+   * reference's keyed two-input connect (SURVEY §2.1(a): a stream-stream
+   * co-partitioned join on the key). Each event joins the same user's
+   * purchase events within the following hour; the event-time range
+   * constraint plus both watermarks bound the join state on each side.
+   */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val l = eventsStream(spark, dir)
+      .select(col("event_id").as("l_id"), col("user_id").as("l_user"), col("ts").as("l_ts"))
+      .withWatermark("l_ts", "0 seconds")
+    val r = eventsStream(spark, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("r_id"), col("user_id").as("r_user"), col("ts").as("r_ts"))
+      .withWatermark("r_ts", "0 seconds")
+    val joined = l.join(r,
+      col("l_user") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr("INTERVAL 1 HOUR") &&
+        col("l_id") =!= col("r_id"))
+    runToMemory(joined.select(col("l_id"), col("r_id")),
+        s"ssjoin_${System.nanoTime()}", OutputMode.Append())
+      .orderBy(col("l_id"), col("r_id"))
+  }
+
+  /**
    * Session windows (30-min inactivity gap) through Structured Streaming
    * — merging-window state, the hardest window shape (dynamic extents,
    * sessions merge when a bridging event arrives).
