@@ -221,7 +221,8 @@ object ExtQueries2 {
     "stream_stream_join" ->
       """SELECT a.event_id AS l_id, b.event_id AS r_id
         |FROM events a JOIN events b
-        |  ON a.user_id = b.user_id AND b.event_type = 'purchase'
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'view' AND b.event_type = 'purchase'
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
         | AND a.event_id != b.event_id
         |ORDER BY l_id, r_id""".stripMargin,

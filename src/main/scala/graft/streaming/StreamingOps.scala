@@ -107,6 +107,7 @@ object StreamingOps {
    */
   def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
     val l = eventsStream(spark, dir)
+      .where(col("event_type") === "view")
       .select(col("event_id").as("l_id"), col("user_id").as("l_user"), col("ts").as("l_ts"))
       .withWatermark("l_ts", "0 seconds")
     val r = eventsStream(spark, dir)
