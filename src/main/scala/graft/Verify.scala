@@ -16,7 +16,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional comma-separated filter (same contract as Bench) for
+    // targeted local iteration; oracle_sql.json is filtered to match so
+    // tools/check.py only compares what was dumped
+    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
+    SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -36,6 +42,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

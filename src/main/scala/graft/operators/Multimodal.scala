@@ -47,9 +47,31 @@ object Multimodal {
     val width = u(0) + 1
     val height = u(1) + 1
     val sum = payload.map(b => (b & 0xff).toLong).sum
-    val frames = Array(u(0), u(4), u(8), u(12)) // frame-sample at stride 4
+    val stride = math.max(1, payload.length / 4) // 4 frames whatever the length
+    val frames = Array(u(0), u(stride), u(2 * stride), u(3 * stride))
     val sig = frames.foldLeft(0L)((acc, b) => (acc << 8) | b)
     (width, height, sum, frames.length, sig)
+  }
+
+  /**
+   * Resize STUB — binary -> binary stride-`factor` byte downsample (a real
+   * implementation would decode, scale, re-encode; the plumbing — batched
+   * per-partition transform, payloads never crossing a shuffle — is what
+   * carries to 100 TB).
+   */
+  def resize(media: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, "factor must be >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { batch =>
+        batch.map { row =>
+          val out = row.payload.indices.collect {
+            case i if i % factor == 0 => row.payload(i)
+          }.toArray
+          MediaRow(row.doc_id, out)
+        }
+      }.toDF()
   }
 
   /** Batched decode / feature extraction over the binary column. */

@@ -116,4 +116,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.linesIterator.count(_.contains("FileScan")) == 1,
       "each grouping set must reuse one scan, not re-read the table")
   }
+
+  test("correlated scalar subqueries decorrelate to aggregate + join (no per-row subplan)") {
+    val df = SparkEntry.queries("subquery_scalar")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // both scalar subqueries must be rewritten into joins against
+    // pre-aggregated orders, not re-executed per customer row
+    assert(!p.contains("ScalarSubquery"),
+      "scalar subquery left as a per-row subplan:\n" + p.take(1500))
+    assert(p.contains("Join"), p.take(1500))
+  }
+
+  test("EXISTS / NOT EXISTS / IN decorrelate to semi and anti joins") {
+    val df = SparkEntry.queries("subquery_exists")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), p.take(1500))
+    assert(p.contains("LeftAnti"), p.take(1500))
+  }
+
+  test("lateral top-N plans as a partitioned window rank, not per-row re-execution") {
+    val df = SparkEntry.queries("join_lateral")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Window") || p.contains("Join"), p.take(1500))
+    // one scan per table — per-customer re-execution would multiply scans
+    assert(p.linesIterator.count(_.contains("FileScan")) <= 2, p.take(1500))
+  }
 }
