@@ -134,16 +134,31 @@ object Dedup {
     bands.reduce(_ unionAll _)
   }
 
-  /** Candidate pairs: docs sharing any LSH bucket (distinct). */
+  /**
+   * Candidate pairs: docs sharing any LSH bucket. Each pair is emitted
+   * ONCE by construction — band b's join requires all bands < b to
+   * differ (the same pigeonhole-dedup used for SimHash chunks) — so the
+   * quadratic `distinct()` shuffle over the candidate fan-out is gone.
+   * Each per-band join is an equi-join on the band signature; the
+   * signature table is |docs| rows of ~100 B, so AQE broadcasts it when
+   * it fits.
+   */
   def lshCandidates(signatures: DataFrame): DataFrame = {
-    val bands = lshBands(signatures)
-    val a = bands.as("a")
-    val b = bands.as("b")
-    a.join(b,
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val sigCols = (0 until NumBands).map { bnd =>
+      concat_ws(",",
+        (bnd * BandRows until (bnd + 1) * BandRows).map(j => col(s"mh$j").cast("string")): _*)
+        .as(s"band$bnd")
+    }
+    val sigs = signatures.select(col("doc_id") +: sigCols: _*)
+    val a = sigs.as("a")
+    val b = sigs.as("b")
+    (0 until NumBands).map { bnd =>
+      val first = (0 until bnd)
+        .map(p => col(s"a.band$p") =!= col(s"b.band$p"))
+        .foldLeft(col("a.doc_id") < col("b.doc_id"))(_ && _)
+      a.join(b, col(s"a.band$bnd") === col(s"b.band$bnd") && first)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    }.reduce(_ unionAll _)
   }
 
   /**
@@ -152,33 +167,35 @@ object Dedup {
    * oracle reproduces the exact candidate set.
    */
   def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame = {
-    // Exact verification via the word equi-join over candidates (shuffle
-    // rows = candidates x |doc|, all codegen). The tempting alternative —
-    // carrying word-set arrays through the pair join and taking
-    // size(array_intersect) — measured 2.4x SLOWER: array_intersect is an
-    // interpreted per-row expression that builds a hash set per call,
-    // while the explode join stays inside whole-stage codegen.
-    // the distinct (doc, word) set feeds sizes, the verification join
-    // (twice) and the signature hash — cache it so the distinct shuffle
-    // runs once instead of per consumer (ReuseExchange only catches some)
+    // Exact verification via a native sorted-merge intersect over per-doc
+    // word-hash arrays. Earlier shapes, both measurably slower: (1) the
+    // word equi-join (shuffle rows = candidates x |doc| through a hash
+    // aggregate); (2) size(array_intersect) — interpreted, builds a hash
+    // set per row, 2.4x slower than even the explode join. The arrays
+    // attach map-side (AQE broadcasts the doc-set table when it fits, as
+    // here; at larger corpora it degrades to a shuffle join of
+    // |candidates| rows — still no element fan-out), and the count runs
+    // inside whole-stage codegen.
+    // the distinct (doc, word) set feeds the set arrays and the signature
+    // hash — cache it so the distinct shuffle runs once per consumer
     val words = docWords(docs).persist()
-    val sizes = words.groupBy(col("doc_id")).agg(count(lit(1)).as("n_w"))
-    val cands = lshCandidates(minhashSignaturesFromWords(words))
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_w", "n_a")), "doc_a")
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_w", "n_b")), "doc_b")
+    val wordSets = words.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(xxhash64(col("word")))).as("wset"),
+        count(lit(1)).as("n_w"))
+    val setsA = wordSets.select(col("doc_id").as("doc_a"),
+      col("wset").as("wset_a"), col("n_w").as("n_a"))
+    val setsB = wordSets.select(col("doc_id").as("doc_b"),
+      col("wset").as("wset_b"), col("n_w").as("n_b"))
+    lshCandidates(minhashSignaturesFromWords(words))
+      .join(setsA, Seq("doc_a"))
+      .join(setsB, Seq("doc_b"))
       // size-ratio prefilter (exactness-preserving): jac(A,B) <=
       // min(|A|,|B|)/max(|A|,|B|), so mismatched-size candidates can't
-      // reach the threshold — drop them BEFORE the word fan-out join
+      // reach the threshold — skip their merge loop entirely
       .where(least(col("n_a"), col("n_b")) >=
         lit(threshold) * greatest(col("n_a"), col("n_b")))
-    val wa = words.select(col("doc_id").as("doc_a"), col("word"))
-    val wb = words.select(col("doc_id").as("doc_b"), col("word").as("word_b"))
-    cands
-      .join(wa, Seq("doc_a"))
-      .join(wb, Seq("doc_b"))
-      .where(col("word") === col("word_b"))
-      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
-      .agg(count(lit(1)).as("n_common"))
+      .withColumn("n_common",
+        graft.functions.SortedIntersect.size(col("wset_a"), col("wset_b")))
       .withColumn("jaccard",
         col("n_common") * lit(1.0) / (col("n_a") + col("n_b") - col("n_common")))
       .where(col("jaccard") >= threshold)

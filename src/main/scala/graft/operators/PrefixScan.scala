@@ -55,17 +55,28 @@ object PrefixScan {
     }
     val withPid = df.withColumn("__pid", pid)
 
-    // per-bucket max -> exclusive prefix per bucket (tiny: one row per
-    // bucket; partitionBy(lit(0)) keeps WindowExec off the all-to-one
-    // warning path while staying a deliberate 1-partition op)
-    val prefixes = withPid
+    // per-bucket max -> exclusive prefix per bucket. One row per bucket
+    // (≤ shuffle.partitions), so the exclusive scan runs on the DRIVER —
+    // the canonical two-level-scan step — instead of a 1-partition
+    // WindowExec (Catalyst folds a literal partition key away, which
+    // lands on the all-to-one "No Partition Defined" path).
+    val bucketMax = withPid
       .groupBy(col("__pid"))
       .agg(max(col(valueCol)).as("__pmax"))
-      .withColumn("__prefix",
-        max(col("__pmax")).over(
-          Window.partitionBy(lit(0)).orderBy(col("__pid"))
-            .rowsBetween(Window.unboundedPreceding, -1)))
-      .select(col("__pid"), col("__prefix"))
+    val rows = bucketMax.collect().sortBy(_.getInt(0))
+    var run: Any = null
+    val prefixRows = rows.map { r =>
+      val out = org.apache.spark.sql.Row(r.getInt(0), run)
+      val v = r.get(1)
+      if (v != null && (run == null ||
+          run.asInstanceOf[Comparable[Any]].compareTo(v) < 0)) run = v
+      out
+    }
+    val prefixSchema = org.apache.spark.sql.types.StructType(Seq(
+      bucketMax.schema("__pid"),
+      bucketMax.schema("__pmax").copy(name = "__prefix", nullable = true)))
+    val prefixes = spark.createDataFrame(
+      spark.sparkContext.parallelize(prefixRows.toIndexedSeq, 1), prefixSchema)
 
     val local = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1)
