@@ -149,7 +149,10 @@ object Dedup {
         (bnd * BandRows until (bnd + 1) * BandRows).map(j => col(s"mh$j").cast("string")): _*)
         .as(s"band$bnd")
     }
-    val sigs = signatures.select(col("doc_id") +: sigCols: _*)
+    // one row per doc (~100 B): cache so the signature aggregation runs
+    // once, not once per band-join branch (ReuseExchange only catches
+    // the broadcast side)
+    val sigs = signatures.select(col("doc_id") +: sigCols: _*).persist()
     val a = sigs.as("a")
     val b = sigs.as("b")
     (0 until NumBands).map { bnd =>
@@ -228,10 +231,13 @@ object Dedup {
   def simhashNearDups(docs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming < SimHashChunks, "pigeonhole needs maxHamming < #chunks")
     val fps = simhashFingerprints(docs)
+    // one row per doc: cache so the 60-sum fingerprint aggregation runs
+    // once, not once per chunk-join branch
     val chunked = fps.select(
       col("doc_id") +: col("fp") +:
         (0 until SimHashChunks).map(c =>
           shiftright(col("fp"), c * ChunkBits).bitwiseAND(lit((1L << ChunkBits) - 1)).as(s"c$c")): _*)
+      .persist()
     // Each pair is emitted ONLY by its first matching chunk (join c
     // requires all chunks < c to differ), so the union is duplicate-free
     // by construction — no distinct shuffle over the pair set.
