@@ -291,20 +291,23 @@ object ExtQueries {
     "stream_reservoir_cooc" -> ((s, dir) => {
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      val inter = graft.streaming.StreamingOps.eventsStream(s, dir)
-        .select(
-          col("user_id").cast("int").as("user"),
-          get_json_object(col("props"), "$.k").cast("int").as("item"),
-          col("ts"))
-      graft.streaming.ReservoirStream.coocCounts(inter, kMax = 1000000, seed = 42L)
-        .orderBy(col("item"), col("other"))
+      graft.streaming.StreamingOps.withStreamWidth(s, dir) {
+        val inter = graft.streaming.StreamingOps.eventsStream(s, dir)
+          .select(
+            col("user_id").cast("int").as("user"),
+            get_json_object(col("props"), "$.k").cast("int").as("item"),
+            col("ts"))
+        graft.streaming.ReservoirStream.coocCounts(inter, kMax = 1000000, seed = 42L)
+      }.orderBy(col("item"), col("other"))
     }),
 
     // foreachBatch incremental pipeline with cuts >= data size: equals the
     // batch LLR result exactly (llrTopKFullSql oracle).
     "stream_cooc_llr_topk" -> ((s, dir) =>
-      graft.streaming.StreamingCooc.llrTopKStreaming(s, dir,
-        fMax = 1000000, kMax = 1000000, seed = 42L, k = 10))
+      graft.streaming.StreamingOps.withStreamWidth(s, dir) {
+        graft.streaming.StreamingCooc.llrTopKStreaming(s, dir,
+          fMax = 1000000, kMax = 1000000, seed = 42L, k = 10)
+      })
   )
 
   // ------------------------------------------------------------------

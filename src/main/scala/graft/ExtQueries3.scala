@@ -80,7 +80,7 @@ object ExtQueries3 {
     // per (user_id, event_type), evicted once the watermark passes —
     // bounded state however long the stream runs. Drained AvailableNow,
     // the kept set is exactly the distinct keys.
-    "stream_dedup" -> ((s, dir) => {
+    "stream_dedup" -> ((s, dir) => StreamingOps.withStreamWidth(s, dir) {
       val deduped = StreamingOps.eventsStream(s, dir)
         .withWatermark("ts", "0 seconds")
         .dropDuplicatesWithinWatermark("user_id", "event_type")

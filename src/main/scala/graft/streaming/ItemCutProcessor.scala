@@ -57,7 +57,7 @@ object ItemCutStream {
    * deliver later-ts events first and legitimately select a different
    * arrival-order sample.
    */
-  def sampled(spark: org.apache.spark.sql.SparkSession, dir: String, fMax: Int): DataFrame = {
+  def sampled(spark: org.apache.spark.sql.SparkSession, dir: String, fMax: Int): DataFrame = StreamingOps.withStreamWidth(spark, dir) {
     import spark.implicits._
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")

@@ -28,6 +28,38 @@ object StreamingOps {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /**
+   * Stateful-shuffle width for a drained file stream. A streaming
+   * query's shuffle width doubles as its state-store count and is FIXED
+   * at the first checkpoint, so it is sized to the stream's volume
+   * (bytes-based, the way `files.maxPartitionBytes` sizes a scan)
+   * rather than inherited from the session's batch default: every state
+   * store adds per-microbatch commit overhead, and 32 stores over a few
+   * MB of input is pure overhead. At cluster scale the byte rule
+   * returns the session default unchanged.
+   */
+  def statefulShuffleWidth(spark: SparkSession, dir: String): Int = {
+    val default = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    def sizeOf(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles).map(_.map(sizeOf).sum).getOrElse(0L)
+      else f.length
+    val bytes = sizeOf(new java.io.File(s"$dir/events.parquet"))
+    val bytesPerStatePartition = 4L << 20
+    math.max(4L, math.min(default.toLong, bytes / bytesPerStatePartition + 1)).toInt
+  }
+
+  /**
+   * Run a drain-to-completion streaming action with the stateful width
+   * set, restoring the session default after. NOTE: shuffle.partitions
+   * is SESSION-scoped — same caveat as the Sampling window loop; don't
+   * share the session with concurrent batch work while draining.
+   */
+  def withStreamWidth[A](spark: SparkSession, dir: String)(f: => A): A = {
+    val default = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statefulShuffleWidth(spark, dir))
+    try f finally spark.conf.set("spark.sql.shuffle.partitions", default)
+  }
+
   /** Streaming scan of the events table (file source, event-time ts). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -77,8 +109,10 @@ object StreamingOps {
 
   /** Streaming windowed agg over the events table, materialized. */
   def streamWindowedAgg(spark: SparkSession, dir: String): DataFrame =
-    runToMemory(windowedAgg(eventsStream(spark, dir)), s"wagg_${System.nanoTime()}")
-      .orderBy(col("day"), col("event_type"))
+    withStreamWidth(spark, dir) {
+      runToMemory(windowedAgg(eventsStream(spark, dir)), s"wagg_${System.nanoTime()}")
+        .orderBy(col("day"), col("event_type"))
+    }
 
   /**
    * Sliding event-time windows in streaming (2-day window, 1-day slide):
@@ -95,8 +129,10 @@ object StreamingOps {
 
   /** Streaming sliding-window agg over the events table, materialized. */
   def streamSlidingAgg(spark: SparkSession, dir: String): DataFrame =
-    runToMemory(slidingAgg(eventsStream(spark, dir)), s"slide_${System.nanoTime()}")
-      .orderBy(col("wstart"), col("event_type"))
+    withStreamWidth(spark, dir) {
+      runToMemory(slidingAgg(eventsStream(spark, dir)), s"slide_${System.nanoTime()}")
+        .orderBy(col("wstart"), col("event_type"))
+    }
 
   /**
    * Watermarked stream-stream inner join — the Spark-native form of the
@@ -105,7 +141,7 @@ object StreamingOps {
    * purchase events within the following hour; the event-time range
    * constraint plus both watermarks bound the join state on each side.
    */
-  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = withStreamWidth(spark, dir) {
     val l = eventsStream(spark, dir)
       .where(col("event_type") === "view")
       .select(col("event_id").as("l_id"), col("user_id").as("l_user"), col("ts").as("l_ts"))
@@ -137,7 +173,7 @@ object StreamingOps {
    * (its end is always past the last event). The oracle mirrors the
    * closed-session semantics explicitly.
    */
-  def streamSessionAgg(spark: SparkSession, dir: String): DataFrame = {
+  def streamSessionAgg(spark: SparkSession, dir: String): DataFrame = withStreamWidth(spark, dir) {
     val agg = eventsStream(spark, dir)
       .withWatermark("ts", "0 seconds")
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
