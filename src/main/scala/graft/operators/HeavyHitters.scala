@@ -62,7 +62,12 @@ object HeavyHitters {
    */
   def exact(df: DataFrame, key: Column, threshold: Long): DataFrame = {
     require(threshold > 0, "threshold must be positive")
-    val keys = df.select(key.cast("string").as("key")).where(col("key").isNotNull)
+    // cache the projected key column: the operator is inherently
+    // multi-pass (N for sizing k, the MG pass, the recount), and without
+    // the cache each pass re-runs the upstream extraction (e.g. JSON
+    // parsing). One narrow string column; MEMORY_AND_DISK spills fine.
+    val keys = df.select(key.cast("string").as("key"))
+      .where(col("key").isNotNull).persist()
     val n = keys.count()
     // k >= N/threshold makes MG's N/(k+1) bound strictly below threshold:
     // if x survived NO partition then count_i(x) <= n_i/(k+1) everywhere,
