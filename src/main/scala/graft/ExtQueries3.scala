@@ -90,6 +90,18 @@ object ExtQueries3 {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // df-capped inverted index — THE n-gram near-dup plan for web-scale
+    // corpora: shingles with df > maxDf are dropped from candidate
+    // generation (their join fan-out is df^2; the stop set, bounded by
+    // N/maxDf entries, is what gets broadcast), while Jaccard is still
+    // computed over the FULL shingle sets via the native sorted-merge
+    // intersect — every emitted pair is exact.
+    "dedup_ngram_capped" -> ((s, dir) =>
+      graft.operators.Dedup.jaccardPairs(
+        graft.operators.Dedup.ngramShingles(Tables.table(s, dir, "documents"), 3),
+        0.1, maxDf = 5)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // multimodal resize: binary -> binary stride-2 downsample STUB on the
     // payload column (real plumbing: batched per-partition transform, no
     // shuffle touches payloads), then feature-extract the resized bytes.
@@ -131,6 +143,32 @@ object ExtQueries3 {
     "stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+
+    "dedup_ngram_capped" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS wd FROM documents),
+        |w AS (
+        |  SELECT DISTINCT doc_id, wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2] AS word
+        |  FROM t, UNNEST(range(1, len(wd) - 1)) AS r(i)),
+        |stop AS (SELECT word FROM w GROUP BY word HAVING COUNT(*) > 5),
+        |idx AS (SELECT * FROM w WHERE word NOT IN (SELECT word FROM stop)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM idx a JOIN idx b ON a.word = b.word AND a.doc_id < b.doc_id),
+        |n AS (SELECT doc_id, COUNT(*) AS n_w FROM w GROUP BY doc_id),
+        |common AS (
+        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        |  FROM cand c
+        |  JOIN w wa ON wa.doc_id = c.doc_a
+        |  JOIN w wb ON wb.doc_id = c.doc_b AND wb.word = wa.word
+        |  GROUP BY c.doc_a, c.doc_b),
+        |j AS (
+        |  SELECT doc_a, doc_b,
+        |         n_common * 1.0 / (na.n_w + nb.n_w - n_common) AS jac
+        |  FROM common
+        |  JOIN n na ON na.doc_id = doc_a
+        |  JOIN n nb ON nb.doc_id = doc_b)
+        |SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard FROM j
+        |WHERE jac >= 0.1 ORDER BY doc_a, doc_b""".stripMargin,
 
     // resized payload = md5 bytes at odd 1-indexed positions (stride-2
     // downsample of the 16-byte fake image -> 8 bytes); features follow

@@ -42,17 +42,24 @@ object Dedup {
       .groupBy(md5(col("text").cast("binary")).as("text_hash"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc"))
 
-  /** Distinct word-n-gram shingles per doc. */
+  /**
+   * Distinct word-n-gram shingles per doc. posexplode + windowed lead
+   * rather than `transform(sequence, i => concat_ws(slice(...)))`: the
+   * higher-order lambda is interpreted per element (measured 3.5x
+   * slower); the window runs inside codegen, and its per-doc shuffle is
+   * subsumed by the distinct's shuffle anyway. Docs with < n words emit
+   * nothing (lead(n-1) is null on every row), matching the array form.
+   */
   def ngramShingles(docs: DataFrame, n: Int): DataFrame = {
-    val w = split(col("text"), " ")
-    docs
-      .select(
-        col("doc_id"),
-        explode(
-          when(size(w) >= n,
-            transform(sequence(lit(1), size(w) - (n - 1)),
-              i => concat_ws(" ", slice(w, i, lit(n)))))
-            .otherwise(array())).as("shingle"))
+    val w = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val parts = (0 until n).map(i =>
+      if (i == 0) col("word") else lead(col("word"), i).over(win))
+    w.select(col("doc_id"), concat_ws(" ", parts: _*).as("shingle"),
+        parts.last.isNotNull.as("__full"))
+      .where(col("__full")).drop("__full")
       .distinct()
   }
 
@@ -73,42 +80,55 @@ object Dedup {
    * discrimination anyway (standard near-dup practice).
    */
   def jaccardPairs(shingles: DataFrame, threshold: Double, maxDf: Int): DataFrame = {
-    val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val common =
-      if (maxDf == Int.MaxValue) {
-        // uncapped: the index join's group count IS the true common count
-        val a = shingles.as("a")
-        val b = shingles.as("b")
-        a.join(b, col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("n_common"))
-      } else {
-        // capped: candidates from the rare-shingle index only, then the
-        // true common count recomputed over the FULL shingle sets
-        val rare = shingles.groupBy(col("shingle"))
-          .agg(count(lit(1)).as("df")).where(col("df") <= maxDf)
-          .select(col("shingle"))
-        val index = shingles.join(broadcast(rare), Seq("shingle"))
-        val a = index.as("a")
-        val b = index.as("b")
-        val cands = a
-          .join(b, col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
-        val sa = shingles.select(col("doc_id").as("doc_a"), col("shingle"))
-        val sb = shingles.select(col("doc_id").as("doc_b"), col("shingle").as("shingle_b"))
-        cands.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
-          .where(col("shingle") === col("shingle_b"))
-          .groupBy(col("doc_a"), col("doc_b"))
-          .agg(count(lit(1)).as("n_common"))
-      }
-    common
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a")), "doc_a")
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b")), "doc_b")
-      .withColumn("jaccard",
-        col("n_common") * lit(1.0) / (col("n_a") + col("n_b") - col("n_common")))
-      .where(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+    if (maxDf == Int.MaxValue) {
+      // uncapped: the index join's group count IS the true common count
+      val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val a = shingles.as("a")
+      val b = shingles.as("b")
+      a.join(b, col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a")), "doc_a")
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b")), "doc_b")
+        .withColumn("jaccard",
+          col("n_common") * lit(1.0) / (col("n_a") + col("n_b") - col("n_common")))
+        .where(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+    } else {
+      // capped: candidates from the df-capped index, true common count
+      // over the FULL shingle sets via the native sorted-merge intersect.
+      // The STOP set (df > maxDf) is what gets broadcast — it is bounded
+      // by N/maxDf entries, small by construction; the rare set (most of
+      // the vocabulary at web scale) never materializes on the driver.
+      val sh = shingles.persist()
+      val stop = sh.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df")).where(col("df") > maxDf)
+        .select(col("shingle"))
+      val index = sh.join(broadcast(stop), Seq("shingle"), "left_anti")
+      val a = index.as("a")
+      val b = index.as("b")
+      val cands = a
+        .join(b, col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val sets = sh.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(xxhash64(col("shingle")))).as("sset"),
+          count(lit(1)).as("n_sh"))
+      cands
+        .join(sets.select(col("doc_id").as("doc_a"),
+          col("sset").as("sset_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+        .join(sets.select(col("doc_id").as("doc_b"),
+          col("sset").as("sset_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+        // size-ratio prefilter: jac <= min/max of the set sizes
+        .where(least(col("n_a"), col("n_b")) >=
+          lit(threshold) * greatest(col("n_a"), col("n_b")))
+        .withColumn("n_common",
+          graft.functions.SortedIntersect.size(col("sset_a"), col("sset_b")))
+        .withColumn("jaccard",
+          col("n_common") * lit(1.0) / (col("n_a") + col("n_b") - col("n_common")))
+        .where(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+    }
   }
 
   /**
