@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.LongType
 
-import graft.functions.LlrExpression
+import graft.functions.{LlrExpression, LongArrayDot, SortedIntersectSize}
 
 /**
  * SparkSessionExtensions entry point: exposes the engine's native
@@ -21,11 +21,20 @@ import graft.functions.LlrExpression
  * this is strictly new capability on top of operator parity.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("llr"),
       GraftExtensions.llrInfo,
       GraftExtensions.llrBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("long_array_dot"),
+      GraftExtensions.dotInfo,
+      GraftExtensions.dotBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_size"),
+      GraftExtensions.intersectInfo,
+      GraftExtensions.intersectBuilder))
+  }
 }
 
 object GraftExtensions {
@@ -41,8 +50,31 @@ object GraftExtensions {
     LlrExpression(a, b, c, d)
   }
 
+  private[graft] val dotInfo = new ExpressionInfo(
+    classOf[LongArrayDot].getName, null, "long_array_dot",
+    "long_array_dot(a, b) - dot product of two array<bigint> columns",
+    "")
+
+  private[graft] val dotBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2, "long_array_dot(a, b) takes exactly 2 arguments")
+    LongArrayDot(args(0), args(1))
+  }
+
+  private[graft] val intersectInfo = new ExpressionInfo(
+    classOf[SortedIntersectSize].getName, null, "sorted_intersect_size",
+    "sorted_intersect_size(a, b) - intersection size of two sorted distinct array<bigint> columns",
+    "")
+
+  private[graft] val intersectBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2, "sorted_intersect_size(a, b) takes exactly 2 arguments")
+    SortedIntersectSize(args(0), args(1))
+  }
+
   /** Register the function set on an already-built session (idempotent). */
-  def register(spark: SparkSession): Unit =
-    org.apache.spark.sql.graftbridge.FunctionBridge
-      .registerTempFunction(spark, "llr", llrBuilder)
+  def register(spark: SparkSession): Unit = {
+    val fb = org.apache.spark.sql.graftbridge.FunctionBridge
+    fb.registerTempFunction(spark, "llr", llrBuilder)
+    fb.registerTempFunction(spark, "long_array_dot", dotBuilder)
+    fb.registerTempFunction(spark, "sorted_intersect_size", intersectBuilder)
+  }
 }

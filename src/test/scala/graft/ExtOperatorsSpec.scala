@@ -162,6 +162,17 @@ class ExtOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("UDF"), plan)
   }
 
+  test("GraftExtensions: long_array_dot and sorted_intersect_size as SQL functions") {
+    GraftExtensions.register(spark)
+    val dot = spark.sql(
+      "SELECT long_array_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d").head.getLong(0)
+    assert(dot == 32L)
+    val isz = spark.sql(
+      "SELECT sorted_intersect_size(array(1L, 3L, 5L, 9L), array(2L, 3L, 9L)) AS n")
+      .head.getInt(0)
+    assert(isz == 2)
+  }
+
   test("hash-gated sampling: partition-independent selected set, ~pct rate, stratified rates hold") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, sfDir)
