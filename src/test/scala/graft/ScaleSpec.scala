@@ -121,6 +121,22 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fromOrc.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet == expected)
   }
 
+  test("partitionBy write: readback scan prunes to the filtered partition") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    val ev = graft.operators.Tables.events(spark, sfDir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    ev.write.mode("overwrite").partitionBy("day").parquet(dir)
+    val day = ev.select(min(col("day"))).head.getString(0)
+    val back = spark.read.parquet(dir).where(col("day") === day)
+    assert(back.count() == ev.where(col("day") === day).count())
+    // the day predicate must land in PartitionFilters (directory pruning),
+    // not PushedFilters (row-group skipping after listing everything) —
+    // the filter list prints even when empty, so match day INSIDE it
+    val plan = back.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*day".r.findFirstIn(plan).isDefined,
+      s"day filter not applied at partition level:\n${plan.take(1200)}")
+  }
+
   test("watermark drops late events from the streaming windowed agg") {
     val sp = spark; import sp.implicits._
     implicit val sq = spark.sqlContext
