@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators._
+
+/**
+ * Empty-input and degenerate-input behavior: every operator must return
+ * an empty (or identity) result, not throw — the round-1 advisory found
+ * exactly this class of bug (agg(max) over an empty input yields one
+ * NULL row that a non-nullable encoder rejects).
+ */
+class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def emptyDocs = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  private def emptyInteractions = {
+    val schema = StructType(Seq(
+      StructField("user", IntegerType), StructField("item", IntegerType),
+      StructField("ts", TimestampType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  test("dedup operators: empty corpus -> empty pairs, no exception") {
+    assert(Dedup.exactGroups(emptyDocs).count() == 0)
+    assert(Dedup.minhashNearDups(emptyDocs, 0.8).count() == 0)
+    assert(Dedup.simhashNearDups(emptyDocs, 3).count() == 0)
+    assert(Dedup.jaccardPairs(Dedup.ngramShingles(emptyDocs, 3), 0.1).count() == 0)
+    assert(Dedup.jaccardPairs(Dedup.ngramShingles(emptyDocs, 3), 0.1, maxDf = 5).count() == 0)
+  }
+
+  test("single-doc corpus -> no pairs (nothing to pair with)") {
+    val one = spark.createDataFrame(Seq((1L, "alpha beta gamma delta"))).toDF("doc_id", "text")
+    assert(Dedup.minhashNearDups(one, 0.5).count() == 0)
+    assert(Dedup.simhashNearDups(one, 3).count() == 0)
+    assert(Dedup.jaccardPairs(Dedup.ngramShingles(one, 3), 0.1, maxDf = 5).count() == 0)
+  }
+
+  test("sampled pipeline: empty interactions -> empty deltas (the advisory's null-agg case)") {
+    val out = Sampling.sampledCoocDeltas(emptyInteractions,
+      fMax = 10, kMax = 10, seed = 42L, windowMs = 86400000L)
+    assert(out.count() == 0)
+  }
+
+  test("heavy hitters: empty input and all-null keys -> empty result") {
+    val empty = emptyDocs.select(col("text"))
+    assert(HeavyHitters.exact(empty, col("text"), 1).count() == 0)
+    val nulls = spark.createDataFrame(Seq(Tuple1(null: String), Tuple1(null: String)))
+      .toDF("k")
+    assert(HeavyHitters.exact(nulls, col("k"), 1).count() == 0)
+  }
+
+  test("prefix scan: empty input -> empty output; single row -> null prefix") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType)))
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    assert(PrefixScan.runningMaxExclusive(empty, "id", "v", "wm").count() == 0)
+    val one = spark.createDataFrame(Seq((1L, 7.0))).toDF("id", "v")
+    val rows = PrefixScan.runningMaxExclusive(one, "id", "v", "wm").collect()
+    assert(rows.length == 1 && rows.head.isNullAt(rows.head.fieldIndex("wm")))
+  }
+
+  test("docs with fewer words than the shingle size emit no shingles") {
+    val short = spark.createDataFrame(Seq((1L, "one two"), (2L, ""))).toDF("doc_id", "text")
+    assert(Dedup.ngramShingles(short, 3).count() == 0)
+  }
+}
