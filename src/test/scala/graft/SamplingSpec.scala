@@ -34,6 +34,33 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def inter = Cooccurrence.interactions(spark, sfDir)
 
+  test("tiny handmade fixture: cooc matrix and row sums match hand computation (FIXTURES §1)") {
+    // Window 0 (ts 0-99):   u1: 1@1, 2@2     -> +1 on (1,2),(2,1)
+    //                       u2: 1@3, 3@4     -> +1 on (1,3),(3,1)
+    // Window 1 (ts 100-199): u1: 3@101, history [1,2] -> +1 on (3,1),(1,3),(3,2),(2,3)
+    //                        u3: 2@102, 3@103 -> +1 on (3,2),(2,3)
+    // C: (1,2)=1 (2,1)=1 (1,3)=2 (3,1)=2 (2,3)=2 (3,2)=2; row sums 1->3, 2->3, 3->4
+    val rows = Seq(
+      (1, 1, 1L), (1, 2, 2L), (2, 1, 3L), (2, 3, 4L),
+      (1, 3, 101L), (3, 2, 102L), (3, 3, 103L))
+    val df = spark.createDataFrame(rows).toDF("user", "item", "ms")
+      .select(col("user"), col("item"), timestamp_millis(col("ms")).as("ts"))
+    val counts = Sampling.sampledCoocCounts(df,
+        fMax = 100, kMax = 100, seed = 42L, windowMs = 100L)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val expected = Map(
+      (1, 2) -> 1L, (2, 1) -> 1L, (1, 3) -> 2L,
+      (3, 1) -> 2L, (2, 3) -> 2L, (3, 2) -> 2L)
+    assert(counts == expected, s"got $counts")
+    // skip-cuts batch algebra agrees on the same fixture
+    val batch = Cooccurrence.coocCounts(df.select(col("user"), col("item"), col("ts")))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(batch == expected, s"got $batch")
+    val sums = Cooccurrence.rowSums(Cooccurrence.coocCounts(df))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sums == Map(1 -> 3L, 2 -> 3L, 3 -> 4L), s"got $sums")
+  }
+
   test("cuts >= data size: sampled co-occurrence counts == skip-cuts batch counts exactly") {
     val batch = Cooccurrence.coocCounts(inter).collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
