@@ -90,6 +90,19 @@ object ExtQueries3 {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // approximate percentiles (KLL-style sketch, mergeable across
+    // partitions — the percentile operator that scales where exact
+    // percentile_agg's full sort-by-key does not). Deterministic for a
+    // given dataset but engine-specific -> rows-only check; accuracy
+    // bound spec'd in ExtOperatorsSpec against the exact percentiles.
+    "approx_percentile" -> ((s, dir) =>
+      Tables.table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95"))
+        .orderBy(col("l_returnflag"))),
+
     // df-capped inverted index — THE n-gram near-dup plan for web-scale
     // corpora: shingles with df > maxDf are dropped from candidate
     // generation (their join fan-out is df^2; the stop set, bounded by

@@ -99,6 +99,24 @@ class ExtOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     capped.foreach(p => assert(full.contains(p)))
   }
 
+  test("approx_percentile sketch: within rank-error bound of the exact percentiles") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.table(spark, sfDir, "lineitem")
+    val approx = SparkEntry.queries("approx_percentile")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // accuracy=10000 bounds the RANK error at n/10000; translate to a
+    // value check by verifying the approx value's true rank is within
+    // the bound of the requested quantile's rank
+    approx.foreach { case (flag, (p50, p95)) =>
+      val vals = li.where(col("l_returnflag") === flag)
+        .select(col("l_extendedprice")).collect().map(_.getDouble(0)).sorted
+      val n = vals.length
+      def rankOf(v: Double): Double = vals.count(_ <= v).toDouble / n
+      assert(math.abs(rankOf(p50) - 0.5) <= 0.01 + 1.0 / n, s"$flag p50=$p50 rank=${rankOf(p50)}")
+      assert(math.abs(rankOf(p95) - 0.95) <= 0.01 + 1.0 / n, s"$flag p95=$p95 rank=${rankOf(p95)}")
+    }
+  }
+
   test("approx_count_distinct sketch: relative error < 5% vs exact") {
     val li = Tables.table(spark, sfDir, "lineitem")
     val rows = li.groupBy(org.apache.spark.sql.functions.col("l_returnflag"))
