@@ -75,9 +75,13 @@ object Dedup {
    * maxDf bounds the inverted-index skew: shingles appearing in more than
    * maxDf documents are dropped from CANDIDATE GENERATION (their join
    * fan-out is df^2 — a single stop-shingle can go quadratic in corpus
-   * size). Jaccard is still computed over the FULL shingle sets, so every
-   * emitted pair is exact; ultra-common shingles contribute little
-   * discrimination anyway (standard near-dup practice).
+   * size). Jaccard is still computed over the FULL shingle sets; ultra-
+   * common shingles contribute little discrimination anyway (standard
+   * near-dup practice). Exactness caveat: the capped branch intersects
+   * xxhash64(shingle) arrays, not the shingle strings (the uncapped
+   * branch joins on the exact string), so its common counts are exact
+   * only modulo 64-bit hash collisions — probability ~n^2/2^64 per doc
+   * pair, negligible in practice but a weaker guarantee than uncapped.
    */
   def jaccardPairs(shingles: DataFrame, threshold: Double, maxDf: Int): DataFrame = {
     if (maxDf == Int.MaxValue) {
@@ -114,7 +118,7 @@ object Dedup {
       val sets = sh.groupBy(col("doc_id"))
         .agg(sort_array(collect_list(xxhash64(col("shingle")))).as("sset"),
           count(lit(1)).as("n_sh"))
-      cands
+      val out = cands
         .join(sets.select(col("doc_id").as("doc_a"),
           col("sset").as("sset_a"), col("n_sh").as("n_a")), Seq("doc_a"))
         .join(sets.select(col("doc_id").as("doc_b"),
@@ -128,6 +132,12 @@ object Dedup {
           col("n_common") * lit(1.0) / (col("n_a") + col("n_b") - col("n_common")))
         .where(col("jaccard") >= threshold)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+        // materialize the (small) pair set eagerly so the cached shingle
+        // table can be released before returning — long-lived sessions
+        // must not accumulate storage memory per invocation
+        .localCheckpoint(true)
+      sh.unpersist()
+      out
     }
   }
 
@@ -164,15 +174,30 @@ object Dedup {
    * it fits.
    */
   def lshCandidates(signatures: DataFrame): DataFrame = {
+    // one row per doc (~100 B): cache so the signature aggregation runs
+    // once, not once per band-join branch (ReuseExchange only catches
+    // the broadcast side); the candidate set (bounded by collision rate,
+    // far smaller than the corpus) is materialized eagerly so the cache
+    // is released before returning.
+    val sigs = bandedSignatures(signatures).persist()
+    val out = lshCandidatesFromBanded(sigs).localCheckpoint(true)
+    sigs.unpersist()
+    out
+  }
+
+  /** One row per doc with its NumBands band-signature strings. */
+  private def bandedSignatures(signatures: DataFrame): DataFrame = {
     val sigCols = (0 until NumBands).map { bnd =>
       concat_ws(",",
         (bnd * BandRows until (bnd + 1) * BandRows).map(j => col(s"mh$j").cast("string")): _*)
         .as(s"band$bnd")
     }
-    // one row per doc (~100 B): cache so the signature aggregation runs
-    // once, not once per band-join branch (ReuseExchange only catches
-    // the broadcast side)
-    val sigs = signatures.select(col("doc_id") +: sigCols: _*).persist()
+    signatures.select(col("doc_id") +: sigCols: _*)
+  }
+
+  /** Pair-once banded self-join over a (cached) banded-signature table;
+    * the caller owns the cache lifetime. */
+  private def lshCandidatesFromBanded(sigs: DataFrame): DataFrame = {
     val a = sigs.as("a")
     val b = sigs.as("b")
     (0 until NumBands).map { bnd =>
@@ -185,9 +210,11 @@ object Dedup {
   }
 
   /**
-   * MinHash+LSH near-dup: LSH candidates verified with exact unigram
-   * Jaccard >= threshold. Deterministic (fixed hash family) so the SQL
-   * oracle reproduces the exact candidate set.
+   * MinHash+LSH near-dup: LSH candidates verified with unigram Jaccard
+   * >= threshold over per-doc xxhash64(word) arrays — exact modulo
+   * 64-bit hash collisions (~n^2/2^64 per pair, see jaccardPairs).
+   * Deterministic (fixed hash family) so the SQL oracle reproduces the
+   * exact candidate set.
    */
   def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame = {
     // Exact verification via a native sorted-merge intersect over per-doc
@@ -209,7 +236,7 @@ object Dedup {
       col("wset").as("wset_a"), col("n_w").as("n_a"))
     val setsB = wordSets.select(col("doc_id").as("doc_b"),
       col("wset").as("wset_b"), col("n_w").as("n_b"))
-    lshCandidates(minhashSignaturesFromWords(words))
+    val out = lshCandidates(minhashSignaturesFromWords(words))
       .join(setsA, Seq("doc_a"))
       .join(setsB, Seq("doc_b"))
       // size-ratio prefilter (exactness-preserving): jac(A,B) <=
@@ -223,6 +250,10 @@ object Dedup {
         col("n_common") * lit(1.0) / (col("n_a") + col("n_b") - col("n_common")))
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      // release the cached word table before returning (see jaccardPairs)
+      .localCheckpoint(true)
+    words.unpersist()
+    out
   }
 
   /**
@@ -271,10 +302,14 @@ object Dedup {
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
     }.reduce(_ unionAll _)
-    pairs
+    val out = pairs
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .where(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+      // release the cached chunked-fingerprint table (see jaccardPairs)
+      .localCheckpoint(true)
+    chunked.unpersist()
+    out
   }
 
   /**

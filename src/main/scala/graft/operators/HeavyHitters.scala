@@ -77,6 +77,18 @@ object HeavyHitters {
     // partition's MG summary holds up to k): fall back to the plain
     // aggregate whenever that bound isn't comfortably broadcastable.
     val partitions = math.max(1, keys.rdd.getNumPartitions)
+    // materialize the (tiny: keys above threshold) result eagerly so the
+    // cached key column is released before returning — repeated calls in
+    // a long-lived session must not accumulate storage memory
+    val out = recountPlan(keys, k, partitions, threshold).localCheckpoint(true)
+    keys.unpersist()
+    out
+  }
+
+  /** The lazy recount plan — split out so PlanSpec can assert the
+    * broadcast-semi-join shape before `exact` materializes it. */
+  private[graft] def recountPlan(keys: DataFrame, k: Long, partitions: Int,
+      threshold: Long): DataFrame =
     if (k > 1000000L || k * partitions > 8000000L) {
       keys.groupBy(col("key")).agg(count(lit(1)).as("n"))
         .where(col("n") >= threshold)
@@ -88,5 +100,4 @@ object HeavyHitters {
         .agg(count(lit(1)).as("n"))
         .where(col("n") >= threshold)
     }
-  }
 }

@@ -195,17 +195,25 @@ object Sampling {
       }
 
     // --- user stage: reservoir fold, emit deltas + refunds; item-count
-    // state rows (kind 1) pass through under synthetic negative keys so
-    // they land in the same checkpointed output ---
+    // state rows (kind 1) pass through under synthetic TAGGED keys so
+    // they land in the same checkpointed output. The tag bit lives above
+    // the 32-bit id, so a negative user or item id can never collide
+    // with a real user's group (a collision would silently mix an
+    // item-state row into that user's reservoir fold). Real user keys
+    // are the plain user id widened to Long, so fold order and RNG
+    // keying are unchanged. ---
     val userOutRaw = itemOut
-      .groupByKey(r => if (r.kind == 0) r.user else Int.MinValue | r.item)
-      .cogroup(userState.groupByKey(_.user)) { (user, rows, sts) =>
+      .groupByKey(r =>
+        if (r.kind == 0) r.user.toLong
+        else (1L << 32) | (r.item.toLong & 0xFFFFFFFFL))
+      .cogroup(userState.groupByKey(_.user.toLong)) { (key, rows, sts) =>
         val seq = rows.toSeq
         val (stateRows, eventRows) = seq.partition(_.kind == 1)
         val passthrough = stateRows.iterator
           .map(r => UserStageRow(3, r.item, 0, r.cnt, 0, 0, null))
         if (eventRows.isEmpty && sts.isEmpty) passthrough
         else {
+          val user = key.toInt // only event/user-state groups reach here
           val st = sts.toSeq.headOption.getOrElse(UserState(user, 0, Array.empty))
           val sorted = eventRows
             .map(r => Flagged(r.user, r.item, r.ts, r.sample))

@@ -59,33 +59,55 @@ object ItemCutStream {
    */
   def sampled(spark: org.apache.spark.sql.SparkSession, dir: String, fMax: Int): DataFrame = StreamingOps.withStreamWidth(spark, dir) {
     import spark.implicits._
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+    // transformWithState requires the RocksDB provider; set it for THIS
+    // query only and restore the session's prior value (shared sessions
+    // must not inherit a permanently mutated state-store provider).
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val priorProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val stream = StreamingOps.eventsStream(spark, dir)
-      .select(
-        get_json_object(col("props"), "$.k").cast("int").as("item"),
-        col("event_id"),
-        col("user_id").cast("int").as("user"),
-        unix_millis(col("ts")).as("tsMs"))
-      .as[ItemCutProcessor.EvRow]
-    val out = stream
-      .groupByKey(_.item)
-      .transformWithState(new ItemCutProcessor(fMax),
-        TimeMode.None(), OutputMode.Append())
-      .toDF()
-    val name = s"itemcut_${System.nanoTime()}"
-    val q = out.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(OutputMode.Append())
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-    require(dataBatches <= 1,
-      s"stream_item_cut's batch-oracle equivalence needs one data microbatch, saw $dataBatches")
-    spark.table(name)
-      .select(col("item"), col("event_id"), col("user"))
-      .orderBy(col("item"), col("event_id"))
+    // recentProgress is capped by numRecentProgressUpdates (default 100)
+    // and would undercount long drains; raise the cap for this query so
+    // the one-data-microbatch assertion sees every batch, and restore it.
+    val progressKey = "spark.sql.streaming.numRecentProgressUpdates"
+    val priorProgress = spark.conf.getOption(progressKey)
+    spark.conf.set(progressKey, "100000")
+    try {
+      val stream = StreamingOps.eventsStream(spark, dir)
+        .select(
+          get_json_object(col("props"), "$.k").cast("int").as("item"),
+          col("event_id"),
+          col("user_id").cast("int").as("user"),
+          unix_millis(col("ts")).as("tsMs"))
+        .as[ItemCutProcessor.EvRow]
+      val out = stream
+        .groupByKey(_.item)
+        .transformWithState(new ItemCutProcessor(fMax),
+          TimeMode.None(), OutputMode.Append())
+        .toDF()
+      val name = s"itemcut_${System.nanoTime()}"
+      val q = out.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches <= 1,
+        s"stream_item_cut's batch-oracle equivalence needs one data microbatch, saw $dataBatches")
+      spark.table(name)
+        .select(col("item"), col("event_id"), col("user"))
+        .orderBy(col("item"), col("event_id"))
+    } finally {
+      priorProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+      priorProgress match {
+        case Some(v) => spark.conf.set(progressKey, v)
+        case None => spark.conf.unset(progressKey)
+      }
+    }
   }
 }

@@ -37,15 +37,26 @@ object StreamingOps {
    * store adds per-microbatch commit overhead, and 32 stores over a few
    * MB of input is pure overhead. At cluster scale the byte rule
    * returns the session default unchanged.
+   *
+   * Sizing goes through the Hadoop FileSystem API so any supported
+   * scheme (HDFS, S3A, file:) measures correctly; when the path is
+   * missing or unreadable the SESSION DEFAULT is returned — an unknown
+   * volume must never clamp a query to the 4-partition floor, because
+   * the width is frozen into the query's first checkpoint.
    */
   def statefulShuffleWidth(spark: SparkSession, dir: String): Int = {
     val default = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    def sizeOf(f: java.io.File): Long =
-      if (f.isDirectory) Option(f.listFiles).map(_.map(sizeOf).sum).getOrElse(0L)
-      else f.length
-    val bytes = sizeOf(new java.io.File(s"$dir/events.parquet"))
-    val bytesPerStatePartition = 4L << 20
-    math.max(4L, math.min(default.toLong, bytes / bytesPerStatePartition + 1)).toInt
+    val bytes =
+      try {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.getContentSummary(p).getLength
+      } catch { case _: Throwable => 0L }
+    if (bytes <= 0L) default
+    else {
+      val bytesPerStatePartition = 4L << 20
+      math.max(4L, math.min(default.toLong, bytes / bytesPerStatePartition + 1)).toInt
+    }
   }
 
   /**

@@ -88,9 +88,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("heavy hitters recount uses a broadcast left-semi join (candidates are the small side)") {
-    val items = graft.operators.Tables.events(spark, sfDir)
-      .select(get_json_object(col("props"), "$.k").cast("string").as("item"))
-    val df = graft.operators.HeavyHitters.exact(items, col("item"), 20)
+    // exact() materializes eagerly (cache-lifetime discipline), so the
+    // plan shape is asserted on the lazy recount plan it executes
+    val keys = graft.operators.Tables.events(spark, sfDir)
+      .select(get_json_object(col("props"), "$.k").cast("string").as("key"))
+      .where(col("key").isNotNull)
+    val n = keys.count()
+    val k = math.max(1L, n / 20 + 1L)
+    val df = graft.operators.HeavyHitters.recountPlan(
+      keys, k, math.max(1, keys.rdd.getNumPartitions), 20)
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(1500))
   }
