@@ -300,45 +300,165 @@ object Sampling {
       else ds.select($"wnd").distinct().as[Long].collect().sorted
     }
 
-    var itemState = spark.emptyDataset[ItemCount]
-    var userState = spark.emptyDataset[UserState]
-    val allDeltas = new ArrayBuffer[Dataset[CoocDelta]]()
-
-    // Size the loop's shuffles to per-window volume: a window carrying a
-    // few thousand rows gains nothing from default-width stages (32+
-    // tasks of pure scheduler overhead per shuffle); at real scale
-    // rows/window >> targetRowsPerPartition and this keeps the session
-    // default. Restored after the loop. NOTE: spark.sql.shuffle.partitions
-    // is SESSION-scoped — queries running concurrently on the same
-    // SparkSession during the loop would see the clamped width; run the
-    // sampled pipeline on its own session if sharing one with live
-    // workloads.
-    val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val loopParts =
-      if (windows.length <= 1) defaultParts // single pass: keep full width
-      else {
-        val rowsPerWindow = ds.count() / windows.length
-        val targetRowsPerPartition = 20000L
-        math.max(4L, math.min(defaultParts.toLong,
-          rowsPerWindow / targetRowsPerPartition + 1)).toInt
+    if (windows.length <= 1) {
+      // single pass (fast path, or a single populated window): the
+      // Catalyst cogroup step at full session width
+      val out = windows.headOption match {
+        case None => spark.emptyDataset[CoocDelta]
+        case Some(w) =>
+          val evW = (if (w == -1L) ds else ds.where($"wnd" === w))
+            .select($"ev.*").as[Interaction]
+          val (deltas, _, _) = processWindow(evW, spark.emptyDataset[ItemCount],
+            spark.emptyDataset[UserState], fMax, kMax, seed, w, metrics)
+          deltas
       }
+      ds.unpersist()
+      out
+    } else {
+      // Multi-window: RDD loop with CO-PARTITIONED state. Size the
+      // loop's shuffles to per-window volume (a window carrying a few
+      // thousand rows gains nothing from default-width stages; at real
+      // scale rows/window >> targetRowsPerPartition and this keeps the
+      // session default). Partitioning is explicit per-RDD — the
+      // session's shuffle.partitions is never touched.
+      val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val rowsPerWindow = ds.count() / windows.length
+      val targetRowsPerPartition = 20000L
+      val loopParts = math.max(4L, math.min(defaultParts.toLong,
+        rowsPerWindow / targetRowsPerPartition + 1)).toInt
+      val out = sampledLoopRdd(ds, windows, fMax, kMax, seed, loopParts, metrics)
+      ds.unpersist()
+      out
+    }
+  }
 
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", loopParts)
-      for (w <- windows) {
-        val evW = (if (w == -1L) ds else ds.where($"wnd" === w))
-          .select($"ev.*").as[Interaction]
-        val (deltas, newItemState, newUserState) =
-          processWindow(evW, itemState, userState, fMax, kMax, seed, w, metrics)
-        allDeltas += deltas
-        itemState = newItemState
-        userState = newUserState
-      }
-    } finally spark.conf.set("spark.sql.shuffle.partitions", defaultParts)
+  /**
+   * The multi-window sampled loop on raw RDDs with co-partitioned state —
+   * the Spark analogue of the reference's keyed operator state
+   * (UserInteractionCounterOneInputStreamOperator: state lives WITH the
+   * key; events shuffle to it, state never moves).
+   *
+   * Why not the Dataset cogroup per window: each window would pay
+   * Catalyst analysis + 5-6 scheduled stages + a full shuffle of BOTH
+   * state tables. Here per window exactly ONE job runs with the window's
+   * event slice as the only meaningful shuffle:
+   *  - item counts and user reservoirs keep their HashPartitioner across
+   *    windows, so the cogroup reads them as NARROW deps (zero state
+   *    bytes move — at 100 TB the state is |users|*kMax ints, the one
+   *    thing that must not reshuffle every window);
+   *  - refunds are the single genuinely cross-keyspace flow (user ->
+   *    item, the reference's feedback edge) and shuffle as a tiny
+   *    |items|-row reduceByKey;
+   *  - the per-window output is RDD-localCheckpointed (one action), so
+   *    lineage never chains across windows;
+   *  - per-user delta netting happens inside the fold output (associative
+   *    pre-aggregation, the reference's ItemRowAggregator #11), bounding
+   *    checkpoint volume.
+   * Fold order, RNG keying, and refund timing are byte-identical to
+   * processWindow — SamplingSpec's fixture + determinism tests pin both.
+   */
+  private def sampledLoopRdd(ds: DataFrame, windows: Array[Long],
+      fMax: Int, kMax: Int, seed: Long, loopParts: Int,
+      metrics: Option[PipelineMetrics]): Dataset[CoocDelta] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val part = new org.apache.spark.HashPartitioner(loopParts)
 
-    ds.unpersist()
-    if (allDeltas.isEmpty) spark.emptyDataset[CoocDelta]
-    else allDeltas.reduce(_ union _)
+    // one deserialized, cached object RDD for all window slices
+    val evRdd = ds.select($"wnd".as("_1"), $"ev".as("_2"))
+      .as[(Long, Interaction)].rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    var itemCnt: org.apache.spark.rdd.RDD[(Long, Int)] =
+      sc.parallelize(Seq.empty[(Long, Int)], loopParts).partitionBy(part)
+    var userSt: org.apache.spark.rdd.RDD[(Long, (Int, Array[Int]))] =
+      sc.parallelize(Seq.empty[(Long, (Int, Array[Int]))], loopParts).partitionBy(part)
+    val checkpoints = new ArrayBuffer[org.apache.spark.rdd.RDD[(Long, UserStageRow)]]()
+
+    for (w <- windows) {
+      // --- item stage: flag sample bits against per-item counts ---
+      val evW = evRdd.filter(_._1 == w).map { case (_, e) => (e.item.toLong, e) }
+      val itemOut = evW.cogroup(itemCnt, part).mapPartitions(_.flatMap {
+        case (itemL, (evs, cnts)) =>
+          val startCnt = cnts.headOption.getOrElse(0)
+          val sorted = evs.toSeq.sortBy(e => (e.ts, e.user, e.item))
+          val (flagged, endCnt) = itemCutFold(sorted, startCnt, fMax, metrics)
+          flagged.iterator.map(f =>
+            (f.user.toLong, ItemStageRow(0, f.user, f.item, f.ts, f.sample, 0))) ++
+            Iterator.single(((1L << 32) | (itemL & 0xFFFFFFFFL),
+              ItemStageRow(1, 0, itemL.toInt, 0L, false, endCnt)))
+      })
+
+      // --- user stage: reservoir fold; state rows pass through under the
+      // same tag-bit synthetic keys as processWindow ---
+      val userOut = itemOut.cogroup(userSt, part).mapPartitions(_.flatMap {
+        case (key, (rows, sts)) =>
+          val seq = rows.toSeq
+          val (stateRows, eventRows) = seq.partition(_.kind == 1)
+          val passthrough = stateRows.iterator
+            .map(r => (key, UserStageRow(3, r.item, 0, r.cnt, 0, 0, null)))
+          if (eventRows.isEmpty && sts.isEmpty) passthrough
+          else {
+            val user = key.toInt // only event/user-state groups reach here
+            val st = sts.headOption
+              .map { case (t, h) => UserState(user, t, h) }
+              .getOrElse(UserState(user, 0, Array.empty[Int]))
+            val sorted = eventRows
+              .map(r => Flagged(r.user, r.item, r.ts, r.sample))
+              .sortBy(e => (e.ts, e.item, e.user))
+            val (deltas, refunds, newSt) =
+              userFold(sorted, st, kMax, rngFor(seed, user, w), metrics)
+            // net this user's deltas before emission (associative)
+            val net = new scala.collection.mutable.LinkedHashMap[(Int, Int), Int]()
+            deltas.foreach(d => net.update((d.item, d.other),
+              net.getOrElse((d.item, d.other), 0) + d.inc))
+            passthrough ++
+              net.iterator.filter(_._2 != 0).map { case ((i, o), inc) =>
+                (key, UserStageRow(0, i, o, inc, 0, 0, null)) } ++
+              refunds.iterator.map(i => (key, UserStageRow(1, i, 0, 0, 0, 0, null))) ++
+              Iterator.single((key,
+                UserStageRow(2, 0, 0, 0, newSt.user, newSt.total, newSt.history)))
+          }
+      }, preservesPartitioning = true).persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+      // The window's output is PERSISTED but not materialized: the final
+      // action computes the whole loop as ONE RDD DAG (RDD deps form a
+      // shared DAG, so unlike chained Catalyst cogroups there is no tree
+      // blow-up), and the persist makes each window's cogroup compute
+      // once even though three consumers read it. Every 8th window is
+      // eagerly localCheckpointed to bound lineage depth and failure
+      // recovery at long horizons (365 daily windows at cluster scale).
+      checkpoints += userOut
+      if (checkpoints.size % 8 == 0) { userOut.localCheckpoint(); userOut.count() }
+
+      // next-window states derive from the checkpoint: user state narrow
+      // (partitioner preserved), item counts + refunds re-keyed by item
+      // (the feedback edge) through one tiny reduceByKey
+      itemCnt = userOut.flatMap { case (_, r) =>
+        if (r.kind == 3) Iterator.single((r.item.toLong, r.inc))
+        else if (r.kind == 1) Iterator.single((r.item.toLong, -1))
+        else Iterator.empty
+      }.reduceByKey(part, _ + _)
+      userSt = userOut.filter(_._2.kind == 2).mapValues(r => (r.total, r.history))
+    }
+
+    // net across windows/users, materialize eagerly, release all caches
+    val all = sc.union(checkpoints.toSeq.map(_.flatMap { case (_, r) =>
+      if (r.kind == 0) Iterator.single(CoocDelta(r.item, r.other, r.inc))
+      else Iterator.empty
+    }))
+    val net = spark.createDataset(all)
+      .groupBy(col("item"), col("other"))
+      .agg(sum(col("inc")).cast("int").as("inc"))
+      .where(col("inc") =!= 0)
+      .as[CoocDelta]
+    val out = org.apache.spark.sql.graftbridge.StatsBridge
+      .dropCarriedStats(net.localCheckpoint(true))
+    evRdd.unpersist(blocking = false)
+    checkpoints.foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** Aggregated co-occurrence counts from the sampled delta stream. */
