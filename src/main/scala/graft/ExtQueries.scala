@@ -356,7 +356,10 @@ object ExtQueries {
        |${jaccardVerifySql(0.9)}""".stripMargin
   }
 
-  private val simhashSql: String = {
+  /** CTE chain ending in `pairs(doc_a, doc_b, fp_a, fp_b)` — shared by
+    * the simhash near-dup oracle and the connected-components oracle
+    * (ExtQueries4). */
+  private[graft] val simhashPairsCtes: String = {
     val bitSums = (0 until SimHashBits)
       .map(i => s"SUM(((h >> $i) & 1) * 2 - 1) AS s$i").mkString(",\n  ")
     val fp = (0 until SimHashBits)
@@ -368,16 +371,19 @@ object ExtQueries {
       s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fp AS fp_a, b.fp AS fp_b
          |  FROM chunked a JOIN chunked b ON a.c$c = b.c$c AND a.doc_id < b.doc_id""".stripMargin
     }.mkString("\n  UNION ")
-    s"""WITH w AS ($wordsSql),
+    s"""w AS ($wordsSql),
        |hw AS (SELECT doc_id, ${hSql("word")} AS h FROM w),
        |sums AS (SELECT doc_id, $bitSums FROM hw GROUP BY doc_id),
        |fps AS (SELECT doc_id, ($fp) AS fp FROM sums),
        |chunked AS (SELECT doc_id, fp, $chunks FROM fps),
        |pairs AS (
-       |  $chunkJoins)
+       |  $chunkJoins)""".stripMargin
+  }
+
+  private val simhashSql: String =
+    s"""WITH $simhashPairsCtes
        |SELECT doc_a, doc_b, bit_count(xor(fp_a, fp_b)) AS hamming FROM pairs
        |WHERE bit_count(xor(fp_a, fp_b)) <= 3 ORDER BY doc_a, doc_b""".stripMargin
-  }
 
   /** Quantized embedding vectors: exact integer dot products. */
   private val quantSql =

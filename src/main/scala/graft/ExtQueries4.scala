@@ -1,0 +1,344 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ConnectedComponents, Dedup, Tables}
+
+/**
+ * Round-3 surface widening: statistical aggregates, ordered-arg
+ * aggregates (max_by/min_by), collect aggregates, FILTER-clause
+ * conditional aggregation, distribution window functions
+ * (cume_dist/percent_rank/nth_value), null-safe joins, bitwise scalars,
+ * TF-IDF term scoring, PII redaction, per-column table profiling,
+ * edit-distance near-dup verification, and connected-components dup
+ * grouping (the pairs -> groups step of every web-scale dedup pipeline).
+ *
+ * Scale posture: everything here is hash-agg / hash-join / window-rank
+ * shaped — partial aggregation and AQE broadcasts apply as usual. The
+ * two dedup additions keep the candidate-pair discipline (blocking
+ * equi-join / LSH pairs), never all-pairs.
+ */
+object ExtQueries4 {
+
+  private def view(s: SparkSession, dir: String, name: String): String = {
+    val v = s"${name}_x4"
+    Tables.table(s, dir, name).createOrReplaceTempView(v)
+    v
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // statistical aggregates: sample stddev/variance, correlation,
+    // covariance — all single-pass mergeable moments (partial agg).
+    "agg_stats" -> ((s, dir) =>
+      Tables.table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qd"))
+        .orderBy(col("l_returnflag"))),
+
+    // ordered-arg aggregates: the row that carries the extreme value.
+    // Struct ordering makes the tiebreak explicit (max price, then max
+    // key), so the result is deterministic and oracle-reproducible.
+    "agg_minmax_by" -> ((s, dir) => {
+      val o = view(s, dir, "orders")
+      s.sql(
+        s"""SELECT o_orderpriority,
+           |  max_by(o_orderkey, struct(o_totalprice, o_orderkey)) AS best_order,
+           |  min_by(o_orderkey, struct(o_totalprice, o_orderkey)) AS worst_order,
+           |  MAX(o_totalprice) AS max_price
+           |FROM $o GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+
+    // collect aggregates surfaced as deterministic strings (sorted
+    // before joining — raw collect_list order is partition-dependent).
+    "agg_collect" -> ((s, dir) => {
+      val n = Tables.table(s, dir, "nation")
+      val r = Tables.table(s, dir, "region")
+      n.join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"),
+          count(lit(1)).as("n_nations"))
+        .orderBy(col("r_name"))
+    }),
+
+    // FILTER-clause conditional aggregation — one scan, many predicates
+    // (vs. one scan per predicate); sums stay double + ROUND to dodge
+    // engine cast semantics.
+    "agg_filtered" -> ((s, dir) => {
+      val l = view(s, dir, "lineitem")
+      s.sql(
+        s"""SELECT l_returnflag,
+           |  ROUND(COALESCE(SUM(l_quantity) FILTER (WHERE l_discount > 0.05), 0), 2) AS qty_hi_disc,
+           |  COUNT(*) FILTER (WHERE l_tax > 0.04) AS n_hi_tax,
+           |  ROUND(SUM(l_quantity), 2) AS qty_all
+           |FROM $l GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
+    // distribution window functions over a tie-free ordering; explicit
+    // ROWS frames where the default frame would differ per engine.
+    "window_cume_percent" -> ((s, dir) => {
+      val l = view(s, dir, "lineitem")
+      s.sql(
+        s"""WITH l AS (SELECT * FROM $l WHERE l_suppkey <= 5)
+           |SELECT l_suppkey, l_orderkey, l_linenumber,
+           |  CAST(FLOOR(CUME_DIST() OVER wt * 1000000) AS BIGINT) AS cd_ppm,
+           |  CAST(FLOOR(PERCENT_RANK() OVER wt * 1000000) AS BIGINT) AS pr_ppm,
+           |  FIRST_VALUE(l_orderkey) OVER wt AS first_key,
+           |  COALESCE(NTH_VALUE(l_orderkey, 2) OVER (PARTITION BY l_suppkey
+           |    ORDER BY l_extendedprice, l_orderkey, l_linenumber
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), -1) AS second_key,
+           |  LAST_VALUE(l_orderkey) OVER (PARTITION BY l_suppkey
+           |    ORDER BY l_extendedprice, l_orderkey, l_linenumber
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key
+           |FROM l
+           |WINDOW wt AS (PARTITION BY l_suppkey
+           |  ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+           |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)
+    }),
+
+    // null-safe equi-join (<=>): NULL keys match each other — a real
+    // hash join key in Spark (no null-filter-and-union rewrite needed).
+    "join_null_safe" -> ((s, dir) => {
+      val c = view(s, dir, "customer"); val su = view(s, dir, "supplier")
+      s.sql(
+        s"""SELECT a.c_custkey, b.s_suppkey, COALESCE(a.k, -1) AS k
+           |FROM (SELECT c_custkey, nullif(c_nationkey % 5, 0) AS k FROM $c) a
+           |JOIN (SELECT s_suppkey, nullif(s_nationkey % 5, 0) AS k FROM $su) b
+           |  ON a.k <=> b.k
+           |ORDER BY c_custkey, s_suppkey""".stripMargin)
+    }),
+
+    // bitwise scalar surface (codegen'd integer ops).
+    "scalar_bitwise" -> ((s, dir) =>
+      Tables.table(s, dir, "lineitem")
+        .where(col("l_linenumber") === 1 && col("l_orderkey") % 7 === 0)
+        .select(col("l_orderkey"),
+          col("l_orderkey").bitwiseAND(lit(255L)).as("b_and"),
+          col("l_orderkey").bitwiseOR(lit(7L)).as("b_or"),
+          col("l_orderkey").bitwiseXOR(lit(42L)).as("b_xor"),
+          shiftleft(col("l_orderkey"), 2).as("b_shl"),
+          shiftright(col("l_orderkey"), 1).as("b_shr"),
+          bit_count(col("l_orderkey")).as("b_cnt"))
+        .orderBy(col("l_orderkey"))),
+
+    // TF-IDF top-3 terms per document — tf and document-length from one
+    // word explode, df from its distinct projection, N broadcast; ties
+    // broken on the rounded score then term so ranking is
+    // engine-reproducible.
+    "text_tfidf" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+      val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val dfq = words.select(col("doc_id"), col("word")).distinct()
+        .groupBy(col("word")).agg(count(lit(1)).as("d"))
+      val nd = docs.agg(count(lit(1)).as("nd"))
+      val scored = tf.join(dl, "doc_id").join(dfq, "word").crossJoin(broadcast(nd))
+        .select(col("doc_id"), col("word"),
+          round((col("c") / col("n")) * log((col("nd") + 1.0) / (col("d") + 1.0)), 6)
+            .as("score"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("word"))
+      scored.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3).drop("rn")
+        .orderBy(col("doc_id"), col("word"))
+    }),
+
+    // PII-style redaction: digits masked, email-shaped tokens replaced —
+    // compared via hash + length (the redacted text itself stays big).
+    "text_redact_pii" -> ((s, dir) =>
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(regexp_replace(
+            regexp_replace(col("text"), "[a-z0-9._%+-]+@[a-z0-9.-]+", "<EMAIL>"),
+            "[0-9]", "#").cast("binary")).as("red_hash"),
+          length(regexp_replace(
+            regexp_replace(col("text"), "[a-z0-9._%+-]+@[a-z0-9.-]+", "<EMAIL>"),
+            "[0-9]", "#")).as("red_len"))
+        .orderBy(col("doc_id"))),
+
+    // per-column profiling (row count, non-null count, exact distinct) —
+    // the data-quality pass a training pipeline runs before ingestion.
+    "table_profile" -> ((s, dir) => {
+      val o = Tables.table(s, dir, "orders")
+      Seq("o_orderstatus", "o_orderpriority", "o_custkey")
+        .map { c =>
+          o.agg(count(lit(1)).as("n_rows"), count(col(c)).as("n_nonnull"),
+              countDistinct(col(c)).as("n_distinct"))
+            .select(lit(c).as("col"), col("n_rows"), col("n_nonnull"), col("n_distinct"))
+        }
+        .reduce(_ unionAll _)
+        .orderBy(col("col"))
+    }),
+
+    // edit-distance near-dup: prefix-equality blocking (an equi-join —
+    // never all-pairs) then exact Levenshtein verification.
+    "dedup_levenshtein" -> ((s, dir) => {
+      val d = view(s, dir, "documents")
+      s.sql(
+        s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |       levenshtein(a.text, b.text) AS dist
+           |FROM $d a JOIN $d b
+           |  ON substring(a.text, 1, 24) = substring(b.text, 1, 24)
+           | AND a.doc_id < b.doc_id
+           |WHERE levenshtein(a.text, b.text) <= 50
+           |ORDER BY doc_a, doc_b""".stripMargin)
+    }),
+
+    // connected components over SimHash near-dup pairs: pairs -> dup
+    // GROUPS keyed by min reachable doc_id (min-label propagation).
+    "dedup_groups_cc" -> ((s, dir) =>
+      ConnectedComponents.components(
+        Dedup.simhashNearDups(Tables.table(s, dir, "documents"), 3))
+        .select(col("node").as("doc_id"), col("comp"))
+        .orderBy(col("doc_id")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "agg_stats" ->
+      """SELECT l_returnflag,
+        |  ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  ROUND(var_samp(l_quantity), 4) AS var_qty,
+        |  ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |  ROUND(covar_samp(l_quantity, l_discount), 6) AS cov_qd
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_minmax_by" ->
+      """WITH mx AS (
+        |  SELECT o_orderpriority, o_orderkey AS best_order FROM (
+        |    SELECT o_orderpriority, o_orderkey, ROW_NUMBER() OVER (
+        |      PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn FROM orders)
+        |  WHERE rn = 1),
+        |mn AS (
+        |  SELECT o_orderpriority, o_orderkey AS worst_order FROM (
+        |    SELECT o_orderpriority, o_orderkey, ROW_NUMBER() OVER (
+        |      PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn FROM orders)
+        |  WHERE rn = 1),
+        |mp AS (SELECT o_orderpriority, MAX(o_totalprice) AS max_price
+        |       FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, best_order, worst_order, max_price
+        |FROM mx JOIN mn USING (o_orderpriority) JOIN mp USING (o_orderpriority)
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "agg_collect" ->
+      """SELECT r_name,
+        |  array_to_string(list_sort(list(n_name)), ',') AS nations,
+        |  CAST(COUNT(*) AS BIGINT) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "agg_filtered" ->
+      """SELECT l_returnflag,
+        |  ROUND(COALESCE(SUM(l_quantity) FILTER (WHERE l_discount > 0.05), 0), 2) AS qty_hi_disc,
+        |  CAST(COUNT(*) FILTER (WHERE l_tax > 0.04) AS BIGINT) AS n_hi_tax,
+        |  ROUND(SUM(l_quantity), 2) AS qty_all
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "window_cume_percent" ->
+      """WITH l AS (SELECT * FROM lineitem WHERE l_suppkey <= 5)
+        |SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(FLOOR(CUME_DIST() OVER wt * 1000000) AS BIGINT) AS cd_ppm,
+        |  CAST(FLOOR(PERCENT_RANK() OVER wt * 1000000) AS BIGINT) AS pr_ppm,
+        |  FIRST_VALUE(l_orderkey) OVER wt AS first_key,
+        |  COALESCE(NTH_VALUE(l_orderkey, 2) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_extendedprice, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), -1) AS second_key,
+        |  LAST_VALUE(l_orderkey) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_extendedprice, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key
+        |FROM l
+        |WINDOW wt AS (PARTITION BY l_suppkey
+        |  ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "join_null_safe" ->
+      """SELECT a.c_custkey, b.s_suppkey, COALESCE(a.k, -1) AS k
+        |FROM (SELECT c_custkey, nullif(c_nationkey % 5, 0) AS k FROM customer) a
+        |JOIN (SELECT s_suppkey, nullif(s_nationkey % 5, 0) AS k FROM supplier) b
+        |  ON a.k IS NOT DISTINCT FROM b.k
+        |ORDER BY c_custkey, s_suppkey""".stripMargin,
+
+    "scalar_bitwise" ->
+      """SELECT l_orderkey,
+        |  l_orderkey & 255 AS b_and,
+        |  l_orderkey | 7 AS b_or,
+        |  xor(l_orderkey, 42) AS b_xor,
+        |  l_orderkey << 2 AS b_shl,
+        |  l_orderkey >> 1 AS b_shr,
+        |  CAST(bit_count(l_orderkey) AS INT) AS b_cnt
+        |FROM lineitem
+        |WHERE l_linenumber = 1 AND l_orderkey % 7 = 0
+        |ORDER BY l_orderkey""".stripMargin,
+
+    "text_tfidf" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word),
+        |dl AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY doc_id),
+        |df AS (SELECT word, COUNT(DISTINCT doc_id) AS d FROM w GROUP BY word),
+        |nd AS (SELECT COUNT(*) AS nd FROM documents),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.word,
+        |         ROUND((c * 1.0 / dl.n) * ln((nd.nd + 1.0) / (df.d + 1.0)), 6) AS score
+        |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+        |          JOIN df ON tf.word = df.word
+        |          CROSS JOIN nd),
+        |rk AS (SELECT doc_id, word, score, ROW_NUMBER() OVER (
+        |         PARTITION BY doc_id ORDER BY score DESC, word) AS rn FROM sc)
+        |SELECT doc_id, word, score FROM rk WHERE rn <= 3
+        |ORDER BY doc_id, word""".stripMargin,
+
+    "text_redact_pii" ->
+      """WITH red AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+        |      '[0-9]', '#', 'g') AS r
+        |  FROM documents)
+        |SELECT doc_id, md5(r) AS red_hash, CAST(length(r) AS INT) AS red_len
+        |FROM red ORDER BY doc_id""".stripMargin,
+
+    "table_profile" ->
+      """SELECT 'o_orderstatus' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(COUNT(o_orderstatus) AS BIGINT) AS n_nonnull,
+        |       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+        |       CAST(COUNT(o_orderpriority) AS BIGINT),
+        |       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+        |       CAST(COUNT(o_custkey) AS BIGINT),
+        |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders
+        |ORDER BY col""".stripMargin,
+
+    "dedup_levenshtein" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(levenshtein(a.text, b.text) AS INT) AS dist
+        |FROM documents a JOIN documents b
+        |  ON substr(a.text, 1, 24) = substr(b.text, 1, 24)
+        | AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.text, b.text) <= 50
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_groups_cc" ->
+      s"""WITH RECURSIVE ${ExtQueries.simhashPairsCtes},
+         |sel AS (SELECT doc_a, doc_b FROM pairs
+         |        WHERE bit_count(xor(fp_a, fp_b)) <= 3),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM sel
+         |      UNION SELECT doc_b, doc_a FROM sel),
+         |nodes AS (SELECT DISTINCT src AS node FROM e),
+         |reach(node, lab) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node)
+         |SELECT node AS doc_id, MIN(lab) AS comp FROM reach
+         |GROUP BY node ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.ConnectedComponents
+
+/**
+ * Connected-components label propagation: hand-checkable graphs, chain
+ * convergence (worst-case diameter), and partition-independence.
+ */
+class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def pairs(p: (Int, Int)*) = {
+    val s = spark
+    import s.implicits._
+    p.toDF("doc_a", "doc_b")
+  }
+
+  private def comps(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("two triangles and an isolate pair form three components keyed by min id") {
+    val got = comps(ConnectedComponents.components(
+      pairs((1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (20, 21))))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("a 12-node chain converges to one component (diameter-bound iterations)") {
+    val chain = (0 until 11).map(i => (i, i + 1))
+    val got = comps(ConnectedComponents.components(pairs(chain: _*)))
+    assert(got.size == 12 && got.values.forall(_ == 0L))
+  }
+
+  test("partition-independent: same components under repartition") {
+    val p = pairs((1, 2), (2, 3), (7, 8), (8, 9), (3, 7), (100, 101))
+    val a = comps(ConnectedComponents.components(p))
+    val b = comps(ConnectedComponents.components(p.repartition(7)))
+    assert(a == b)
+    assert(a(9L) == 1L && a(100L) == 100L) // 1..9 bridge through (3,7)
+  }
+
+  test("bound exceeded fails loudly instead of returning partial labels") {
+    val chain = (0 until 11).map(i => (i, i + 1))
+    assertThrows[IllegalArgumentException] {
+      ConnectedComponents.components(pairs(chain: _*), maxIters = 3)
+    }
+  }
+}
