@@ -197,7 +197,13 @@ object ExtQueries4 {
       ConnectedComponents.components(
         Dedup.simhashNearDups(Tables.table(s, dir, "documents"), 3))
         .select(col("node").as("doc_id"), col("comp"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // streaming bounded top-K per key (transformWithState keyed heap
+    // state — reference #14 in streaming form); equals the batch
+    // window-rank oracle when drained.
+    "stream_group_topk" -> ((s, dir) =>
+      graft.streaming.TopKStream.topK(s, dir, 5))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -339,6 +345,14 @@ object ExtQueries4 {
          |  UNION
          |  SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node)
          |SELECT node AS doc_id, MIN(lab) AS comp FROM reach
-         |GROUP BY node ORDER BY doc_id""".stripMargin
+         |GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    "stream_group_topk" ->
+      """WITH e AS (SELECT CAST(json_extract_string(props, 'k') AS INT) AS item,
+        |                  event_id, value FROM events),
+        |rk AS (SELECT item, event_id, value, ROW_NUMBER() OVER (
+        |         PARTITION BY item ORDER BY value DESC, event_id) AS rn FROM e)
+        |SELECT item, event_id, value FROM rk WHERE rn <= 5
+        |ORDER BY item, event_id""".stripMargin
   )
 }

@@ -136,6 +136,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(total <= 2L * kMax * nEvents)
   }
 
+  test("transformWithState top-K across 3 batches: max-version rows == batch window-rank") {
+    val sp = spark; import sp.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.streaming.{TopKProcessor => TKP}
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
+    val k = 4
+    val rows = graft.operators.Tables.events(spark, sfDir)
+      .select(get_json_object(col("props"), "$.k").cast("int").as("item"),
+        col("event_id"), col("value"))
+      .as[(Int, Long, Double)].collect()
+      .map { case (i, id, v) => TKP.Scored(i, id, v) }.toSeq
+    val ms = MemoryStream[TKP.Scored]
+    val out = ms.toDS()
+      .groupByKey(_.item)
+      .transformWithState(new graft.streaming.TopKProcessor(k),
+        TimeMode.None(), OM.Append())
+    val name = s"stopk_spec_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(OM.Append()).start()
+    val sz = (rows.size + 2) / 3
+    rows.grouped(sz).foreach { c => ms.addData(c); q.processAllAvailable() }
+    q.stop()
+    val t = spark.table(name)
+    val wmax = org.apache.spark.sql.expressions.Window.partitionBy(col("item"))
+    val streamed = t.withColumn("vmax", max(col("version")).over(wmax))
+      .where(col("version") === col("vmax"))
+      .select(col("item"), col("id"), col("score"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = rows.groupBy(_.item).values.flatMap { evs =>
+      evs.sortBy(e => (-e.score, e.id)).take(k).map(e => (e.item, e.id, e.score))
+    }.toSet
+    assert(streamed == expected)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming windowed agg (update mode, AvailableNow) == batch day agg") {
     val streamed = StreamingOps.streamWindowedAgg(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
