@@ -86,4 +86,18 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     val short = spark.createDataFrame(Seq((1L, "one two"), (2L, ""))).toDF("doc_id", "text")
     assert(Dedup.ngramShingles(short, 3).count() == 0)
   }
+
+  test("connected components: empty pair set -> empty labels, no iteration blow-up") {
+    val schema = StructType(Seq(
+      StructField("doc_a", LongType), StructField("doc_b", LongType)))
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    assert(ConnectedComponents.components(empty).count() == 0)
+  }
+
+  test("connected components: self-loop pairs are harmless") {
+    val p = spark.createDataFrame(Seq((1L, 1L), (1L, 2L))).toDF("doc_a", "doc_b")
+    val got = ConnectedComponents.components(p).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L))
+  }
 }

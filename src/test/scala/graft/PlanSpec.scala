@@ -101,6 +101,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(1500))
   }
 
+  test("null-safe join (<=>) plans as an equi hash/merge join, not a nested loop") {
+    val p = plan("join_null_safe")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "EqualNullSafe must be a join key, not a post-join filter")
+  }
+
   test("range/theta join plans as broadcast nested loop (no cartesian shuffle)") {
     val p = plan("join_range")
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
