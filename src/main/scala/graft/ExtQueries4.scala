@@ -178,16 +178,23 @@ object ExtQueries4 {
     }),
 
     // edit-distance near-dup: prefix-equality blocking (an equi-join —
-    // never all-pairs) then exact Levenshtein verification.
+    // never all-pairs) then BANDED Levenshtein verification. The 3-arg
+    // levenshtein computes only a 2*threshold diagonal band (O(n*t), -1
+    // when the distance exceeds the threshold) — the unbounded form in
+    // the join condition would run the full O(n^2) matrix on every
+    // bucket pair INCLUDING the 1-per-doc self-pairs that doc_a < doc_b
+    // later discards (measured 6x slower); conjunct order puts the id
+    // test first for the same reason.
     "dedup_levenshtein" -> ((s, dir) => {
       val d = view(s, dir, "documents")
       s.sql(
-        s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           |       levenshtein(a.text, b.text) AS dist
-           |FROM $d a JOIN $d b
-           |  ON substring(a.text, 1, 24) = substring(b.text, 1, 24)
-           | AND a.doc_id < b.doc_id
-           |WHERE levenshtein(a.text, b.text) <= 50
+        s"""SELECT doc_a, doc_b, dist FROM (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |         levenshtein(a.text, b.text, 50) AS dist
+           |  FROM $d a JOIN $d b
+           |    ON substring(a.text, 1, 24) = substring(b.text, 1, 24)
+           |   AND a.doc_id < b.doc_id)
+           |WHERE dist >= 0
            |ORDER BY doc_a, doc_b""".stripMargin)
     }),
 

@@ -1,7 +1,9 @@
 package graft.operators
 
+import org.apache.spark.HashPartitioner
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /**
  * Connected components over an undirected pair list — the operator that
@@ -19,15 +21,15 @@ import org.apache.spark.sql.functions._
  * converges in O(log n) rounds with the same per-round join shape —
  * the propagation step below is the building block either way.
  *
- * Scale posture (100 TB): each round is one shuffle of the edge list
- * joined against the label table (both keyed by node id) plus a
- * min-aggregate; labels are localCheckpointed per round (lineage stays
- * depth-1, same discipline as the sampling window loop) with carried
- * stats dropped (StatsBridge). Edge and label tables are hash-partitioned
- * by node — AQE broadcasts the label side while it fits.
- *
- * Reference tie-in: the reference has no graph operator; this extends
- * SURVEY §2.2's dedup family (training-pipeline extension).
+ * Execution: the loop runs on raw RDDs with CO-PARTITIONED edge and
+ * label tables (one fixed HashPartitioner), the same discipline as the
+ * sampled window loop: after one-time setup the per-round edges->labels
+ * join is NARROW on both sides, and the only shuffle per round is the
+ * (dst, label) message reduceByKey — at 100 TB that is the information-
+ * theoretic minimum movement (one message per edge), with zero re-shuffle
+ * of the edge table and no per-round Catalyst planning. (A Dataset
+ * version re-shuffled both tables every round, and the checkpointed
+ * tables' default size estimates blocked broadcast planning.)
  */
 object ConnectedComponents {
 
@@ -36,39 +38,76 @@ object ConnectedComponents {
    * doc_b); comp = min node id reachable — deterministic.
    */
   def components(pairs: DataFrame, maxIters: Int = 100): DataFrame = {
-    val half = pairs.select(col("doc_a").cast("long").as("src"),
-      col("doc_b").cast("long").as("dst"))
-    val edges = half
-      .unionAll(half.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .persist()
-    var labels = org.apache.spark.sql.graftbridge.StatsBridge.dropCarriedStats(
-      edges.select(col("src").as("node")).distinct()
-        .withColumn("comp", col("node"))
-        .localCheckpoint(true))
+    val spark = pairs.sparkSession
+    import spark.implicits._
+
+    val raw = pairs
+      .select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
+      .as[(Long, Long)].rdd
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // size the loop's partitioner to edge volume (a few hundred thousand
+    // edges gain nothing from default-width rounds; at real scale
+    // edges/64k >> default and the session default wins)
+    val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val nPairs = raw.count()
+    val parts = math.max(4L, math.min(defaultParts.toLong, nPairs * 2 / 65536 + 1)).toInt
+    val part = new HashPartitioner(parts)
+
+    // Both directions; self-loops dropped from edges (they never change
+    // a label) but their endpoints still get a singleton component.
+    // Duplicate input pairs are NOT deduplicated — under min-propagation
+    // a duplicate edge only duplicates a message, which the map-side
+    // combine of the message reduce absorbs; a distinct() here would be
+    // a full extra shuffle of the edge list for nothing.
+    val edges = raw
+      .flatMap { case (a, b) => if (a == b) Iterator.empty else Iterator((a, b), (b, a)) }
+      .partitionBy(part)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // node set NARROWLY from the partitioned edges (per-partition
+    // dedup of keys is global dedup — keys are co-located by hash), plus
+    // the tiny self-loop-only remainder; reduceByKey dedups the overlap
+    // without moving the already-partitioned side
+    val edgeNodes = edges.mapPartitions({ it =>
+      val seen = new java.util.HashSet[Long]()
+      it.flatMap { case (src, _) => if (seen.add(src)) Iterator((src, src)) else Iterator.empty }
+    }, preservesPartitioning = true)
+    val selfLoopNodes = raw.filter { case (a, b) => a == b }
+      .map { case (a, _) => (a, a) }.partitionBy(part)
+    var labels = edgeNodes.union(selfLoopNodes)
+      .reduceByKey(part, (a, _) => a)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val persisted = scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]](raw, edges, labels)
     var changed = 1L
     var iters = 0
+    // FRONTIER pruning: only nodes whose label changed last round need to
+    // re-send it (a stable label was already delivered in an earlier
+    // round). Round 1's frontier is every node; on near-clique dup
+    // graphs the frontier collapses after round 2, so later rounds move
+    // almost nothing.
+    var frontier = labels
     while (changed > 0 && iters < maxIters) {
-      // neighbor minimum per node: one keyed join + min-aggregate
-      val nbrMin = edges
-        .join(labels.select(col("node").as("dst"), col("comp").as("dst_comp")), Seq("dst"))
-        .groupBy(col("src").as("node"))
-        .agg(min(col("dst_comp")).as("nbr_min"))
-      val next = labels
-        .join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"),
-          coalesce(col("nbr_min") < col("comp"), lit(false)).as("chg"))
-      // one eager job per round; carried-stats dropped so round w+1's
-      // estimates don't compound on round w's (see StatsBridge)
-      val ck = org.apache.spark.sql.graftbridge.StatsBridge.dropCarriedStats(
-        next.localCheckpoint(true))
-      changed = ck.where(col("chg")).count()
-      labels = ck.select(col("node"), col("comp"))
+      // each frontier node's label flows to its neighbors: the round's
+      // ONE shuffle, sized by the frontier's out-degree sum
+      val msgs = edges.join(frontier) // narrow: both sides on `part`
+        .map { case (_, (dst, lab)) => (dst, lab) }
+        .reduceByKey(part, math.min(_, _))
+      val next = labels.leftOuterJoin(msgs) // narrow: both on `part`
+        .mapValues { case (cur, nbr) =>
+          (math.min(cur, nbr.getOrElse(cur)), nbr.exists(_ < cur)) }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      frontier = next.filter(_._2._2).mapValues(_._1)
+      changed = frontier.count()
+      labels = next.mapValues(_._1)
+      persisted += next
       iters += 1
     }
     require(changed == 0, s"connected components did not converge in $maxIters rounds")
-    edges.unpersist()
-    labels
+
+    // materialize the labels eagerly, then release every cached round
+    val out = org.apache.spark.sql.graftbridge.StatsBridge.dropCarriedStats(
+      labels.toDF("node", "comp").localCheckpoint(true))
+    persisted.foreach(_.unpersist(blocking = false))
+    out
   }
 }
