@@ -160,22 +160,23 @@ object Sampling {
   }
 
   /**
-   * One window/microbatch step: item-cut cogroup (shuffle by item), user
-   * reservoir cogroup (shuffle by user), refunds folded into item counts
-   * for the next step. Shared by the batch window loop and the streaming
-   * foreachBatch shell.
+   * One window/microbatch step at the Dataset boundary: item-cut cogroup
+   * (shuffle by item), user reservoir cogroup (shuffle by user), refunds
+   * folded into item counts for the next step. Used by the streaming
+   * foreachBatch shell (StreamingCooc); the batch loop drives the shared
+   * windowStepRdd directly with co-partitioned state.
    *
    * EXACTLY ONE materialization job per window: the item stage's new
    * per-item counts are routed THROUGH the user-stage cogroup as
-   * passthrough rows under synthetic negative keys (user ids are
-   * non-negative), so the single localCheckpoint of the user-stage
-   * output captures the whole window — flagged-event fold, deltas,
-   * refunds, user state AND item state. Everything downstream (delta
-   * aggregation, both state tables for the next window) derives LAZILY
-   * from that one checkpoint with depth-1 plans, so lineage never chains
-   * across windows (chaining lazy cogroups grows Catalyst's tree-shaped
-   * plans exponentially; per-window checkpoints keep every plan shallow,
-   * the same reason ALS checkpoints its iterations).
+   * passthrough rows under tag-bit synthetic keys, so the single RDD
+   * localCheckpoint of the user-stage output captures the whole window —
+   * flagged-event fold, netted deltas, refunds, user state AND item
+   * state. Everything downstream (delta aggregation, both state tables
+   * for the next window) derives LAZILY from that one checkpoint with
+   * depth-1 plans, so lineage never chains across windows (chaining lazy
+   * Catalyst cogroups grows tree-shaped plans exponentially; per-window
+   * checkpoints keep every plan shallow, the same reason ALS checkpoints
+   * its iterations).
    */
   def processWindow(evW: Dataset[Interaction], itemState: Dataset[ItemCount],
       userState: Dataset[UserState], fMax: Int, kMax: Int, seed: Long, w: Long,
@@ -184,60 +185,25 @@ object Sampling {
     val spark = evW.sparkSession
     import spark.implicits._
 
-    // --- item stage: flag sample bits against per-item counts ---
-    val itemOut = evW.groupByKey(_.item)
-      .cogroup(itemState.groupByKey(_.item)) { (item, evs, sts) =>
-        val startCnt = sts.toSeq.headOption.map(_.cnt).getOrElse(0)
-        val sorted = evs.toSeq.sortBy(e => (e.ts, e.user, e.item))
-        val (flagged, endCnt) = itemCutFold(sorted, startCnt, fMax, metrics)
-        flagged.iterator.map(f => ItemStageRow(0, f.user, f.item, f.ts, f.sample, 0)) ++
-          Iterator.single(ItemStageRow(1, 0, item, 0L, false, endCnt))
-      }
+    // Dataset boundary -> the shared RDD window step (windowStepRdd owns
+    // fold order, RNG keying, and the tag-bit passthrough routing). At
+    // this single-shot boundary the state sides carry no partitioner, so
+    // the cogroups shuffle them once — the batch loop is where the
+    // co-partitioning pays off across windows.
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val part = new org.apache.spark.HashPartitioner(parts)
+    val evByItem = evW.rdd.map(e => (e.item.toLong, e))
+    val itemCnt = itemState.rdd.map(c => (c.item.toLong, c.cnt))
+    val userSt = userState.rdd.map(u => (u.user.toLong, (u.total, u.history)))
+    val userOutR = windowStepRdd(evByItem, itemCnt, userSt, part,
+      fMax, kMax, seed, w, metrics).localCheckpoint()
+    userOutR.count() // the ONE eager job of the window
+    val userOut = spark.createDataset(userOutR.map(_._2))
 
-    // --- user stage: reservoir fold, emit deltas + refunds; item-count
-    // state rows (kind 1) pass through under synthetic TAGGED keys so
-    // they land in the same checkpointed output. The tag bit lives above
-    // the 32-bit id, so a negative user or item id can never collide
-    // with a real user's group (a collision would silently mix an
-    // item-state row into that user's reservoir fold). Real user keys
-    // are the plain user id widened to Long, so fold order and RNG
-    // keying are unchanged. ---
-    val userOutRaw = itemOut
-      .groupByKey(r =>
-        if (r.kind == 0) r.user.toLong
-        else (1L << 32) | (r.item.toLong & 0xFFFFFFFFL))
-      .cogroup(userState.groupByKey(_.user.toLong)) { (key, rows, sts) =>
-        val seq = rows.toSeq
-        val (stateRows, eventRows) = seq.partition(_.kind == 1)
-        val passthrough = stateRows.iterator
-          .map(r => UserStageRow(3, r.item, 0, r.cnt, 0, 0, null))
-        if (eventRows.isEmpty && sts.isEmpty) passthrough
-        else {
-          val user = key.toInt // only event/user-state groups reach here
-          val st = sts.toSeq.headOption.getOrElse(UserState(user, 0, Array.empty))
-          val sorted = eventRows
-            .map(r => Flagged(r.user, r.item, r.ts, r.sample))
-            .sortBy(e => (e.ts, e.item, e.user))
-          val (deltas, refunds, newSt) = userFold(sorted, st, kMax, rngFor(seed, user, w), metrics)
-          passthrough ++
-            deltas.iterator.map(d => UserStageRow(0, d.item, d.other, d.inc, 0, 0, null)) ++
-            refunds.iterator.map(i => UserStageRow(1, i, 0, 0, 0, 0, null)) ++
-            Iterator.single(UserStageRow(2, 0, 0, 0, newSt.user, newSt.total, newSt.history))
-        }
-      }
-
-    // The ONE eager job of the window. dropCarriedStats: localCheckpoint
-    // carries the plan's estimated stats into the LogicalRDD, and carried
-    // estimates COMPOUND multiplicatively across chained windows (BigInt
-    // bit-length doubles per window -> driver livelock in stats
-    // estimation by window ~25); stripping them restarts each window
-    // from the flat default estimate (see StatsBridge).
-    val userOut = org.apache.spark.sql.graftbridge.StatsBridge
-      .dropCarriedStats(userOutRaw.localCheckpoint(true))
-
-    // Aggregate the window's deltas lazily over the checkpointed userOut —
+    // Aggregate the window's deltas lazily over the checkpointed output —
     // the reference's windowed map-agg (#11, ItemRowAggregator): consumers
-    // only ever see per-window NET deltas.
+    // only ever see per-window NET deltas (windowStepRdd already netted
+    // per user; this nets across users).
     val deltas = userOut.filter(_.kind == 0)
       .select(col("item"), col("other"), col("inc"))
       .groupBy(col("item"), col("other"))
@@ -249,7 +215,7 @@ object Sampling {
       .map(r => UserState(r.user, r.total, r.history))
 
     // --- refunds: re-open item slots before the next window (lazy over
-    // the checkpoint; the next window's own checkpoint materializes it) ---
+    // the checkpoint; the next window's own job materializes it) ---
     val itemStateAfterCut = userOut.filter(_.kind == 3)
       .map(r => ItemCount(r.item, r.inc))
     val refundCounts = userOut.filter(_.kind == 1)
@@ -300,36 +266,24 @@ object Sampling {
       else ds.select($"wnd").distinct().as[Long].collect().sorted
     }
 
-    if (windows.length <= 1) {
-      // single pass (fast path, or a single populated window): the
-      // Catalyst cogroup step at full session width
-      val out = windows.headOption match {
-        case None => spark.emptyDataset[CoocDelta]
-        case Some(w) =>
-          val evW = (if (w == -1L) ds else ds.where($"wnd" === w))
-            .select($"ev.*").as[Interaction]
-          val (deltas, _, _) = processWindow(evW, spark.emptyDataset[ItemCount],
-            spark.emptyDataset[UserState], fMax, kMax, seed, w, metrics)
-          deltas
-      }
-      ds.unpersist()
-      out
-    } else {
-      // Multi-window: RDD loop with CO-PARTITIONED state. Size the
-      // loop's shuffles to per-window volume (a window carrying a few
-      // thousand rows gains nothing from default-width stages; at real
-      // scale rows/window >> targetRowsPerPartition and this keeps the
-      // session default). Partitioning is explicit per-RDD — the
-      // session's shuffle.partitions is never touched.
-      val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-      val rowsPerWindow = ds.count() / windows.length
-      val targetRowsPerPartition = 20000L
-      val loopParts = math.max(4L, math.min(defaultParts.toLong,
-        rowsPerWindow / targetRowsPerPartition + 1)).toInt
-      val out = sampledLoopRdd(ds, windows, fMax, kMax, seed, loopParts, metrics)
-      ds.unpersist()
-      out
-    }
+    // RDD loop with CO-PARTITIONED state for every path (the sentinel
+    // single pass included — per-user delta netting inside the fold
+    // beats materializing the raw delta stream through a Dataset
+    // cogroup). Size the loop's shuffles to per-window volume (a window
+    // carrying a few thousand rows gains nothing from default-width
+    // stages; at real scale rows/window >> targetRowsPerPartition and
+    // this keeps the session default). Partitioning is explicit per-RDD
+    // — the session's shuffle.partitions is never touched.
+    val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val rowsPerWindow = ds.count() / math.max(1, windows.length)
+    val targetRowsPerPartition = 20000L
+    val loopParts = math.max(4L, math.min(defaultParts.toLong,
+      rowsPerWindow / targetRowsPerPartition + 1)).toInt
+    val out =
+      if (windows.isEmpty) spark.emptyDataset[CoocDelta]
+      else sampledLoopRdd(ds, windows, fMax, kMax, seed, loopParts, metrics)
+    ds.unpersist()
+    out
   }
 
   /**
@@ -357,6 +311,68 @@ object Sampling {
    * Fold order, RNG keying, and refund timing are byte-identical to
    * processWindow — SamplingSpec's fixture + determinism tests pin both.
    */
+  /**
+   * One window's two keyed stages on raw RDDs: item-cut fold (cogroup by
+   * item) then user reservoir fold (cogroup by user), with item-count
+   * state riding through the user stage under tag-bit synthetic keys and
+   * per-user delta netting in the output. The single physical unit shared
+   * by the batch loop and processWindow — fold order and RNG keying live
+   * HERE, once.
+   */
+  private def windowStepRdd(
+      evByItem: org.apache.spark.rdd.RDD[(Long, Interaction)],
+      itemCnt: org.apache.spark.rdd.RDD[(Long, Int)],
+      userSt: org.apache.spark.rdd.RDD[(Long, (Int, Array[Int]))],
+      part: org.apache.spark.HashPartitioner,
+      fMax: Int, kMax: Int, seed: Long, w: Long,
+      metrics: Option[PipelineMetrics])
+      : org.apache.spark.rdd.RDD[(Long, UserStageRow)] = {
+    // --- item stage: flag sample bits against per-item counts ---
+    val itemOut = evByItem.cogroup(itemCnt, part).mapPartitions(_.flatMap {
+      case (itemL, (evs, cnts)) =>
+        val startCnt = cnts.headOption.getOrElse(0)
+        val sorted = evs.toSeq.sortBy(e => (e.ts, e.user, e.item))
+        val (flagged, endCnt) = itemCutFold(sorted, startCnt, fMax, metrics)
+        flagged.iterator.map(f =>
+          (f.user.toLong, ItemStageRow(0, f.user, f.item, f.ts, f.sample, 0))) ++
+          Iterator.single(((1L << 32) | (itemL & 0xFFFFFFFFL),
+            ItemStageRow(1, 0, itemL.toInt, 0L, false, endCnt)))
+    })
+
+    // --- user stage: reservoir fold; state rows pass through under
+    // tag-bit synthetic keys (the tag bit lives above the 32-bit id, so
+    // negative user/item ids can never collide with a real user group) ---
+    itemOut.cogroup(userSt, part).mapPartitions(_.flatMap {
+      case (key, (rows, sts)) =>
+        val seq = rows.toSeq
+        val (stateRows, eventRows) = seq.partition(_.kind == 1)
+        val passthrough = stateRows.iterator
+          .map(r => (key, UserStageRow(3, r.item, 0, r.cnt, 0, 0, null)))
+        if (eventRows.isEmpty && sts.isEmpty) passthrough
+        else {
+          val user = key.toInt // only event/user-state groups reach here
+          val st = sts.headOption
+            .map { case (t, h) => UserState(user, t, h) }
+            .getOrElse(UserState(user, 0, Array.empty[Int]))
+          val sorted = eventRows
+            .map(r => Flagged(r.user, r.item, r.ts, r.sample))
+            .sortBy(e => (e.ts, e.item, e.user))
+          val (deltas, refunds, newSt) =
+            userFold(sorted, st, kMax, rngFor(seed, user, w), metrics)
+          // net this user's deltas before emission (associative)
+          val net = new scala.collection.mutable.LinkedHashMap[(Int, Int), Int]()
+          deltas.foreach(d => net.update((d.item, d.other),
+            net.getOrElse((d.item, d.other), 0) + d.inc))
+          passthrough ++
+            net.iterator.filter(_._2 != 0).map { case ((i, o), inc) =>
+              (key, UserStageRow(0, i, o, inc, 0, 0, null)) } ++
+            refunds.iterator.map(i => (key, UserStageRow(1, i, 0, 0, 0, 0, null))) ++
+            Iterator.single((key,
+              UserStageRow(2, 0, 0, 0, newSt.user, newSt.total, newSt.history)))
+        }
+    }, preservesPartitioning = true)
+  }
+
   private def sampledLoopRdd(ds: DataFrame, windows: Array[Long],
       fMax: Int, kMax: Int, seed: Long, loopParts: Int,
       metrics: Option[PipelineMetrics]): Dataset[CoocDelta] = {
@@ -377,51 +393,11 @@ object Sampling {
     val checkpoints = new ArrayBuffer[org.apache.spark.rdd.RDD[(Long, UserStageRow)]]()
 
     for (w <- windows) {
-      // --- item stage: flag sample bits against per-item counts ---
-      val evW = evRdd.filter(_._1 == w).map { case (_, e) => (e.item.toLong, e) }
-      val itemOut = evW.cogroup(itemCnt, part).mapPartitions(_.flatMap {
-        case (itemL, (evs, cnts)) =>
-          val startCnt = cnts.headOption.getOrElse(0)
-          val sorted = evs.toSeq.sortBy(e => (e.ts, e.user, e.item))
-          val (flagged, endCnt) = itemCutFold(sorted, startCnt, fMax, metrics)
-          flagged.iterator.map(f =>
-            (f.user.toLong, ItemStageRow(0, f.user, f.item, f.ts, f.sample, 0))) ++
-            Iterator.single(((1L << 32) | (itemL & 0xFFFFFFFFL),
-              ItemStageRow(1, 0, itemL.toInt, 0L, false, endCnt)))
-      })
-
-      // --- user stage: reservoir fold; state rows pass through under the
-      // same tag-bit synthetic keys as processWindow ---
-      val userOut = itemOut.cogroup(userSt, part).mapPartitions(_.flatMap {
-        case (key, (rows, sts)) =>
-          val seq = rows.toSeq
-          val (stateRows, eventRows) = seq.partition(_.kind == 1)
-          val passthrough = stateRows.iterator
-            .map(r => (key, UserStageRow(3, r.item, 0, r.cnt, 0, 0, null)))
-          if (eventRows.isEmpty && sts.isEmpty) passthrough
-          else {
-            val user = key.toInt // only event/user-state groups reach here
-            val st = sts.headOption
-              .map { case (t, h) => UserState(user, t, h) }
-              .getOrElse(UserState(user, 0, Array.empty[Int]))
-            val sorted = eventRows
-              .map(r => Flagged(r.user, r.item, r.ts, r.sample))
-              .sortBy(e => (e.ts, e.item, e.user))
-            val (deltas, refunds, newSt) =
-              userFold(sorted, st, kMax, rngFor(seed, user, w), metrics)
-            // net this user's deltas before emission (associative)
-            val net = new scala.collection.mutable.LinkedHashMap[(Int, Int), Int]()
-            deltas.foreach(d => net.update((d.item, d.other),
-              net.getOrElse((d.item, d.other), 0) + d.inc))
-            passthrough ++
-              net.iterator.filter(_._2 != 0).map { case ((i, o), inc) =>
-                (key, UserStageRow(0, i, o, inc, 0, 0, null)) } ++
-              refunds.iterator.map(i => (key, UserStageRow(1, i, 0, 0, 0, 0, null))) ++
-              Iterator.single((key,
-                UserStageRow(2, 0, 0, 0, newSt.user, newSt.total, newSt.history)))
-          }
-      }, preservesPartitioning = true).persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // (w == -1 is the fast-path sentinel: all data, one pass)
+      val evW = (if (w == -1L) evRdd else evRdd.filter(_._1 == w))
+        .map { case (_, e) => (e.item.toLong, e) }
+      val userOut = windowStepRdd(evW, itemCnt, userSt, part, fMax, kMax, seed, w, metrics)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
       // The window's output is PERSISTED but not materialized: the final
       // action computes the whole loop as ONE RDD DAG (RDD deps form a
