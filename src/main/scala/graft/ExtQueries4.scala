@@ -210,7 +210,48 @@ object ExtQueries4 {
     // state — reference #14 in streaming form); equals the batch
     // window-rank oracle when drained.
     "stream_group_topk" -> ((s, dir) =>
-      graft.streaming.TopKStream.topK(s, dir, 5))
+      graft.streaming.TopKStream.topK(s, dir, 5)),
+
+    // extended date/time scalars (trunc, month-end, day arithmetic,
+    // calendar fields) — cross-engine day-of-week convention differences
+    // reconciled in the oracle.
+    "scalar_date2" -> ((s, dir) =>
+      Tables.table(s, dir, "orders")
+        .where(col("o_orderkey") % 11 === 0)
+        .select(col("o_orderkey"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("mstart"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("mend"),
+          datediff(to_date(col("o_orderdate")), lit("2024-01-01").cast("date")).as("days_since"),
+          date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3m"),
+          year(col("o_orderdate")).as("yr"),
+          quarter(col("o_orderdate")).as("qtr"),
+          dayofweek(col("o_orderdate")).as("dow"))
+        .orderBy(col("o_orderkey"))),
+
+    // count-min sketch counts for the exact heavy hitters — the
+    // mergeable-sketch counterpart to the Misra-Gries recount: one pass
+    // builds a fixed-size sketch (mergeable across partitions, the
+    // 100 TB path where even the candidate recount is too wide); the
+    // tiny heavy-hitter set is then probed against it. Deterministic
+    // (fixed seed) but engine-specific -> rows-only check; the
+    // overestimate bound (exact <= est <= exact + eps*N) is spec'd in
+    // ExtOperatorsSpec.
+    "approx_topk_cms" -> ((s, dir) => {
+      val keys = graft.operators.Tables.events(s, dir)
+        .select(get_json_object(col("props"), "$.k").cast("string").as("key"))
+        .where(col("key").isNotNull)
+      val bytes = keys
+        .agg(count_min_sketch(col("key"), lit(0.0001), lit(0.99), lit(42)).as("sk"))
+        .head.getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+      val hh = graft.operators.HeavyHitters.exact(keys, col("key"), 20).collect()
+      import s.implicits._
+      hh.toSeq
+        .map(r => (r.getString(0), r.getLong(1), cms.estimateCount(r.getString(0))))
+        .toDF("key", "exact_n", "cms_est")
+        .orderBy(col("key"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -360,6 +401,19 @@ object ExtQueries4 {
         |rk AS (SELECT item, event_id, value, ROW_NUMBER() OVER (
         |         PARTITION BY item ORDER BY value DESC, event_id) AS rn FROM e)
         |SELECT item, event_id, value FROM rk WHERE rn <= 5
-        |ORDER BY item, event_id""".stripMargin
+        |ORDER BY item, event_id""".stripMargin,
+
+    // Spark dayofweek is 1-7 (Sun-Sat); DuckDB dayofweek is 0-6 (Sun-Sat)
+    "scalar_date2" ->
+      """SELECT o_orderkey,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS mstart,
+        |  strftime(last_day(o_orderdate), '%Y-%m-%d') AS mend,
+        |  CAST(datediff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+        |  strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+        |  CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow
+        |FROM orders WHERE o_orderkey % 11 = 0
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -133,6 +133,19 @@ class ExtOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("count-min sketch estimates: exact <= est <= exact + eps*N for every heavy hitter") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ExtQueries4.queries("approx_topk_cms")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val n = Tables.events(spark, sfDir).count()
+    val slack = math.max(1L, (0.0001 * n).ceil.toLong)
+    rows.foreach { r =>
+      val exact = r.getLong(1); val est = r.getLong(2)
+      assert(est >= exact, s"CMS must never underestimate: $r")
+      assert(est <= exact + slack, s"CMS overestimate beyond eps*N: $r (slack $slack)")
+    }
+  }
+
   test("multimodal decode stub: features derive from payload bytes, schema is typed") {
     val feats = Multimodal.mediaFeatures(spark, sfDir)
     assert(feats.schema.fieldNames.toSeq ==

@@ -101,6 +101,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(1500))
   }
 
+  test("window-rank top-K prunes partially BEFORE the shuffle (WindowGroupLimit Partial+Final)") {
+    // rank()<=k pushes a bounded per-partition top-K below the exchange:
+    // at 100 TB each map task ships at most k rows per group instead of
+    // the full group — the difference between a bounded and an unbounded
+    // shuffle for every per-group top-K query.
+    val p = plan("group_topk")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial") && p.contains("Final"),
+      p.take(1500))
+  }
+
   test("null-safe join (<=>) plans as an equi hash/merge join, not a nested loop") {
     val p = plan("join_null_safe")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
