@@ -198,6 +198,18 @@ object ExtQueries4 {
            |ORDER BY doc_a, doc_b""".stripMargin)
     }),
 
+    // benchmark decontamination: bloom-gated exact anti-join of the
+    // corpus against an eval set (docs with doc_id % 10 == 3 stand in
+    // for the benchmark); output is exact, the bloom only bounds the
+    // anti-join's left side.
+    "dedup_decontaminate" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      Dedup.decontaminate(
+        docs.select(col("doc_id"), col("text")),
+        docs.where(col("doc_id") % 10 === 3).select(col("text")))
+        .orderBy(col("doc_id"))
+    }),
+
     // connected components over SimHash near-dup pairs: pairs -> dup
     // GROUPS keyed by min reachable doc_id (min-label propagation).
     "dedup_groups_cc" -> ((s, dir) =>
@@ -402,6 +414,12 @@ object ExtQueries4 {
         |         PARTITION BY item ORDER BY value DESC, event_id) AS rn FROM e)
         |SELECT item, event_id, value FROM rk WHERE rn <= 5
         |ORDER BY item, event_id""".stripMargin,
+
+    "dedup_decontaminate" ->
+      """SELECT doc_id FROM documents
+        |WHERE md5(text) NOT IN
+        |  (SELECT md5(text) FROM documents WHERE doc_id % 10 = 3)
+        |ORDER BY doc_id""".stripMargin,
 
     // Spark dayofweek is 1-7 (Sun-Sat); DuckDB dayofweek is 0-6 (Sun-Sat)
     "scalar_date2" ->

@@ -313,6 +313,39 @@ object Dedup {
   }
 
   /**
+   * Benchmark decontamination: drop every corpus document whose content
+   * hash appears in the eval/benchmark set — the pipeline step that keeps
+   * test data out of training corpora.
+   *
+   * The eval set is summarized TWICE: a Bloom filter (|eval|*~10 bits,
+   * broadcast to every task) gates the corpus scan so only
+   * bloom-POSITIVE rows (true matches + fpp * |corpus| false positives)
+   * reach the exact anti-join verifier; bloom-negative rows are definite
+   * keeps that never shuffle. The output is EXACT (the anti-join
+   * re-checks every positive); the bloom only shrinks the join's left
+   * side — at 100 TB that is the difference between shuffling the whole
+   * corpus and shuffling ~fpp of it. A 1M-doc eval set is a ~1.2 MB
+   * broadcast.
+   *
+   * corpus(doc_id, text) x eval(text) -> surviving doc_ids.
+   */
+  def decontaminate(corpus: DataFrame, evalDocs: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    val ch = corpus.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    val eh = evalDocs.select(md5(col("text").cast("binary")).as("h")).distinct()
+    val nEval = eh.count()
+    if (nEval == 0) return corpus.select(col("doc_id")) // nothing to remove
+    val bf = eh.stat.bloomFilter("h", nEval, 0.01)
+    val bfB = spark.sparkContext.broadcast(bf)
+    // null hash (null text) can't match any eval doc -> definite keep
+    val might = udf((h: String) => h != null && bfB.value.mightContain(h))
+    val keepsDefinite = ch.where(!might(col("h")))
+    val keepsVerified = ch.where(might(col("h")))
+      .join(org.apache.spark.sql.functions.broadcast(eh), Seq("h"), "left_anti")
+    keepsDefinite.unionByName(keepsVerified).select(col("doc_id"))
+  }
+
+  /**
    * Embedding-cosine near-dup over quantized vectors (exact integer dot
    * products — engine-portable, see Similarity.quantize). Quadratic
    * verifier; at scale gate with Similarity.lshBuckets candidates.

@@ -87,6 +87,13 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Dedup.ngramShingles(short, 3).count() == 0)
   }
 
+  test("decontamination: empty eval set keeps everything; eval == corpus keeps nothing") {
+    val docs = spark.createDataFrame(Seq((1L, "alpha"), (2L, "beta"))).toDF("doc_id", "text")
+    val none = docs.where(org.apache.spark.sql.functions.lit(false)).select(col("text"))
+    assert(Dedup.decontaminate(docs, none).count() == 2)
+    assert(Dedup.decontaminate(docs, docs.select(col("text"))).count() == 0)
+  }
+
   test("connected components: empty pair set -> empty labels, no iteration blow-up") {
     val schema = StructType(Seq(
       StructField("doc_a", LongType), StructField("doc_b", LongType)))
