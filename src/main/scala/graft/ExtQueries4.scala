@@ -178,24 +178,28 @@ object ExtQueries4 {
     }),
 
     // edit-distance near-dup: prefix-equality blocking (an equi-join —
-    // never all-pairs) then BANDED Levenshtein verification. The 3-arg
-    // levenshtein computes only a 2*threshold diagonal band (O(n*t), -1
-    // when the distance exceeds the threshold) — the unbounded form in
-    // the join condition would run the full O(n^2) matrix on every
-    // bucket pair INCLUDING the 1-per-doc self-pairs that doc_a < doc_b
-    // later discards (measured 6x slower); conjunct order puts the id
-    // test first for the same reason.
+    // never all-pairs) then BANDED Levenshtein verification (3-arg form:
+    // a 2*threshold diagonal band, O(n*t), -1 above threshold). The
+    // blocked pair set is MATERIALIZED before scoring: left in one plan,
+    // Catalyst pushes the distance predicate into the join condition
+    // AHEAD of the id test, running Levenshtein on every bucket pair
+    // including the |docs| self-pairs the id test discards (measured 4x
+    // slower); the checkpoint barrier pins evaluation to the verified
+    // pairs only.
     "dedup_levenshtein" -> ((s, dir) => {
-      val d = view(s, dir, "documents")
-      s.sql(
-        s"""SELECT doc_a, doc_b, dist FROM (
-           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           |         levenshtein(a.text, b.text, 50) AS dist
-           |  FROM $d a JOIN $d b
-           |    ON substring(a.text, 1, 24) = substring(b.text, 1, 24)
-           |   AND a.doc_id < b.doc_id)
-           |WHERE dist >= 0
-           |ORDER BY doc_a, doc_b""".stripMargin)
+      val d = Tables.table(s, dir, "documents")
+      val a = d.select(col("doc_id").as("doc_a"), col("text").as("ta"),
+        substring(col("text"), 1, 24).as("pfx"))
+      val b = d.select(col("doc_id").as("doc_b"), col("text").as("tb"),
+        substring(col("text"), 1, 24).as("pfx"))
+      val cand = a.join(b, "pfx").where(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("ta"), col("tb"))
+        .localCheckpoint(true)
+      cand
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("ta"), col("tb"), 50).as("dist"))
+        .where(col("dist") >= 0)
+        .orderBy(col("doc_a"), col("doc_b"))
     }),
 
     // benchmark decontamination: bloom-gated exact anti-join of the
