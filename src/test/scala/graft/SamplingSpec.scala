@@ -61,6 +61,35 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sums == Map(1 -> 3L, 2 -> 3L, 3 -> 4L), s"got $sums")
   }
 
+  test("negative user/item ids route safely through the tag-bit synthetic keys") {
+    // 4 windows, users -5 and 2, items -7 and 3: each user appends -7
+    // then 3, so each contributes one symmetric (3,-7) pair. A key
+    // collision between a negative id and a synthetic passthrough key
+    // would corrupt the fold routing and break this exact expectation.
+    val rows = Seq(
+      (-5, -7, 1000L), (-5, 3, 2000L), (2, -7, 3000L), (2, 3, 90000000L))
+    val df = spark.createDataFrame(rows).toDF("user", "item", "ms")
+      .select(col("user"), col("item"), timestamp_millis(col("ms")).as("ts"))
+    val counts = Sampling.sampledCoocCounts(df, fMax = 10, kMax = 2, 42L, 100L)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(counts == Map((3, -7) -> 2L, (-7, 3) -> 2L), s"got $counts")
+    val again = Sampling.sampledCoocCounts(df.repartition(5), fMax = 10, kMax = 2, 42L, 100L)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(again == counts)
+
+    // third event per user exceeds kMax -> the sequential multi-window
+    // loop runs (reservoir + refunds live); negative ids must still be
+    // deterministic under repartitioning
+    val rows3 = rows ++ Seq((-5, 9, 95000000L), (2, 9, 96000000L))
+    val df3 = spark.createDataFrame(rows3).toDF("user", "item", "ms")
+      .select(col("user"), col("item"), timestamp_millis(col("ms")).as("ts"))
+    val c1 = Sampling.sampledCoocCounts(df3, fMax = 10, kMax = 2, 42L, 100L)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val c2 = Sampling.sampledCoocCounts(df3.repartition(3), fMax = 10, kMax = 2, 42L, 100L)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(c1 == c2 && c1.nonEmpty)
+  }
+
   test("cuts >= data size: sampled co-occurrence counts == skip-cuts batch counts exactly") {
     val batch = Cooccurrence.coocCounts(inter).collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
