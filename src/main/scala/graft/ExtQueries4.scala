@@ -228,6 +228,17 @@ object ExtQueries4 {
     "stream_group_topk" -> ((s, dir) =>
       graft.streaming.TopKStream.topK(s, dir, 5)),
 
+    // corpus-level bigram document frequencies, top-50 — a global
+    // sort-limit (TakeOrderedAndProject: each task keeps 50 rows, the
+    // driver merges — no global sort shuffle).
+    "text_ngram_freq" -> ((s, dir) =>
+      Dedup.ngramShingles(Tables.table(s, dir, "documents"), 2)
+        .groupBy(col("shingle").as("bigram"))
+        .agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("bigram"))
+        .limit(50)
+        .orderBy(col("bigram"))),
+
     // extended date/time scalars (trunc, month-end, day arithmetic,
     // calendar fields) — cross-engine day-of-week convention differences
     // reconciled in the oracle.
@@ -424,6 +435,16 @@ object ExtQueries4 {
         |WHERE md5(text) NOT IN
         |  (SELECT md5(text) FROM documents WHERE doc_id % 10 = 3)
         |ORDER BY doc_id""".stripMargin,
+
+    "text_ngram_freq" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS wd FROM documents),
+        |w AS (SELECT DISTINCT doc_id, wd[i] || ' ' || wd[i+1] AS bigram
+        |      FROM t, UNNEST(range(1, len(wd))) AS r(i)),
+        |c AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS df FROM w GROUP BY bigram),
+        |rk AS (SELECT bigram, df,
+        |         ROW_NUMBER() OVER (ORDER BY df DESC, bigram) AS rn FROM c)
+        |SELECT bigram, df FROM rk WHERE rn <= 50
+        |ORDER BY bigram""".stripMargin,
 
     // Spark dayofweek is 1-7 (Sun-Sat); DuckDB dayofweek is 0-6 (Sun-Sat)
     "scalar_date2" ->

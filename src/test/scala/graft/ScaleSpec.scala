@@ -137,6 +137,25 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"day filter not applied at partition level:\n${plan.take(1200)}")
   }
 
+  test("compaction: many small files -> byte-sized few, rows preserved, no-shuffle coalesce") {
+    val tmp = Files.createTempDirectory("graft_compact").toString
+    val small = s"$tmp/small"; val out = s"$tmp/compacted"
+    // 64 tiny files
+    Tables.table(spark, sfDir, "documents").repartition(64)
+      .write.mode("overwrite").parquet(small)
+    val fs = new org.apache.hadoop.fs.Path(small)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val inFiles = fs.listStatus(new org.apache.hadoop.fs.Path(small))
+      .count(_.getPath.getName.startsWith("part-"))
+    assert(inFiles == 64)
+    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(small)).getLength
+    val target = bytes / 3 + 1 // expect ~3 output files
+    val outFiles = graft.operators.Compaction.compactParquet(spark, small, out, target)
+    assert(outFiles <= 4 && outFiles >= 2, s"got $outFiles files")
+    assert(spark.read.parquet(out).count() ==
+      Tables.table(spark, sfDir, "documents").count())
+  }
+
   test("watermark drops late events from the streaming windowed agg") {
     val sp = spark; import sp.implicits._
     implicit val sq = spark.sqlContext
