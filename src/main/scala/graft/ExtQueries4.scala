@@ -228,6 +228,30 @@ object ExtQueries4 {
     "stream_group_topk" -> ((s, dir) =>
       graft.streaming.TopKStream.topK(s, dir, 5)),
 
+    // deterministic train/val/test split: membership is a pure function
+    // of the doc id's portable hash — re-derivable on any cluster/engine
+    // forever (contrast randomSplit: partition-layout-dependent).
+    "sample_split" -> ((s, dir) =>
+      graft.operators.DeterministicSample.split(
+        Tables.table(s, dir, "documents").select(col("doc_id")),
+        col("doc_id").cast("string"), valPct = 10, testPct = 10)
+        .orderBy(col("doc_id"))),
+
+    // sequential token-budget packing: docs (in doc_id order) are
+    // assigned to fixed-budget context bins by exclusive running token
+    // count DIV budget — computed with the two-level prefix scan, never
+    // an all-to-one global window.
+    "text_pack_bins" -> ((s, dir) => {
+      val docsN = Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      graft.operators.PrefixScan
+        .runningSumExclusive(docsN, "doc_id", "n_tokens", "cum_excl")
+        .select(col("doc_id"), col("n_tokens"), col("cum_excl"),
+          expr("cum_excl DIV 2000").as("bin"))
+        .orderBy(col("doc_id"))
+    }),
+
     // corpus-level bigram document frequencies, top-50 — a global
     // sort-limit (TakeOrderedAndProject: each task keeps 50 rows, the
     // driver merges — no global sort shuffle).
@@ -435,6 +459,23 @@ object ExtQueries4 {
         |WHERE md5(text) NOT IN
         |  (SELECT md5(text) FROM documents WHERE doc_id % 10 = 3)
         |ORDER BY doc_id""".stripMargin,
+
+    "sample_split" -> {
+      val c = graft.operators.DeterministicSample
+        .splitCaseSql("CAST(doc_id AS VARCHAR)", 10, 10)
+      s"""SELECT doc_id, $c AS split FROM documents ORDER BY doc_id"""
+    },
+
+    "text_pack_bins" ->
+      """WITH t AS (SELECT doc_id,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |        COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+        |      FROM t)
+        |SELECT doc_id, n_tokens, cum_excl, cum_excl // 2000 AS bin
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "text_ngram_freq" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS wd FROM documents),

@@ -58,4 +58,26 @@ object DeterministicSample {
       .mkString(" ")
     s"(${hModSql(keyE)} % 100 < (CASE $cases ELSE $defaultPct END))"
   }
+
+  /**
+   * Deterministic train/val/test assignment: H(key) mod 100 falls into
+   * [0, valPct) -> val, [valPct, valPct+testPct) -> test, rest -> train.
+   * Same membership on any partitioning/cluster/engine — the split a
+   * training pipeline can re-derive forever.
+   */
+  def split(df: DataFrame, key: Column, valPct: Int, testPct: Int): DataFrame = {
+    require(valPct >= 0 && testPct >= 0 && valPct + testPct <= 100,
+      "val/test percentages must be non-negative and sum <= 100")
+    val bucket = hMod(key) % 100
+    df.withColumn("split",
+      when(bucket < valPct, "val")
+        .when(bucket < valPct + testPct, "test")
+        .otherwise("train"))
+  }
+
+  /** SQL mirror of the split assignment (DuckDB dialect). */
+  def splitCaseSql(keyE: String, valPct: Int, testPct: Int): String =
+    s"""(CASE WHEN ${hModSql(keyE)} % 100 < $valPct THEN 'val'
+       |      WHEN ${hModSql(keyE)} % 100 < ${valPct + testPct} THEN 'test'
+       |      ELSE 'train' END)""".stripMargin
 }

@@ -88,4 +88,54 @@ object PrefixScan {
       .withColumn(outCol, greatest(col("__local"), col("__prefix")))
       .drop("__pid", "__local", "__prefix")
   }
+
+  /**
+   * Exclusive running SUM of integral `valueCol` over ascending
+   * `orderCol` — same two-level scan as runningMaxExclusive (bucket by
+   * value range, bucket-parallel local window, driver-side exclusive
+   * scan over the per-bucket totals, broadcast back). Adds `outCol` as
+   * BIGINT; 0 for the first row (an empty prefix sums to 0). The
+   * building block for sequential token-budget packing and offset
+   * assignment at corpus scale.
+   */
+  def runningSumExclusive(df: DataFrame, orderCol: String, valueCol: String,
+      outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val nBuckets = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val bounds: Array[Double] =
+      if (probs.isEmpty) Array.empty
+      else df.stat.approxQuantile(orderCol, probs, 0.001).distinct.sorted
+    val pid = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(orderCol) > lit(b), 1).otherwise(0)
+    }
+    val withPid = df.withColumn("__v", col(valueCol).cast("long"))
+      .withColumn("__pid", pid)
+
+    val bucketSum = withPid
+      .groupBy(col("__pid"))
+      .agg(sum(col("__v")).as("__psum"))
+    val rows = bucketSum.collect().sortBy(_.getInt(0))
+    var run = 0L
+    val prefixRows = rows.map { r =>
+      val out = org.apache.spark.sql.Row(r.getInt(0), run)
+      if (!r.isNullAt(1)) run += r.getLong(1)
+      out
+    }
+    val prefixSchema = org.apache.spark.sql.types.StructType(Seq(
+      bucketSum.schema("__pid"),
+      org.apache.spark.sql.types.StructField("__prefix",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val prefixes = spark.createDataFrame(
+      spark.sparkContext.parallelize(prefixRows.toIndexedSeq, 1), prefixSchema)
+
+    val local = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+
+    withPid
+      .join(broadcast(prefixes), Seq("__pid"))
+      .withColumn(outCol,
+        coalesce(sum(col("__v")).over(local), lit(0L)) + col("__prefix"))
+      .drop("__pid", "__v", "__prefix")
+  }
 }
