@@ -228,6 +228,35 @@ object ExtQueries4 {
     "stream_group_topk" -> ((s, dir) =>
       graft.streaming.TopKStream.topK(s, dir, 5)),
 
+    // CAPSTONE: the end-to-end corpus-cleaning pass a training pipeline
+    // runs before tokenization, composed from the declared operators —
+    // language gate (stopword-ratio langid), quality gate (token count +
+    // alpha ratio), exact-dup removal (keep min doc_id per content
+    // hash), and benchmark decontamination (bloom-gated anti-join).
+    // Every stage is a semi-join on doc_id, so the pipeline stays one
+    // scan-shaped plan with broadcast-able gate tables.
+    "pipeline_clean_corpus" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      val lang = graft.operators.TextAnalysis.langId(docs)
+        .where(col("predicted_lang") === "en").select(col("doc_id"))
+      val qual = graft.operators.TextAnalysis.qualityScores(docs)
+        .where(col("n_tokens") >= 30 && col("alpha_ratio") >= 0.6)
+        .select(col("doc_id"))
+      val firstPerHash = docs
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+        .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val decontaminated = Dedup.decontaminate(
+        docs.select(col("doc_id"), col("text")),
+        docs.where(col("doc_id") % 10 === 3).select(col("text")))
+      docs.select(col("doc_id"))
+        .join(lang, Seq("doc_id"), "left_semi")
+        .join(qual, Seq("doc_id"), "left_semi")
+        .join(firstPerHash, Seq("doc_id"), "left_semi")
+        .join(decontaminated, Seq("doc_id"), "left_semi")
+        .orderBy(col("doc_id"))
+    }),
+
     // deterministic train/val/test split: membership is a pure function
     // of the doc id's portable hash — re-derivable on any cluster/engine
     // forever (contrast randomSplit: partition-layout-dependent).
@@ -459,6 +488,30 @@ object ExtQueries4 {
         |WHERE md5(text) NOT IN
         |  (SELECT md5(text) FROM documents WHERE doc_id % 10 = 3)
         |ORDER BY doc_id""".stripMargin,
+
+    "pipeline_clean_corpus" -> {
+      val stop = graft.operators.TextAnalysis.EnStopwords
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (
+         |  SELECT doc_id, text, len(string_split(text, ' ')) AS n,
+         |         len(list_filter(string_split(text, ' '), x -> x IN ($stop))) AS n_stop,
+         |         len(regexp_extract_all(text, '[a-z]')) AS n_alpha
+         |  FROM documents),
+         |gates AS (
+         |  SELECT doc_id FROM t
+         |  WHERE n_stop * 1.0 / n >= 0.02
+         |    AND n >= 30
+         |    AND ROUND(n_alpha * 1.0 / length(text), 4) >= 0.6),
+         |firsts AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |evalh AS (
+         |  SELECT md5(text) AS h FROM documents WHERE doc_id % 10 = 3)
+         |SELECT d.doc_id FROM documents d
+         |JOIN gates g ON g.doc_id = d.doc_id
+         |JOIN firsts f ON f.doc_id = d.doc_id
+         |WHERE md5(d.text) NOT IN (SELECT h FROM evalh)
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     "sample_split" -> {
       val c = graft.operators.DeterministicSample
