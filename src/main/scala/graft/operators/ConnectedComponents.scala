@@ -11,15 +11,15 @@ import org.apache.spark.storage.StorageLevel
  * duplicate GROUPS with one canonical representative, the final step of
  * every web-scale dedup pipeline ("keep min doc_id per component").
  *
- * Algorithm: iterative min-label propagation. Every node starts labeled
- * with itself; each round every node takes the min of its own label and
- * its neighbors' labels; fixpoint when no label changes. Rounds needed =
- * graph diameter — near-dup components are near-cliques (every member
- * pairs with most others), so 2-3 rounds in practice. For adversarial
- * long-chain graphs the alternating large-star/small-star algorithm
- * (Kiveris et al., "Connected Components in MapReduce and Beyond")
- * converges in O(log n) rounds with the same per-round join shape —
- * the propagation step below is the building block either way.
+ * Algorithm: iterative min-label propagation with POINTER HALVING.
+ * Every node starts labeled with itself; each round every node takes
+ * the min of its own label and its neighbors' labels, then shortcuts
+ * comp <- comp(comp). The halving step doubles propagation reach per
+ * round, so rounds = O(log diameter) (cf. Kiveris et al., "Connected
+ * Components in MapReduce and Beyond") instead of the plain
+ * propagation's O(diameter); near-dup components are near-cliques and
+ * converge in 2-3 rounds either way, but adversarial long chains stay
+ * logarithmic.
  *
  * Execution: the loop runs on raw RDDs with CO-PARTITIONED edge and
  * label tables (one fixed HashPartitioner), the same discipline as the
@@ -88,13 +88,23 @@ object ConnectedComponents {
     var frontier = labels
     while (changed > 0 && iters < maxIters) {
       // each frontier node's label flows to its neighbors: the round's
-      // ONE shuffle, sized by the frontier's out-degree sum
+      // main shuffle, sized by the frontier's out-degree sum
       val msgs = edges.join(frontier) // narrow: both sides on `part`
         .map { case (_, (dst, lab)) => (dst, lab) }
         .reduceByKey(part, math.min(_, _))
-      val next = labels.leftOuterJoin(msgs) // narrow: both on `part`
-        .mapValues { case (cur, nbr) =>
-          (math.min(cur, nbr.getOrElse(cur)), nbr.exists(_ < cur)) }
+      val viaMsg = labels.leftOuterJoin(msgs) // narrow: both on `part`
+        .mapValues { case (cur, nbr) => math.min(cur, nbr.getOrElse(cur)) }
+      // POINTER HALVING: comp <- comp(comp). Labels always point at node
+      // ids, so one label-table self-join (two |nodes|-sized shuffles,
+      // tiny next to the edge messages) doubles the propagation reach —
+      // rounds drop from graph diameter to O(log diameter), the
+      // long-chain escalation the plain propagation lacks.
+      val hopped = viaMsg.map { case (n, c) => (c, n) }.partitionBy(part)
+        .join(viaMsg) // narrow on `part`: (c, (n, compOfC))
+        .map { case (_, (n, c2)) => (n, c2) }
+        .partitionBy(part)
+      val next = labels.join(hopped) // narrow: both on `part`
+        .mapValues { case (prev, now) => (now, now < prev) }
         .persist(StorageLevel.MEMORY_AND_DISK)
       frontier = next.filter(_._2._2).mapValues(_._1)
       changed = frontier.count()

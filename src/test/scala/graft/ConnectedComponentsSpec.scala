@@ -42,10 +42,12 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
-  test("a 12-node chain converges to one component (diameter-bound iterations)") {
-    val chain = (0 until 11).map(i => (i, i + 1))
-    val got = comps(ConnectedComponents.components(pairs(chain: _*)))
-    assert(got.size == 12 && got.values.forall(_ == 0L))
+  test("a 300-node chain converges to one component in O(log n) rounds (pointer halving)") {
+    // plain diameter-bound propagation would need 300 rounds; halving
+    // needs ~log2(300) + change — well under the 100-round default cap
+    val chain = (0 until 299).map(i => (i, i + 1))
+    val got = comps(ConnectedComponents.components(pairs(chain: _*), maxIters = 20))
+    assert(got.size == 300 && got.values.forall(_ == 0L))
   }
 
   test("partition-independent: same components under repartition") {
@@ -57,7 +59,8 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("bound exceeded fails loudly instead of returning partial labels") {
-    val chain = (0 until 11).map(i => (i, i + 1))
+    // halving reaches <= ~2^3 hops in 3 rounds — far short of a 300-chain
+    val chain = (0 until 299).map(i => (i, i + 1))
     assertThrows[IllegalArgumentException] {
       ConnectedComponents.components(pairs(chain: _*), maxIters = 3)
     }
