@@ -228,6 +228,17 @@ object ExtQueries4 {
     "stream_group_topk" -> ((s, dir) =>
       graft.streaming.TopKStream.topK(s, dir, 5)),
 
+    // multimodal frame sampling: one payload -> 4 frame rows (the
+    // explode-shaped media transform); frames compared by hex + length.
+    "media_framesample_stub" -> ((s, dir) =>
+      graft.operators.Multimodal.frameSample(
+        graft.operators.Multimodal.mediaTable(Tables.table(s, dir, "documents")), 4)
+        .toDF()
+        .select(col("doc_id"), col("frame_idx"),
+          lower(hex(col("frame_bytes"))).as("frame_hex"),
+          length(col("frame_bytes")).as("frame_len"))
+        .orderBy(col("doc_id"), col("frame_idx"))),
+
     // CAPSTONE: the end-to-end corpus-cleaning pass a training pipeline
     // runs before tokenization, composed from the declared operators —
     // language gate (stopword-ratio langid), quality gate (token count +
@@ -488,6 +499,15 @@ object ExtQueries4 {
         |WHERE md5(text) NOT IN
         |  (SELECT md5(text) FROM documents WHERE doc_id % 10 = 3)
         |ORDER BY doc_id""".stripMargin,
+
+    // payload = unhex(md5(text)) (16 bytes), 4 frames of 4 bytes = 8 hex
+    // chars each, sliced from the md5 hex string directly
+    "media_framesample_stub" ->
+      """SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        |       substring(md5(text), i * 8 + 1, 8) AS frame_hex,
+        |       4 AS frame_len
+        |FROM documents, UNNEST(range(0, 4)) AS r(i)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "pipeline_clean_corpus" -> {
       val stop = graft.operators.TextAnalysis.EnStopwords

@@ -74,6 +74,34 @@ object Multimodal {
       }.toDF()
   }
 
+  case class FrameRow(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /**
+   * Frame-sample STUB — the explode-shaped media transform (one input
+   * payload -> nFrames frame rows), the plumbing shape of video frame
+   * extraction. Frames are contiguous stride-sized byte slices; a real
+   * implementation would demux/decode at timestamps. Payload bytes fan
+   * out only AFTER slicing (each output row carries one frame, never the
+   * whole payload), so downstream shuffles move frames, not videos.
+   */
+  def frameSample(media: DataFrame, nFrames: Int): Dataset[FrameRow] = {
+    require(nFrames >= 1, "nFrames must be >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { batch =>
+        batch.flatMap { row =>
+          val stride = math.max(1, row.payload.length / nFrames)
+          (0 until nFrames).iterator.map { f =>
+            val start = math.min(row.payload.length, f * stride)
+            val end = math.min(row.payload.length, start + stride)
+            FrameRow(row.doc_id, f,
+              java.util.Arrays.copyOfRange(row.payload, start, end))
+          }
+        }
+      }
+  }
+
   /** Batched decode / feature extraction over the binary column. */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
