@@ -94,6 +94,15 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Dedup.decontaminate(docs, docs.select(col("text"))).count() == 0)
   }
 
+  test("frame sampling: payloads shorter than the frame count produce empty frames, no crash") {
+    val media = spark.createDataFrame(Seq(
+        (1L, Array[Byte](1, 2)), (2L, Array.empty[Byte])))
+      .toDF("doc_id", "payload")
+    val frames = Multimodal.frameSample(media, 4).collect()
+    assert(frames.length == 8)
+    assert(frames.filter(_.doc_id == 2L).forall(_.frame_bytes.isEmpty))
+  }
+
   test("connected components: empty pair set -> empty labels, no iteration blow-up") {
     val schema = StructType(Seq(
       StructField("doc_a", LongType), StructField("doc_b", LongType)))

@@ -133,6 +133,21 @@ class ExtOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("deterministic split: partition-independent assignment, rates near 10/10/80") {
+    import org.apache.spark.sql.functions._
+    val d = docs.select(col("doc_id"))
+    val a = DeterministicSample.split(d, col("doc_id").cast("string"), 10, 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = DeterministicSample.split(d.repartition(7), col("doc_id").cast("string"), 10, 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    val n = a.size.toDouble
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(math.abs(frac.getOrElse("val", 0.0) - 0.10) < 0.06, frac.toString)
+    assert(math.abs(frac.getOrElse("test", 0.0) - 0.10) < 0.06, frac.toString)
+    assert(frac.getOrElse("train", 0.0) > 0.7, frac.toString)
+  }
+
   test("count-min sketch estimates: exact <= est <= exact + eps*N for every heavy hitter") {
     import org.apache.spark.sql.functions._
     val rows = graft.ExtQueries4.queries("approx_topk_cms")(spark, sfDir).collect()
