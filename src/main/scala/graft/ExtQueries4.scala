@@ -228,6 +228,35 @@ object ExtQueries4 {
     "stream_group_topk" -> ((s, dir) =>
       graft.streaming.TopKStream.topK(s, dir, 5)),
 
+    // full outer join with unmatched rows on BOTH sides (restricted key
+    // ranges), null-filled and sentinel-coalesced for the oracle.
+    "join_full_outer" -> ((s, dir) => {
+      val c = Tables.table(s, dir, "customer")
+        .where(col("c_nationkey") < 20)
+        .groupBy(col("c_nationkey").as("ck")).agg(count(lit(1)).as("n_cust"))
+      val su = Tables.table(s, dir, "supplier")
+        .where(col("s_nationkey") >= 5)
+        .groupBy(col("s_nationkey").as("sk")).agg(count(lit(1)).as("n_supp"))
+      c.join(su, col("ck") === col("sk"), "full_outer")
+        .select(coalesce(col("ck"), col("sk")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy(col("nationkey"))
+    }),
+
+    // multiset (bag) semantics set ops: EXCEPT ALL / INTERSECT ALL
+    // subtract/intersect MULTIPLICITIES, not distinct membership.
+    "setop_except_all" -> ((s, dir) => {
+      val a = Tables.table(s, dir, "customer").select(col("c_nationkey").as("k"))
+      val b = Tables.table(s, dir, "supplier").select(col("s_nationkey").as("k"))
+      a.exceptAll(b).orderBy(col("k"))
+    }),
+    "setop_intersect_all" -> ((s, dir) => {
+      val a = Tables.table(s, dir, "customer").select(col("c_nationkey").as("k"))
+      val b = Tables.table(s, dir, "supplier").select(col("s_nationkey").as("k"))
+      a.intersectAll(b).orderBy(col("k"))
+    }),
+
     // multimodal frame sampling: one payload -> 4 frame rows (the
     // explode-shaped media transform); frames compared by hex + length.
     "media_framesample_stub" -> ((s, dir) =>
@@ -499,6 +528,29 @@ object ExtQueries4 {
         |WHERE md5(text) NOT IN
         |  (SELECT md5(text) FROM documents WHERE doc_id % 10 = 3)
         |ORDER BY doc_id""".stripMargin,
+
+    "join_full_outer" ->
+      """WITH c AS (SELECT c_nationkey AS ck, CAST(COUNT(*) AS BIGINT) AS n_cust
+        |           FROM customer WHERE c_nationkey < 20 GROUP BY c_nationkey),
+        |s AS (SELECT s_nationkey AS sk, CAST(COUNT(*) AS BIGINT) AS n_supp
+        |      FROM supplier WHERE s_nationkey >= 5 GROUP BY s_nationkey)
+        |SELECT COALESCE(ck, sk) AS nationkey,
+        |       COALESCE(n_cust, 0) AS n_cust,
+        |       COALESCE(n_supp, 0) AS n_supp
+        |FROM c FULL JOIN s ON ck = sk
+        |ORDER BY nationkey""".stripMargin,
+
+    "setop_except_all" ->
+      """SELECT c_nationkey AS k FROM customer
+        |EXCEPT ALL
+        |SELECT s_nationkey AS k FROM supplier
+        |ORDER BY k""".stripMargin,
+
+    "setop_intersect_all" ->
+      """SELECT c_nationkey AS k FROM customer
+        |INTERSECT ALL
+        |SELECT s_nationkey AS k FROM supplier
+        |ORDER BY k""".stripMargin,
 
     // payload = unhex(md5(text)) (16 bytes), 4 frames of 4 bytes = 8 hex
     // chars each, sliced from the md5 hex string directly
