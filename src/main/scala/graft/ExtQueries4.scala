@@ -228,6 +228,18 @@ object ExtQueries4 {
     "stream_group_topk" -> ((s, dir) =>
       graft.streaming.TopKStream.topK(s, dir, 5)),
 
+    // trig/exponential scalars — rounded to 6 decimals so libm-vs-JVM
+    // last-ulp differences can't surface (values bounded first).
+    "scalar_trig" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          round(sin(col("value")), 6).as("sin_v"),
+          round(cos(col("value")), 6).as("cos_v"),
+          round(atan2(col("value"), lit(2.0)), 6).as("atan2_v"),
+          round(exp(least(abs(col("value")), lit(5.0))), 6).as("exp_v"),
+          round(pow(abs(col("value")) + 1, 0.3), 6).as("pow_v"))
+        .orderBy(col("event_id"))),
+
     // full outer join with unmatched rows on BOTH sides (restricted key
     // ranges), null-filled and sentinel-coalesced for the oracle.
     "join_full_outer" -> ((s, dir) => {
@@ -528,6 +540,15 @@ object ExtQueries4 {
         |WHERE md5(text) NOT IN
         |  (SELECT md5(text) FROM documents WHERE doc_id % 10 = 3)
         |ORDER BY doc_id""".stripMargin,
+
+    "scalar_trig" ->
+      """SELECT event_id,
+        |  ROUND(sin(value), 6) AS sin_v,
+        |  ROUND(cos(value), 6) AS cos_v,
+        |  ROUND(atan2(value, 2.0), 6) AS atan2_v,
+        |  ROUND(exp(least(abs(value), 5.0)), 6) AS exp_v,
+        |  ROUND(pow(abs(value) + 1, 0.3), 6) AS pow_v
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "join_full_outer" ->
       """WITH c AS (SELECT c_nationkey AS ck, CAST(COUNT(*) AS BIGINT) AS n_cust
