@@ -128,17 +128,19 @@ object ExtQueries4 {
           bit_count(col("l_orderkey")).as("b_cnt"))
         .orderBy(col("l_orderkey"))),
 
-    // TF-IDF top-3 terms per document — tf and document-length from one
-    // word explode, df from its distinct projection, N broadcast; ties
-    // broken on the rounded score then term so ranking is
+    // TF-IDF top-3 terms per document. The word explode runs ONCE: the
+    // (doc, word) term-frequency table is materialized and document
+    // lengths (sum of tf) and document frequencies (tf rows per word —
+    // tf is unique per (doc, word)) both derive from it; N broadcast.
+    // Ties broken on the rounded score then term so ranking is
     // engine-reproducible.
     "text_tfidf" -> ((s, dir) => {
       val docs = Tables.table(s, dir, "documents")
       val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
-      val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val dfq = words.select(col("doc_id"), col("word")).distinct()
-        .groupBy(col("word")).agg(count(lit(1)).as("d"))
+        .localCheckpoint(true)
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+      val dfq = tf.groupBy(col("word")).agg(count(lit(1)).as("d"))
       val nd = docs.agg(count(lit(1)).as("nd"))
       val scored = tf.join(dl, "doc_id").join(dfq, "word").crossJoin(broadcast(nd))
         .select(col("doc_id"), col("word"),

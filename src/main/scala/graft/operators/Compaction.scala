@@ -32,8 +32,11 @@ object Compaction {
       if (width <= df.rdd.getNumPartitions) df.coalesce(width)
       else df.repartition(width)
     sized.write.mode("overwrite").parquet(outDir)
+    // resolve the OUTPUT's FileSystem separately — in/out may live on
+    // different schemes (hdfs -> s3a compaction is a normal migration)
     val outPath = new org.apache.hadoop.fs.Path(outDir)
-    fs.listStatus(outPath)
+    outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(outPath)
       .count(f => f.getPath.getName.startsWith("part-"))
   }
 }

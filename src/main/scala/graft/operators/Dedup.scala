@@ -315,34 +315,43 @@ object Dedup {
   /**
    * Benchmark decontamination: drop every corpus document whose content
    * hash appears in the eval/benchmark set — the pipeline step that keeps
-   * test data out of training corpora.
-   *
-   * The eval set is summarized TWICE: a Bloom filter (|eval|*~10 bits,
-   * broadcast to every task) gates the corpus scan so only
-   * bloom-POSITIVE rows (true matches + fpp * |corpus| false positives)
-   * reach the exact anti-join verifier; bloom-negative rows are definite
-   * keeps that never shuffle. The output is EXACT (the anti-join
-   * re-checks every positive); the bloom only shrinks the join's left
-   * side — at 100 TB that is the difference between shuffling the whole
-   * corpus and shuffling ~fpp of it. A 1M-doc eval set is a ~1.2 MB
-   * broadcast.
-   *
+   * test data out of training corpora. Output is EXACT in both regimes;
    * corpus(doc_id, text) x eval(text) -> surviving doc_ids.
+   *
+   * Two regimes by eval-set size:
+   *  - eval fits a broadcast (the common case — eval sets are small):
+   *    ONE corpus scan, broadcast anti-join, zero shuffle. A bloom gate
+   *    here would only add a scan and a UDF for nothing.
+   *  - eval beyond broadcast: a Bloom filter (|eval|*~10 bits) gates the
+   *    corpus scan so only bloom-POSITIVE rows (true matches + fpp of
+   *    the corpus) shuffle into the exact anti-join; bloom-negative rows
+   *    are definite keeps that never shuffle. Two corpus scans, but the
+   *    anti-join's shuffle shrinks from |corpus| to ~fpp * |corpus| —
+   *    the right trade once the eval side itself must shuffle.
    */
-  def decontaminate(corpus: DataFrame, evalDocs: DataFrame): DataFrame = {
+  def decontaminate(corpus: DataFrame, evalDocs: DataFrame,
+      broadcastLimit: Long = 5000000L): DataFrame = {
     val spark = corpus.sparkSession
     val ch = corpus.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    // materialized once: the count, the (optional) bloom build, and the
+    // anti-join all read it
     val eh = evalDocs.select(md5(col("text").cast("binary")).as("h")).distinct()
+      .localCheckpoint(true)
     val nEval = eh.count()
-    if (nEval == 0) return corpus.select(col("doc_id")) // nothing to remove
-    val bf = eh.stat.bloomFilter("h", nEval, 0.01)
-    val bfB = spark.sparkContext.broadcast(bf)
-    // null hash (null text) can't match any eval doc -> definite keep
-    val might = udf((h: String) => h != null && bfB.value.mightContain(h))
-    val keepsDefinite = ch.where(!might(col("h")))
-    val keepsVerified = ch.where(might(col("h")))
-      .join(org.apache.spark.sql.functions.broadcast(eh), Seq("h"), "left_anti")
-    keepsDefinite.unionByName(keepsVerified).select(col("doc_id"))
+    if (nEval == 0) corpus.select(col("doc_id")) // nothing to remove
+    else if (nEval <= broadcastLimit) {
+      ch.join(org.apache.spark.sql.functions.broadcast(eh), Seq("h"), "left_anti")
+        .select(col("doc_id"))
+    } else {
+      val bf = eh.stat.bloomFilter("h", nEval, 0.01)
+      val bfB = spark.sparkContext.broadcast(bf)
+      // null hash (null text) can't match any eval doc -> definite keep
+      val might = udf((h: String) => h != null && bfB.value.mightContain(h))
+      val keepsDefinite = ch.where(!might(col("h")))
+      val keepsVerified = ch.where(might(col("h")))
+        .join(eh, Seq("h"), "left_anti") // shuffle join: eval exceeds broadcast
+      keepsDefinite.unionByName(keepsVerified).select(col("doc_id"))
+    }
   }
 
   /**

@@ -34,14 +34,19 @@ import org.apache.spark.sql.functions._
 object PrefixScan {
 
   /**
-   * Exclusive running max of `valueCol` over ascending `orderCol` (a
-   * numeric total order). Adds `outCol`; null for the first row (empty
-   * prefix). Plan: one quantile pass + one bucket-parallel window + one
-   * broadcast join; the only single-partition window runs over #buckets
-   * rows.
+   * Shared two-level-scan scaffolding: value-range bucket ids from one
+   * approxQuantile pass, the per-bucket driver-side exclusive fold, and
+   * the broadcast-back combine. `orderCol` must be a UNIQUE total order
+   * (e.g. a key column): with duplicate order values the exclusive
+   * prefix AMONG tied rows depends on arbitrary intra-partition order
+   * and the result is not partition-independent.
    */
-  def runningMaxExclusive(df: DataFrame, orderCol: String, valueCol: String,
-      outCol: String): DataFrame = {
+  private def twoLevelScan(df: DataFrame, orderCol: String,
+      bucketAgg: Column => Column,
+      driverFold: Iterator[org.apache.spark.sql.Row] => Array[org.apache.spark.sql.Row],
+      prefixField: org.apache.spark.sql.types.StructField,
+      combine: (Column, Column) => Column,
+      valueCol: String, outCol: String): DataFrame = {
     val spark = df.sparkSession
     val nBuckets = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
@@ -55,26 +60,18 @@ object PrefixScan {
     }
     val withPid = df.withColumn("__pid", pid)
 
-    // per-bucket max -> exclusive prefix per bucket. One row per bucket
-    // (≤ shuffle.partitions), so the exclusive scan runs on the DRIVER —
-    // the canonical two-level-scan step — instead of a 1-partition
-    // WindowExec (Catalyst folds a literal partition key away, which
-    // lands on the all-to-one "No Partition Defined" path).
-    val bucketMax = withPid
+    // per-bucket aggregate -> exclusive prefix per bucket. One row per
+    // bucket (<= shuffle.partitions), so the exclusive scan runs on the
+    // DRIVER — the canonical two-level-scan step — instead of a
+    // 1-partition WindowExec (Catalyst folds a literal partition key
+    // away, which lands on the all-to-one "No Partition Defined" path).
+    val bucketAggDf = withPid
       .groupBy(col("__pid"))
-      .agg(max(col(valueCol)).as("__pmax"))
-    val rows = bucketMax.collect().sortBy(_.getInt(0))
-    var run: Any = null
-    val prefixRows = rows.map { r =>
-      val out = org.apache.spark.sql.Row(r.getInt(0), run)
-      val v = r.get(1)
-      if (v != null && (run == null ||
-          run.asInstanceOf[Comparable[Any]].compareTo(v) < 0)) run = v
-      out
-    }
+      .agg(bucketAgg(col(valueCol)).as("__pagg"))
+    val rows = bucketAggDf.collect().sortBy(_.getInt(0))
+    val prefixRows = driverFold(rows.iterator)
     val prefixSchema = org.apache.spark.sql.types.StructType(Seq(
-      bucketMax.schema("__pid"),
-      bucketMax.schema("__pmax").copy(name = "__prefix", nullable = true)))
+      bucketAggDf.schema("__pid"), prefixField))
     val prefixes = spark.createDataFrame(
       spark.sparkContext.parallelize(prefixRows.toIndexedSeq, 1), prefixSchema)
 
@@ -83,59 +80,61 @@ object PrefixScan {
 
     withPid
       .join(broadcast(prefixes), Seq("__pid"))
-      .withColumn("__local", max(col(valueCol)).over(local))
-      // greatest() skips nulls: null only when both prefix parts are null
-      .withColumn(outCol, greatest(col("__local"), col("__prefix")))
-      .drop("__pid", "__local", "__prefix")
+      .withColumn(outCol, combine(bucketAgg(col(valueCol)).over(local), col("__prefix")))
+      .drop("__pid", "__prefix")
   }
 
   /**
-   * Exclusive running SUM of integral `valueCol` over ascending
-   * `orderCol` — same two-level scan as runningMaxExclusive (bucket by
-   * value range, bucket-parallel local window, driver-side exclusive
-   * scan over the per-bucket totals, broadcast back). Adds `outCol` as
-   * BIGINT; 0 for the first row (an empty prefix sums to 0). The
-   * building block for sequential token-budget packing and offset
+   * Exclusive running max of `valueCol` over ascending `orderCol` (a
+   * UNIQUE numeric total order — see twoLevelScan). Adds `outCol`; null
+   * for the first row (empty prefix). Plan: one quantile pass + one
+   * bucket-parallel window + one broadcast join; the only
+   * single-partition step runs over #buckets rows on the driver.
+   */
+  def runningMaxExclusive(df: DataFrame, orderCol: String, valueCol: String,
+      outCol: String): DataFrame =
+    twoLevelScan(df, orderCol,
+      bucketAgg = max,
+      driverFold = { rows =>
+        var run: Any = null
+        rows.map { r =>
+          val out = org.apache.spark.sql.Row(r.getInt(0), run)
+          val v = r.get(1)
+          if (v != null && (run == null ||
+              run.asInstanceOf[Comparable[Any]].compareTo(v) < 0)) run = v
+          out
+        }.toArray
+      },
+      prefixField = org.apache.spark.sql.types.StructField("__prefix",
+        df.schema(valueCol).dataType, nullable = true),
+      // greatest() skips nulls: null only when both prefix parts are null
+      combine = (local, prefix) => greatest(local, prefix),
+      valueCol = valueCol, outCol = outCol)
+
+  /**
+   * Exclusive running SUM of integral `valueCol` over ascending UNIQUE
+   * `orderCol` — same two-level scan as runningMaxExclusive. Adds
+   * `outCol` as BIGINT; 0 for the first row (an empty prefix sums to 0).
+   * The building block for sequential token-budget packing and offset
    * assignment at corpus scale.
    */
   def runningSumExclusive(df: DataFrame, orderCol: String, valueCol: String,
       outCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val nBuckets = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    val bounds: Array[Double] =
-      if (probs.isEmpty) Array.empty
-      else df.stat.approxQuantile(orderCol, probs, 0.001).distinct.sorted
-    val pid = bounds.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(col(orderCol) > lit(b), 1).otherwise(0)
-    }
-    val withPid = df.withColumn("__v", col(valueCol).cast("long"))
-      .withColumn("__pid", pid)
-
-    val bucketSum = withPid
-      .groupBy(col("__pid"))
-      .agg(sum(col("__v")).as("__psum"))
-    val rows = bucketSum.collect().sortBy(_.getInt(0))
-    var run = 0L
-    val prefixRows = rows.map { r =>
-      val out = org.apache.spark.sql.Row(r.getInt(0), run)
-      if (!r.isNullAt(1)) run += r.getLong(1)
-      out
-    }
-    val prefixSchema = org.apache.spark.sql.types.StructType(Seq(
-      bucketSum.schema("__pid"),
-      org.apache.spark.sql.types.StructField("__prefix",
-        org.apache.spark.sql.types.LongType, nullable = false)))
-    val prefixes = spark.createDataFrame(
-      spark.sparkContext.parallelize(prefixRows.toIndexedSeq, 1), prefixSchema)
-
-    val local = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-
-    withPid
-      .join(broadcast(prefixes), Seq("__pid"))
-      .withColumn(outCol,
-        coalesce(sum(col("__v")).over(local), lit(0L)) + col("__prefix"))
-      .drop("__pid", "__v", "__prefix")
+    val prepared = df.withColumn("__v", col(valueCol).cast("long"))
+    twoLevelScan(prepared, orderCol,
+      bucketAgg = sum,
+      driverFold = { rows =>
+        var run = 0L
+        rows.map { r =>
+          val out = org.apache.spark.sql.Row(r.getInt(0), run)
+          if (!r.isNullAt(1)) run += r.getLong(1)
+          out
+        }.toArray
+      },
+      prefixField = org.apache.spark.sql.types.StructField("__prefix",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      combine = (local, prefix) => coalesce(local, lit(0L)) + prefix,
+      valueCol = "__v", outCol = outCol)
+      .drop("__v")
   }
 }

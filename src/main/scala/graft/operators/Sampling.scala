@@ -255,15 +255,18 @@ object Sampling {
     // window boundaries carry no state effects. One pass over everything
     // (same (ts,user,item) fold order per key) emits the identical delta
     // stream with 2 jobs instead of 2 per window.
-    val windows: Array[Long] = {
+    // None = fast path (all data, one pass). The flag is OUT OF BAND —
+    // an in-band sentinel window id would collide with a legitimate
+    // window id (pre-epoch timestamps yield negative ids, including -1).
+    val windowsOpt: Option[Array[Long]] = {
       // coalesce: agg(max) over an empty input yields one NULL row, which
       // the non-nullable Long encoder would reject
       val Array(maxPerItem, maxPerUser) = ds.select($"ev.*")
         .groupBy($"item").count().agg(coalesce(max($"count"), lit(0L))).as[Long].collect() ++
         ds.select($"ev.*")
           .groupBy($"user").count().agg(coalesce(max($"count"), lit(0L))).as[Long].collect()
-      if (maxPerItem <= fMax && maxPerUser <= kMax) Array(-1L) // sentinel: all data, one pass
-      else ds.select($"wnd").distinct().as[Long].collect().sorted
+      if (maxPerItem <= fMax && maxPerUser <= kMax) None
+      else Some(ds.select($"wnd").distinct().as[Long].collect().sorted)
     }
 
     // RDD loop with CO-PARTITIONED state for every path (the sentinel
@@ -275,13 +278,14 @@ object Sampling {
     // this keeps the session default). Partitioning is explicit per-RDD
     // — the session's shuffle.partitions is never touched.
     val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val rowsPerWindow = ds.count() / math.max(1, windows.length)
+    val rowsPerWindow = ds.count() / math.max(1, windowsOpt.map(_.length).getOrElse(1))
     val targetRowsPerPartition = 20000L
     val loopParts = math.max(4L, math.min(defaultParts.toLong,
       rowsPerWindow / targetRowsPerPartition + 1)).toInt
-    val out =
-      if (windows.isEmpty) spark.emptyDataset[CoocDelta]
-      else sampledLoopRdd(ds, windows, fMax, kMax, seed, loopParts, metrics)
+    val out = windowsOpt match {
+      case Some(ws) if ws.isEmpty => spark.emptyDataset[CoocDelta]
+      case _ => sampledLoopRdd(ds, windowsOpt, fMax, kMax, seed, loopParts, metrics)
+    }
     ds.unpersist()
     out
   }
@@ -373,7 +377,7 @@ object Sampling {
     }, preservesPartitioning = true)
   }
 
-  private def sampledLoopRdd(ds: DataFrame, windows: Array[Long],
+  private def sampledLoopRdd(ds: DataFrame, windowsOpt: Option[Array[Long]],
       fMax: Int, kMax: Int, seed: Long, loopParts: Int,
       metrics: Option[PipelineMetrics]): Dataset[CoocDelta] = {
     val spark = ds.sparkSession
@@ -392,11 +396,15 @@ object Sampling {
       sc.parallelize(Seq.empty[(Long, (Int, Array[Int]))], loopParts).partitionBy(part)
     val checkpoints = new ArrayBuffer[org.apache.spark.rdd.RDD[(Long, UserStageRow)]]()
 
-    for (w <- windows) {
-      // (w == -1 is the fast-path sentinel: all data, one pass)
-      val evW = (if (w == -1L) evRdd else evRdd.filter(_._1 == w))
+    // fast path (None): one pseudo-window over everything; its RNG salt
+    // is fixed at -1 but never drawn (no event can reach the reservoir)
+    val windowPlan: Array[Option[Long]] =
+      windowsOpt.map(_.map(Option(_))).getOrElse(Array(None))
+    for (wOpt <- windowPlan) {
+      val evW = wOpt.fold(evRdd)(w => evRdd.filter(_._1 == w))
         .map { case (_, e) => (e.item.toLong, e) }
-      val userOut = windowStepRdd(evW, itemCnt, userSt, part, fMax, kMax, seed, w, metrics)
+      val userOut = windowStepRdd(evW, itemCnt, userSt, part,
+          fMax, kMax, seed, wOpt.getOrElse(-1L), metrics)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
       // The window's output is PERSISTED but not materialized: the final
@@ -407,7 +415,15 @@ object Sampling {
       // eagerly localCheckpointed to bound lineage depth and failure
       // recovery at long horizons (365 daily windows at cluster scale).
       checkpoints += userOut
-      if (checkpoints.size % 8 == 0) { userOut.localCheckpoint(); userOut.count() }
+      // With metrics attached, EVERY window is eagerly materialized:
+      // accumulators inside the folds are exactly-once only if the
+      // transformation runs under exactly one action (lazy persisted
+      // windows could recompute on cache eviction and double-count).
+      // Without metrics only every 8th window materializes (lineage
+      // bounding); delta output is deterministic either way.
+      if (metrics.isDefined || checkpoints.size % 8 == 0) {
+        userOut.localCheckpoint(); userOut.count()
+      }
 
       // next-window states derive from the checkpoint: user state narrow
       // (partitioner preserved), item counts + refunds re-keyed by item

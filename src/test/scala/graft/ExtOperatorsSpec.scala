@@ -148,6 +148,17 @@ class ExtOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(frac.getOrElse("train", 0.0) > 0.7, frac.toString)
   }
 
+  test("decontamination: bloom-gated path == broadcast anti-join path (exact in both regimes)") {
+    import org.apache.spark.sql.functions._
+    val d = docs.select(col("doc_id"), col("text"))
+    val eval = docs.where(col("doc_id") % 10 === 3).select(col("text"))
+    val viaBroadcast = Dedup.decontaminate(d, eval)
+      .collect().map(_.getLong(0)).toSet
+    val viaBloom = Dedup.decontaminate(d, eval, broadcastLimit = 0L)
+      .collect().map(_.getLong(0)).toSet
+    assert(viaBroadcast == viaBloom && viaBroadcast.nonEmpty)
+  }
+
   test("count-min sketch estimates: exact <= est <= exact + eps*N for every heavy hitter") {
     import org.apache.spark.sql.functions._
     val rows = graft.ExtQueries4.queries("approx_topk_cms")(spark, sfDir).collect()
