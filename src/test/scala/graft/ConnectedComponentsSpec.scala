@@ -58,6 +58,26 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a(9L) == 1L && a(100L) == 100L) // 1..9 bridge through (3,7)
   }
 
+  test("random graphs match a driver-side union-find oracle (30 seeded trials)") {
+    val rng = new scala.util.Random(0xC0FFEE)
+    (1 to 30).foreach { trial =>
+      val nNodes = 2 + rng.nextInt(40)
+      val nEdges = 1 + rng.nextInt(60)
+      val es = Seq.fill(nEdges)((rng.nextInt(nNodes), rng.nextInt(nNodes)))
+      // driver union-find with min-root canonicalization
+      val parent = Array.tabulate(nNodes)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val touched = es.flatMap { case (a, b) => Seq(a, b) }.toSet
+      val expected = touched.map(n => n.toLong -> find(n).toLong).toMap
+      val got = comps(ConnectedComponents.components(pairs(es: _*)))
+      assert(got == expected, s"trial $trial: edges=$es")
+    }
+  }
+
   test("bound exceeded fails loudly instead of returning partial labels") {
     // halving reaches <= ~2^3 hops in 3 rounds — far short of a 300-chain
     val chain = (0 until 299).map(i => (i, i + 1))

@@ -82,6 +82,19 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.length == 1 && rows.head.isNullAt(rows.head.fieldIndex("wm")))
   }
 
+  test("runningSumExclusive matches a driver-side cumsum on shuffled unique keys") {
+    val rng = new scala.util.Random(42)
+    val rows = rng.shuffle((0 until 500).toList).map(i => (i.toLong, rng.nextInt(100).toLong))
+    val df = spark.createDataFrame(rows).toDF("id", "v").repartition(7)
+    val got = PrefixScan.runningSumExclusive(df, "id", "v", "cum").collect()
+      .map(r => r.getLong(0) -> r.getLong(r.fieldIndex("cum"))).toMap
+    var run = 0L
+    val expected = rows.sortBy(_._1).map { case (id, v) =>
+      val o = id -> run; run += v; o
+    }.toMap
+    assert(got == expected)
+  }
+
   test("docs with fewer words than the shingle size emit no shingles") {
     val short = spark.createDataFrame(Seq((1L, "one two"), (2L, ""))).toDF("doc_id", "text")
     assert(Dedup.ngramShingles(short, 3).count() == 0)
