@@ -230,6 +230,20 @@ object ExtQueries4 {
     "stream_group_topk" -> ((s, dir) =>
       graft.streaming.TopKStream.topK(s, dir, 5)),
 
+    // hashing-trick featurization: fixed-width word-count vector per doc
+    // (8 buckets by portable hash) — the stateless vectorizer for
+    // downstream ML; one shuffle, 8 conditional sums in one hash agg.
+    "text_hash_features" -> ((s, dir) => {
+      import graft.operators.PortableHash
+      val words = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .withColumn("b", PortableHash.hMod(col("word")) % 8)
+      val feats = (0 until 8).map(j =>
+        sum(when(col("b") === j, 1L).otherwise(0L)).as(s"f$j"))
+      words.groupBy(col("doc_id")).agg(feats.head, feats.tail: _*)
+        .orderBy(col("doc_id"))
+    }),
+
     // trig/exponential scalars — rounded to 6 decimals so libm-vs-JVM
     // last-ulp differences can't surface (values bounded first).
     "scalar_trig" -> ((s, dir) =>
@@ -542,6 +556,18 @@ object ExtQueries4 {
         |WHERE md5(text) NOT IN
         |  (SELECT md5(text) FROM documents WHERE doc_id % 10 = 3)
         |ORDER BY doc_id""".stripMargin,
+
+    "text_hash_features" -> {
+      val b = s"(${graft.operators.PortableHash.hModSql("word")} % 8)"
+      val feats = (0 until 8)
+        .map(j => s"CAST(SUM(CASE WHEN $b = $j THEN 1 ELSE 0 END) AS BIGINT) AS f$j")
+        .mkString(",\n  ")
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |           FROM documents)
+         |SELECT doc_id,
+         |  $feats
+         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     "scalar_trig" ->
       """SELECT event_id,
