@@ -390,7 +390,7 @@ object ExtQueries4 {
         .where(col("key").isNotNull)
       val bytes = keys
         .agg(count_min_sketch(col("key"), lit(0.0001), lit(0.99), lit(42)).as("sk"))
-        .head.getAs[Array[Byte]](0)
+        .head().getAs[Array[Byte]](0)
       val cms = org.apache.spark.util.sketch.CountMinSketch
         .readFrom(new java.io.ByteArrayInputStream(bytes))
       val hh = graft.operators.HeavyHitters.exact(keys, col("key"), 20).collect()
