@@ -289,9 +289,13 @@ object ExtQueries {
     // transformWithState reservoir with kMax >= data size reduces to the
     // append path == the batch C matrix (cooc_pairs oracle).
     "stream_reservoir_cooc" -> ((s, dir) => {
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      // RocksDB provider set for THIS query only, prior value restored
+      // (same shared-session discipline as ItemCutStream/TopKStream)
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prior = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      graft.streaming.StreamingOps.withStreamWidth(s, dir) {
+      try graft.streaming.StreamingOps.withStreamWidth(s, dir) {
         val inter = graft.streaming.StreamingOps.eventsStream(s, dir)
           .select(
             col("user_id").cast("int").as("user"),
@@ -299,6 +303,10 @@ object ExtQueries {
             col("ts"))
         graft.streaming.ReservoirStream.coocCounts(inter, kMax = 1000000, seed = 42L)
       }.orderBy(col("item"), col("other"))
+      finally prior match {
+        case Some(v) => s.conf.set(providerKey, v)
+        case None => s.conf.unset(providerKey)
+      }
     }),
 
     // foreachBatch incremental pipeline with cuts >= data size: equals the
