@@ -26,15 +26,21 @@ object Bench {
     // optional comma-separated filter for targeted profiling runs
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch { case t: Throwable =>
+        failures += name
+        System.err.println(s"[bench] $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fails = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
