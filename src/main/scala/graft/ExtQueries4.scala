@@ -230,6 +230,19 @@ object ExtQueries4 {
     "stream_group_topk" -> ((s, dir) =>
       graft.streaming.TopKStream.topK(s, dir, 5)),
 
+    // boolean aggregates: predicate counting and universal/existential
+    // quantifiers per group (every/any), all single-pass mergeable.
+    "agg_boolean" -> ((s, dir) => {
+      val l = view(s, dir, "lineitem")
+      s.sql(
+        s"""SELECT l_returnflag,
+           |  count_if(l_discount > 0.05) AS n_hi_disc,
+           |  every(l_quantity > 0) AS all_pos_qty,
+           |  any(l_tax > 0.07) AS some_hi_tax,
+           |  every(l_extendedprice > 100000) AS all_exp
+           |FROM $l GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
     // hashing-trick featurization: fixed-width word-count vector per doc
     // (8 buckets by portable hash) — the stateless vectorizer for
     // downstream ML; one shuffle, 8 conditional sums in one hash agg.
@@ -556,6 +569,14 @@ object ExtQueries4 {
         |WHERE md5(text) NOT IN
         |  (SELECT md5(text) FROM documents WHERE doc_id % 10 = 3)
         |ORDER BY doc_id""".stripMargin,
+
+    "agg_boolean" ->
+      """SELECT l_returnflag,
+        |  CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_hi_disc,
+        |  bool_and(l_quantity > 0) AS all_pos_qty,
+        |  bool_or(l_tax > 0.07) AS some_hi_tax,
+        |  bool_and(l_extendedprice > 100000) AS all_exp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "text_hash_features" -> {
       val b = s"(${graft.operators.PortableHash.hModSql("word")} % 8)"
