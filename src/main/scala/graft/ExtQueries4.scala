@@ -230,6 +230,36 @@ object ExtQueries4 {
     "stream_group_topk" -> ((s, dir) =>
       graft.streaming.TopKStream.topK(s, dir, 5)),
 
+    // un-keyed GLOBAL streaming aggregate (Complete mode): one state row
+    // for the whole stream — the degenerate-key form of streaming agg
+    // state (contrast the keyed windowed aggs).
+    "stream_global_agg" -> ((s, dir) =>
+      graft.streaming.StreamingOps.withStreamWidth(s, dir) {
+        import org.apache.spark.sql.types.DecimalType
+        // distinct aggregations are unsupported on streams; min/max of
+        // the id column round out the state shape instead
+        val agg = graft.streaming.StreamingOps.eventsStream(s, dir)
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(DecimalType(20, 4))).cast("double").as("sum_value"),
+            min(col("event_id")).as("min_id"),
+            max(col("event_id")).as("max_id"))
+        graft.streaming.StreamingOps.runToMemory(
+          agg, s"gagg_${System.nanoTime()}")
+      }),
+
+    // several DISTINCT aggregates beside a plain one — Catalyst's Expand
+    // rewrite (one scan fans out per distinct group, then re-aggregates).
+    "agg_multi_distinct" -> ((s, dir) => {
+      val o = view(s, dir, "orders")
+      s.sql(
+        s"""SELECT o_orderstatus,
+           |  COUNT(DISTINCT o_custkey) AS n_custs,
+           |  COUNT(DISTINCT o_orderpriority) AS n_prios,
+           |  COUNT(*) AS n_orders,
+           |  ROUND(SUM(o_totalprice), 2) AS sum_price
+           |FROM $o GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
     // boolean aggregates: predicate counting and universal/existential
     // quantifiers per group (every/any), all single-pass mergeable.
     "agg_boolean" -> ((s, dir) => {
@@ -569,6 +599,20 @@ object ExtQueries4 {
         |WHERE md5(text) NOT IN
         |  (SELECT md5(text) FROM documents WHERE doc_id % 10 = 3)
         |ORDER BY doc_id""".stripMargin,
+
+    "stream_global_agg" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value,
+        |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+        |FROM events""".stripMargin,
+
+    "agg_multi_distinct" ->
+      """SELECT o_orderstatus,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+        |  CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_prios,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  ROUND(SUM(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "agg_boolean" ->
       """SELECT l_returnflag,
