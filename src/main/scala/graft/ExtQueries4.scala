@@ -75,9 +75,9 @@ object ExtQueries4 {
       val l = view(s, dir, "lineitem")
       s.sql(
         s"""SELECT l_returnflag,
-           |  ROUND(COALESCE(SUM(l_quantity) FILTER (WHERE l_discount > 0.05), 0), 2) AS qty_hi_disc,
+           |  CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(20,4))) FILTER (WHERE l_discount > 0.05), 0) AS DOUBLE) AS qty_hi_disc,
            |  COUNT(*) FILTER (WHERE l_tax > 0.04) AS n_hi_tax,
-           |  ROUND(SUM(l_quantity), 2) AS qty_all
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS qty_all
            |FROM $l GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     }),
 
@@ -243,8 +243,14 @@ object ExtQueries4 {
             sum(col("value").cast(DecimalType(20, 4))).cast("double").as("sum_value"),
             min(col("event_id")).as("min_id"),
             max(col("event_id")).as("max_id"))
-        graft.streaming.StreamingOps.runToMemory(
+        val t = graft.streaming.StreamingOps.runToMemory(
           agg, s"gagg_${System.nanoTime()}")
+        // an empty drain runs no microbatch and leaves the sink empty;
+        // the batch oracle's global aggregate always emits one row
+        if (t.isEmpty) s.sql(
+          """SELECT CAST(0 AS BIGINT) AS n_events, CAST(NULL AS DOUBLE) AS sum_value,
+            |CAST(NULL AS BIGINT) AS min_id, CAST(NULL AS BIGINT) AS max_id""".stripMargin)
+        else t
       }),
 
     // several DISTINCT aggregates beside a plain one — Catalyst's Expand
@@ -256,7 +262,7 @@ object ExtQueries4 {
            |  COUNT(DISTINCT o_custkey) AS n_custs,
            |  COUNT(DISTINCT o_orderpriority) AS n_prios,
            |  COUNT(*) AS n_orders,
-           |  ROUND(SUM(o_totalprice), 2) AS sum_price
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_price
            |FROM $o GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     }),
 
@@ -482,9 +488,9 @@ object ExtQueries4 {
 
     "agg_filtered" ->
       """SELECT l_returnflag,
-        |  ROUND(COALESCE(SUM(l_quantity) FILTER (WHERE l_discount > 0.05), 0), 2) AS qty_hi_disc,
+        |  CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(20,4))) FILTER (WHERE l_discount > 0.05), 0) AS DOUBLE) AS qty_hi_disc,
         |  CAST(COUNT(*) FILTER (WHERE l_tax > 0.04) AS BIGINT) AS n_hi_tax,
-        |  ROUND(SUM(l_quantity), 2) AS qty_all
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS qty_all
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "window_cume_percent" ->
@@ -611,7 +617,7 @@ object ExtQueries4 {
         |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
         |  CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_prios,
         |  CAST(COUNT(*) AS BIGINT) AS n_orders,
-        |  ROUND(SUM(o_totalprice), 2) AS sum_price
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "agg_boolean" ->

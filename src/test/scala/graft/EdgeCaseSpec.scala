@@ -116,6 +116,15 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(frames.filter(_.doc_id == 2L).forall(_.frame_bytes.isEmpty))
   }
 
+  test("stream_global_agg on an empty events stream emits the oracle's single zero-row") {
+    // empty dir -> no files match -> AvailableNow runs no data microbatch
+    // -> memory sink stays empty; the query must still emit the batch
+    // oracle's one global-aggregate row
+    val tmp = java.nio.file.Files.createTempDirectory("graft_empty_ev").toString
+    val rows = graft.ExtQueries4.queries("stream_global_agg")(spark, tmp).collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 0L && rows.head.isNullAt(1))
+  }
+
   test("connected components: empty pair set -> empty labels, no iteration blow-up") {
     val schema = StructType(Seq(
       StructField("doc_a", LongType), StructField("doc_b", LongType)))
