@@ -711,15 +711,18 @@ object ExtQueries4 {
       s"""SELECT doc_id, $c AS split FROM documents ORDER BY doc_id"""
     },
 
+    // CASTs on cum_excl/bin: DuckDB SUM(BIGINT) yields HUGEINT, which the
+    // driver's pandas path canonicalizes as float -> hash mismatch vs
+    // Spark's int64 (the r03 failure).
     "text_pack_bins" ->
       """WITH t AS (SELECT doc_id,
         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |           FROM documents),
         |c AS (SELECT doc_id, n_tokens,
-        |        COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+        |        CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_excl
         |      FROM t)
-        |SELECT doc_id, n_tokens, cum_excl, cum_excl // 2000 AS bin
+        |SELECT doc_id, n_tokens, cum_excl, CAST(cum_excl // 2000 AS BIGINT) AS bin
         |FROM c ORDER BY doc_id""".stripMargin,
 
     "text_ngram_freq" ->

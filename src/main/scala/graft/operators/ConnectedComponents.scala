@@ -78,6 +78,10 @@ object ConnectedComponents {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val persisted = scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]](raw, edges, labels)
+    // exception-safe cache lifetime: non-convergence (the `require` below)
+    // or any job failure must still release every per-round cached RDD —
+    // a long-lived session would otherwise accumulate ~2 blocks per round
+    try {
     var changed = 1L
     var iters = 0
     // FRONTIER pruning: only nodes whose label changed last round need to
@@ -115,9 +119,10 @@ object ConnectedComponents {
     require(changed == 0, s"connected components did not converge in $maxIters rounds")
 
     // materialize the labels eagerly, then release every cached round
-    val out = org.apache.spark.sql.graftbridge.StatsBridge.dropCarriedStats(
+    org.apache.spark.sql.graftbridge.StatsBridge.dropCarriedStats(
       labels.toDF("node", "comp").localCheckpoint(true))
-    persisted.foreach(_.unpersist(blocking = false))
-    out
+    } finally {
+      persisted.foreach(_.unpersist(blocking = false))
+    }
   }
 }

@@ -105,6 +105,7 @@ object Dedup {
       // by N/maxDf entries, small by construction; the rare set (most of
       // the vocabulary at web scale) never materializes on the driver.
       val sh = shingles.persist()
+      try { // exception-safe: release the cached shingle table on any failure
       val stop = sh.groupBy(col("shingle"))
         .agg(count(lit(1)).as("df")).where(col("df") > maxDf)
         .select(col("shingle"))
@@ -118,7 +119,7 @@ object Dedup {
       val sets = sh.groupBy(col("doc_id"))
         .agg(sort_array(collect_list(xxhash64(col("shingle")))).as("sset"),
           count(lit(1)).as("n_sh"))
-      val out = cands
+      cands
         .join(sets.select(col("doc_id").as("doc_a"),
           col("sset").as("sset_a"), col("n_sh").as("n_a")), Seq("doc_a"))
         .join(sets.select(col("doc_id").as("doc_b"),
@@ -136,8 +137,7 @@ object Dedup {
         // table can be released before returning — long-lived sessions
         // must not accumulate storage memory per invocation
         .localCheckpoint(true)
-      sh.unpersist()
-      out
+      } finally sh.unpersist()
     }
   }
 
@@ -180,9 +180,8 @@ object Dedup {
     // far smaller than the corpus) is materialized eagerly so the cache
     // is released before returning.
     val sigs = bandedSignatures(signatures).persist()
-    val out = lshCandidatesFromBanded(sigs).localCheckpoint(true)
-    sigs.unpersist()
-    out
+    try lshCandidatesFromBanded(sigs).localCheckpoint(true)
+    finally sigs.unpersist()
   }
 
   /** One row per doc with its NumBands band-signature strings. */
@@ -229,6 +228,7 @@ object Dedup {
     // the distinct (doc, word) set feeds the set arrays and the signature
     // hash — cache it so the distinct shuffle runs once per consumer
     val words = docWords(docs).persist()
+    try { // exception-safe: release the cached word table on any failure
     val wordSets = words.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(xxhash64(col("word")))).as("wset"),
         count(lit(1)).as("n_w"))
@@ -236,7 +236,7 @@ object Dedup {
       col("wset").as("wset_a"), col("n_w").as("n_a"))
     val setsB = wordSets.select(col("doc_id").as("doc_b"),
       col("wset").as("wset_b"), col("n_w").as("n_b"))
-    val out = lshCandidates(minhashSignaturesFromWords(words))
+    lshCandidates(minhashSignaturesFromWords(words))
       .join(setsA, Seq("doc_a"))
       .join(setsB, Seq("doc_b"))
       // size-ratio prefilter (exactness-preserving): jac(A,B) <=
@@ -252,8 +252,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
       // release the cached word table before returning (see jaccardPairs)
       .localCheckpoint(true)
-    words.unpersist()
-    out
+    } finally words.unpersist()
   }
 
   /**
@@ -289,6 +288,7 @@ object Dedup {
         (0 until SimHashChunks).map(c =>
           shiftright(col("fp"), c * ChunkBits).bitwiseAND(lit((1L << ChunkBits) - 1)).as(s"c$c")): _*)
       .persist()
+    try { // exception-safe: release the cached chunk table on any failure
     // Each pair is emitted ONLY by its first matching chunk (join c
     // requires all chunks < c to differ), so the union is duplicate-free
     // by construction — no distinct shuffle over the pair set.
@@ -302,14 +302,13 @@ object Dedup {
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
     }.reduce(_ unionAll _)
-    val out = pairs
+    pairs
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .where(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       // release the cached chunked-fingerprint table (see jaccardPairs)
       .localCheckpoint(true)
-    chunked.unpersist()
-    out
+    } finally chunked.unpersist()
   }
 
   /**
@@ -330,7 +329,7 @@ object Dedup {
    *    the right trade once the eval side itself must shuffle.
    */
   def decontaminate(corpus: DataFrame, evalDocs: DataFrame,
-      broadcastLimit: Long = 5000000L): DataFrame = {
+      broadcastLimit: Long = 500000L): DataFrame = {
     val spark = corpus.sparkSession
     val ch = corpus.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
     // materialized once: the count, the (optional) bloom build, and the

@@ -396,6 +396,9 @@ object Sampling {
       sc.parallelize(Seq.empty[(Long, (Int, Array[Int]))], loopParts).partitionBy(part)
     val checkpoints = new ArrayBuffer[org.apache.spark.rdd.RDD[(Long, UserStageRow)]]()
 
+    // exception-safe cache lifetime: a mid-loop or final-job failure must
+    // still release evRdd and every window's persisted output
+    try {
     // fast path (None): one pseudo-window over everything; its RNG salt
     // is fixed at -1 but never drawn (no event can reach the reservoir)
     val windowPlan: Array[Option[Long]] =
@@ -446,11 +449,12 @@ object Sampling {
       .agg(sum(col("inc")).cast("int").as("inc"))
       .where(col("inc") =!= 0)
       .as[CoocDelta]
-    val out = org.apache.spark.sql.graftbridge.StatsBridge
+    org.apache.spark.sql.graftbridge.StatsBridge
       .dropCarriedStats(net.localCheckpoint(true))
-    evRdd.unpersist(blocking = false)
-    checkpoints.foreach(_.unpersist(blocking = false))
-    out
+    } finally {
+      evRdd.unpersist(blocking = false)
+      checkpoints.foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** Aggregated co-occurrence counts from the sampled delta stream. */

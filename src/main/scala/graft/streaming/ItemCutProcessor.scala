@@ -69,9 +69,12 @@ object ItemCutStream {
     // recentProgress is capped by numRecentProgressUpdates (default 100)
     // and would undercount long drains; raise the cap for this query so
     // the one-data-microbatch assertion sees every batch, and restore it.
+    // 2000 comfortably covers any AvailableNow drain while bounding the
+    // driver's retained StreamingQueryProgress objects (each ~KBs) if a
+    // concurrent stream shares the session inside this window.
     val progressKey = "spark.sql.streaming.numRecentProgressUpdates"
     val priorProgress = spark.conf.getOption(progressKey)
-    spark.conf.set(progressKey, "100000")
+    spark.conf.set(progressKey, "2000")
     try {
       val stream = StreamingOps.eventsStream(spark, dir)
         .select(

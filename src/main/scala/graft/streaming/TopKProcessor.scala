@@ -42,8 +42,16 @@ class TopKProcessor(k: Int)
   override def handleInputRows(item: Int, rows: Iterator[Scored],
       timerValues: TimerValues): Iterator[Emit] = {
     val prev = if (st.exists()) st.get() else HeapState(0, Array.empty, Array.empty)
+    // explicit comparator, NOT sortBy(-s): SQL descending order puts NaN
+    // above all values (and -0.0 == 0.0); IEEE `<` on a negated Double
+    // would sink NaN and split the zeros, diverging from the oracle at
+    // the rank-k boundary. java.lang.Double.compare gives the total
+    // order (NaN greatest, -0.0 < 0.0) that ORDER BY score DESC uses.
     val merged = (prev.scores.zip(prev.ids) ++ rows.map(r => (r.score, r.id)))
-      .sortBy { case (s, id) => (-s, id) }
+      .sortWith { case ((s1, id1), (s2, id2)) =>
+        val c = java.lang.Double.compare(s2, s1) // descending, NaN first
+        c < 0 || (c == 0 && id1 < id2)
+      }
       .take(k)
     val version = prev.version + 1
     st.update(HeapState(version, merged.map(_._2), merged.map(_._1)))

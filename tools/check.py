@@ -72,7 +72,12 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: rowcount spark={len(srws)} oracle={len(orws)}")
             n_fail += 1
             continue
-        bad = [(a, b) for a, b in zip(srws, orws) if a != b]
+        # driver hashes str(value): int 42 vs float 42.0 MISMATCH there even
+        # though Python == says equal — compare types too (the r03
+        # text_pack_bins escape: un-cast DuckDB HUGEINT -> float via pandas)
+        def strict_ne(a, b):
+            return a != b or any(type(x) is not type(y) for x, y in zip(a, b))
+        bad = [(a, b) for a, b in zip(srws, orws) if strict_ne(a, b)]
         if bad:
             print(f"FAIL {name}: {len(bad)}/{len(srws)} differing rows; first: spark={bad[0][0]} oracle={bad[0][1]}")
             n_fail += 1
