@@ -146,6 +146,30 @@ object StreamingOps {
     }
 
   /**
+   * Chained streaming aggregation — two stateful operators in one
+   * query (Spark 4 multi-stateful-operator support): per (day, user)
+   * counts re-aggregated to per-day user counts / extremes via
+   * window(window_time(...)). Multiple stateful aggs require Append
+   * mode, so only watermark-closed windows emit: the day containing
+   * max(ts) is still open when the AvailableNow drain ends and is
+   * (deterministically) absent — the oracle excludes it the same way.
+   */
+  def streamTwoLevelAgg(spark: SparkSession, dir: String): DataFrame = withStreamWidth(spark, dir) {
+    val lvl1 = eventsStream(spark, dir)
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 day").as("w1"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val lvl2 = lvl1
+      .groupBy(window(window_time(col("w1")), "1 day").as("w2"))
+      .agg(count(lit(1)).as("n_users"), max(col("n")).as("max_n"),
+        sum(col("n")).as("n_events"))
+      .select(date_format(col("w2.start"), "yyyy-MM-dd").as("day"),
+        col("n_users"), col("max_n"), col("n_events"))
+    runToMemory(lvl2, s"twolevel_${System.nanoTime()}", OutputMode.Append())
+      .orderBy(col("day"))
+  }
+
+  /**
    * Watermarked stream-stream inner join — the Spark-native form of the
    * reference's keyed two-input connect (SURVEY §2.1(a): a stream-stream
    * co-partitioned join on the key). Each event joins the same user's
