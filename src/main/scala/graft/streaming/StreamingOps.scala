@@ -196,6 +196,46 @@ object StreamingOps {
   }
 
   /**
+   * foreachBatch upsert sink with keep-latest-per-key merge semantics —
+   * the CDC-compaction write path. Each microbatch is pre-reduced
+   * DISTRIBUTED (max-by-(ts, event_id) per user, a hash agg with
+   * map-side combine) and written under a batchId-keyed path with
+   * overwrite, so a retried batch rewrites the same directory —
+   * exactly-once without a transactional sink. The final read compacts
+   * across batch directories with the same max-by; the result is
+   * independent of how the input was split into microbatches because
+   * max is associative/commutative over the (ts, event_id) key.
+   *
+   * Struct-max note: the struct's trailing value field participates in
+   * comparison only on (tus, event_id) ties, which cannot occur —
+   * event_id is unique.
+   */
+  def streamUpsertLatest(spark: SparkSession, dir: String): DataFrame = withStreamWidth(spark, dir) {
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_upsert_").toString
+    val latest = (df: DataFrame) => df
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("tus"), col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("m.tus").as("tus"),
+        col("m.event_id").as("event_id"), col("m.value").as("value"))
+    val q = eventsStream(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts)").as("tus"),
+        col("event_id"), col("value"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        latest(batch).write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    latest(spark.read.parquet(sinkDir))
+      .select(col("user_id"),
+        date_format(timestamp_micros(col("tus")), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+        col("event_id").as("last_event"), col("value").as("last_value"))
+      .orderBy("user_id")
+  }
+
+  /**
    * Session windows (30-min inactivity gap) through Structured Streaming
    * — merging-window state, the hardest window shape (dynamic extents,
    * sessions merge when a bridging event arrives).
