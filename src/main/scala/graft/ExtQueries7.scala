@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.Tables
+
+/**
+ * Round-4 third wave: the source/sink surface beyond the parquet scan —
+ * CSV / JSON / ORC write-read roundtrips (format fidelity is a
+ * correctness property of the engine, checked against the original
+ * table's oracle), a partitioned sink whose read-back prunes
+ * partitions, a corpus unigram-LM cross-entropy score, and a chained
+ * stateful streaming distinct (dedup -> windowed agg).
+ *
+ * Sink scale posture: the partitioned write is the 100 TB layout
+ * contract — day-partitioned events mean a day-filtered query reads
+ * 1/30th of the data (partition pruning happens at file listing, before
+ * any I/O); the roundtrips run through a temp dir per call and overwrite
+ * idempotently.
+ */
+object ExtQueries7 {
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // CSV sink + source roundtrip: types survive via explicit read
+    // schema (CSV is untyped); doubles survive via Java's round-trip
+    // double formatting. Oracle = the original table.
+    "csv_roundtrip" -> ((s, dir) => {
+      val part = Tables.table(s, dir, "part")
+      val out = tmpDir("graft_csv_")
+      part.write.mode("overwrite").option("header", "true").csv(out)
+      s.read.option("header", "true").schema(part.schema).csv(out)
+        .orderBy(col("p_partkey"))
+    }),
+
+    // JSON sink + source roundtrip (schema-on-read with the original
+    // schema; timestamps via the default ISO format).
+    "json_roundtrip" -> ((s, dir) => {
+      val orders = Tables.table(s, dir, "orders")
+      val out = tmpDir("graft_json_")
+      orders.write.mode("overwrite").json(out)
+      s.read.schema(orders.schema).json(out)
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ORC sink + source roundtrip (typed columnar format — exact by
+    // construction; exercises the second columnar code path).
+    "orc_roundtrip" -> ((s, dir) => {
+      val li = Tables.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"), col("l_shipdate"))
+      val out = tmpDir("graft_orc_")
+      li.write.mode("overwrite").orc(out)
+      s.read.orc(out).orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // day-partitioned parquet sink, then a day-filtered read-back: the
+    // filter binds to the partition COLUMN, so pruning happens at file
+    // listing (PartitionFilters in the scan, zero I/O on other days) —
+    // the layout contract that makes time-scoped queries cheap at
+    // 100 TB.
+    "sink_partitioned_prune" -> ((s, dir) => {
+      val out = tmpDir("graft_part_")
+      Tables.events(s, dir)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .write.mode("overwrite").partitionBy("day").parquet(out)
+      s.read.parquet(out)
+        .where(col("day") === "2024-01-05")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(20, 4))).cast("double").as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // corpus unigram-LM cross-entropy per doc: -mean ln p(w) under the
+    // corpus unigram distribution — the cheap LM-quality proxy (high =
+    // rare-word-heavy). Token counts are one hash agg; the per-token
+    // -ln p values ride the 1e-6 decimal grid so the doc mean is
+    // order-independent.
+    "text_lm_score" -> ((s, dir) => {
+      val toks = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val tot = toks.agg(count(lit(1)).as("tot"))
+      val cnt = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+      toks.where(col("doc_id") % 5 === 4)
+        .join(broadcast(cnt), "w").crossJoin(broadcast(tot))
+        .withColumn("nlp", round(-log(col("cnt").cast("double") / col("tot")), 6)
+          .cast(DecimalType(24, 6)))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round((sum(col("nlp")).cast("double") / count(lit(1))), 4).as("lm_score"))
+        .orderBy("doc_id")
+    }),
+
+    // chained stateful streaming: per-day distinct users via streaming
+    // dedup (watermark-bounded state) re-aggregated by a windowed count
+    // — the second two-stateful-operator shape (dedup -> agg).
+    "stream_windowed_distinct" -> ((s, dir) =>
+      graft.streaming.StreamingOps.streamWindowedDistinct(s, dir))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "csv_roundtrip" ->
+      "SELECT * FROM part ORDER BY p_partkey",
+
+    "json_roundtrip" ->
+      "SELECT * FROM orders ORDER BY o_orderkey",
+
+    "orc_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "sink_partitioned_prune" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
+        |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "text_lm_score" ->
+      """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM tok),
+        |cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+        |sc AS (SELECT t.doc_id,
+        |         CAST(round(-ln(CAST(c.cnt AS DOUBLE) / tot.tot), 6) AS DECIMAL(24,6)) AS nlp
+        |       FROM tok t JOIN cnt c ON t.w = c.w CROSS JOIN tot
+        |       WHERE t.doc_id % 5 = 4)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  round(CAST(SUM(nlp) AS DOUBLE) / COUNT(*), 4) AS lm_score
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // append-mode chained stateful ops emit only watermark-closed
+    // windows: the day containing max(ts) is still open at the drain's
+    // end -> excluded (same contract as stream_two_level_agg)
+    "stream_windowed_distinct" ->
+      """WITH mx AS (SELECT strftime(MAX(ts), '%Y-%m-%d') AS lastday FROM events)
+        |SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events WHERE strftime(ts, '%Y-%m-%d') < (SELECT lastday FROM mx)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

@@ -196,6 +196,28 @@ object StreamingOps {
   }
 
   /**
+   * Chained stateful streaming DISTINCT: per-day distinct users via
+   * streaming dropDuplicates (state = one row per (day, user), cleaned
+   * up as the watermark passes the day) re-aggregated by a windowed
+   * count — dedup followed by agg, the second two-stateful-operator
+   * shape next to streamTwoLevelAgg's agg->agg. Append mode emits only
+   * watermark-closed days; the day containing max(ts) is still open at
+   * the AvailableNow drain's end and is (deterministically) absent —
+   * the oracle excludes it the same way.
+   */
+  def streamWindowedDistinct(spark: SparkSession, dir: String): DataFrame = withStreamWidth(spark, dir) {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "0 seconds")
+      .select(window(col("ts"), "1 day").as("w"), col("user_id"))
+      .dropDuplicates("w", "user_id")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"), col("n_users"))
+    runToMemory(agg, s"wdistinct_${System.nanoTime()}", OutputMode.Append())
+      .orderBy(col("day"))
+  }
+
+  /**
    * foreachBatch upsert sink with keep-latest-per-key merge semantics —
    * the CDC-compaction write path. Each microbatch is pre-reduced
    * DISTRIBUTED (max-by-(ts, event_id) per user, a hash agg with

@@ -165,4 +165,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // one scan per table — per-customer re-execution would multiply scans
     assert(p.linesIterator.count(_.contains("FileScan")) <= 2, p.take(1500))
   }
+
+  test("day-partitioned sink read-back prunes partitions at the scan") {
+    val df = SparkEntry.queries("sink_partitioned_prune")(spark, sfDir)
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.ExtendedMode)
+    val scanLine = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(scanLine.contains("2024-01-05"),
+      s"day filter must bind to the partition column (file-listing prune):\n$scanLine")
+    // the data filter must NOT degrade to a row-level pushed filter on
+    // day (PartitionFilters and PushedFilters print on one scan line —
+    // extract the PushedFilters bracket itself)
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(scanLine).map(_.group(1)).getOrElse("")
+    assert(!pushed.contains("2024-01-05"),
+      s"day is a partition column; it must prune at listing, not row filtering: [$pushed]")
+  }
 }
