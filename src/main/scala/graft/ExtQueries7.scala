@@ -11,19 +11,28 @@ import graft.operators.Tables
  * CSV / JSON / ORC write-read roundtrips (format fidelity is a
  * correctness property of the engine, checked against the original
  * table's oracle), a partitioned sink whose read-back prunes
- * partitions, a corpus unigram-LM cross-entropy score, and a chained
- * stateful streaming distinct (dedup -> windowed agg).
+ * partitions, a corpus unigram-LM cross-entropy score, a chained
+ * stateful streaming distinct (dedup -> windowed agg), and a
+ * bin-blocked interval-overlap join (IntervalJoin).
  *
  * Sink scale posture: the partitioned write is the 100 TB layout
  * contract — day-partitioned events mean a day-filtered query reads
  * 1/30th of the data (partition pruning happens at file listing, before
- * any I/O); the roundtrips run through a temp dir per call and overwrite
- * idempotently.
+ * any I/O); all sinks write under one per-JVM temp root with overwrite
+ * semantics, so repeated runs stay disk-bounded.
  */
 object ExtQueries7 {
 
-  private def tmpDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  // One sink root per JVM, one subdirectory per query, overwrite-mode
+  // writes: repeated invocations (Bench loops, long-lived sessions)
+  // rewrite in place instead of accumulating a fresh temp dir per call.
+  private lazy val sinkRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_sinks_")
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  private def tmpDir(name: String): String = sinkRoot.resolve(name).toString
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -32,7 +41,7 @@ object ExtQueries7 {
     // double formatting. Oracle = the original table.
     "csv_roundtrip" -> ((s, dir) => {
       val part = Tables.table(s, dir, "part")
-      val out = tmpDir("graft_csv_")
+      val out = tmpDir("csv_roundtrip")
       part.write.mode("overwrite").option("header", "true").csv(out)
       s.read.option("header", "true").schema(part.schema).csv(out)
         .orderBy(col("p_partkey"))
@@ -42,7 +51,7 @@ object ExtQueries7 {
     // schema; timestamps via the default ISO format).
     "json_roundtrip" -> ((s, dir) => {
       val orders = Tables.table(s, dir, "orders")
-      val out = tmpDir("graft_json_")
+      val out = tmpDir("json_roundtrip")
       orders.write.mode("overwrite").json(out)
       s.read.schema(orders.schema).json(out)
         .orderBy(col("o_orderkey"))
@@ -54,7 +63,7 @@ object ExtQueries7 {
       val li = Tables.table(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_returnflag"), col("l_shipdate"))
-      val out = tmpDir("graft_orc_")
+      val out = tmpDir("orc_roundtrip")
       li.write.mode("overwrite").orc(out)
       s.read.orc(out).orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
@@ -65,7 +74,7 @@ object ExtQueries7 {
     // the layout contract that makes time-scoped queries cheap at
     // 100 TB.
     "sink_partitioned_prune" -> ((s, dir) => {
-      val out = tmpDir("graft_part_")
+      val out = tmpDir("sink_partitioned")
       Tables.events(s, dir)
         .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
         .write.mode("overwrite").partitionBy("day").parquet(out)
@@ -101,7 +110,29 @@ object ExtQueries7 {
     // dedup (watermark-bounded state) re-aggregated by a windowed count
     // — the second two-stateful-operator shape (dedup -> agg).
     "stream_windowed_distinct" -> ((s, dir) =>
-      graft.streaming.StreamingOps.streamWindowedDistinct(s, dir))
+      graft.streaming.StreamingOps.streamWindowedDistinct(s, dir)),
+
+    // interval-overlap join WITHOUT an equi key: 7-day order-fulfilment
+    // intervals x overlapping 15-day promo windows, bin-blocked
+    // (IntervalJoin) so the theta join becomes an equi-join on 10-day
+    // bins with each pair emitted exactly once (canonical-bin rule —
+    // no distinct).
+    "join_interval_binned" -> ((s, dir) => {
+      val o = Tables.table(s, dir, "orders")
+        .select(col("o_orderkey"),
+          expr("unix_date(CAST(o_orderdate AS DATE))").cast("long").as("ls"))
+        .withColumn("le", col("ls") + 7)
+      val base = o.agg(min(col("ls")).as("d0"))
+      val wins = s.range(0, 20).crossJoin(broadcast(base))
+        .select(col("id").as("w_id"),
+          (col("d0") + col("id") * 10).as("rs"),
+          (col("d0") + col("id") * 10 + 15).as("re"))
+      graft.operators.IntervalJoin.overlapBinned(o, broadcast(wins), 10L)
+        .select(col("o_orderkey"), col("w_id"),
+          (least(col("le"), col("re")) - greatest(col("ls"), col("rs")))
+            .as("overlap_days"))
+        .orderBy(col("o_orderkey"), col("w_id"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -142,6 +173,23 @@ object ExtQueries7 {
         |SELECT strftime(ts, '%Y-%m-%d') AS day,
         |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events WHERE strftime(ts, '%Y-%m-%d') < (SELECT lastday FROM mx)
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // independent derivation: plain theta join (the binned equi-join
+    // must produce exactly the naive overlap set)
+    "join_interval_binned" ->
+      """WITH o AS (SELECT o_orderkey,
+        |             CAST(datediff('day', DATE '1970-01-01',
+        |               CAST(o_orderdate AS DATE)) AS BIGINT) AS ls
+        |           FROM orders),
+        |oi AS (SELECT o_orderkey, ls, ls + 7 AS le FROM o),
+        |base AS (SELECT MIN(ls) AS d0 FROM oi),
+        |w AS (SELECT CAST(i AS BIGINT) AS w_id, d0 + i * 10 AS rs,
+        |        d0 + i * 10 + 15 AS re
+        |      FROM base, UNNEST(range(0, 20)) r(i))
+        |SELECT oi.o_orderkey, w.w_id,
+        |  CAST(LEAST(oi.le, w.re) - GREATEST(oi.ls, w.rs) AS BIGINT) AS overlap_days
+        |FROM oi JOIN w ON oi.ls < w.re AND w.rs < oi.le
+        |ORDER BY oi.o_orderkey, w.w_id""".stripMargin
   )
 }

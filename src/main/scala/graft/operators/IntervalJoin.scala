@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Bin-blocked interval overlap join — the scale path for joining two
+ * interval sets on `overlaps` (no equi key): assigning every interval
+ * to its covered fixed-width bins turns the quadratic theta join into
+ * an equi-join on bin, with fan-out |interval| / binWidth per row.
+ *
+ * Each overlapping pair is emitted EXACTLY ONCE without a distinct():
+ * a pair only materializes in its canonical bin — max(bin(ls),
+ * bin(rs)), the first bin where both intervals are live (both interval
+ * bin ranges contain it iff the intervals overlap, and it is unique
+ * per pair). A distinct() would re-shuffle the full pair output;
+ * the canonical-bin filter is evaluated inside the joined stage.
+ *
+ * At 100 TB the bin width is the knob: width ~ median interval length
+ * keeps the per-row fan-out at ~2 while keeping any one bin's
+ * population (the join's hash bucket) bounded; AQE handles residual
+ * bin skew. Intervals are half-open [s, e) over a non-negative long
+ * domain (epoch days/seconds; DIV truncation = floor there).
+ */
+object IntervalJoin {
+
+  /**
+   * left must carry (ls, le), right (rs, re); all other columns are
+   * passed through. Both e exclusive, all values >= 0.
+   */
+  def overlapBinned(left: DataFrame, right: DataFrame, binWidth: Long): DataFrame = {
+    val lb = left.withColumn("__bin",
+      explode(sequence(expr(s"ls DIV $binWidth"), expr(s"(le - 1) DIV $binWidth"))))
+    val rb = right.withColumn("__bin",
+      explode(sequence(expr(s"rs DIV $binWidth"), expr(s"(re - 1) DIV $binWidth"))))
+    lb.join(rb, "__bin")
+      .where(col("ls") < col("re") && col("rs") < col("le") &&
+        col("__bin") === greatest(expr(s"ls DIV $binWidth"), expr(s"rs DIV $binWidth")))
+      .drop("__bin")
+  }
+}

@@ -19,6 +19,13 @@ import org.apache.spark.sql.types._
  */
 object StreamingOps {
 
+  /** Per-JVM root for the upsert sink (see streamUpsertLatest). */
+  private lazy val upsertSinkRoot: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_upsert_")
+    p.toFile.deleteOnExit()
+    p.resolve("sink").toString
+  }
+
   /** Driver events.parquet schema (ts read as nanos-long, see Tables). */
   private val eventsSchema = StructType(Seq(
     StructField("event_id", LongType),
@@ -233,7 +240,14 @@ object StreamingOps {
    * event_id is unique.
    */
   def streamUpsertLatest(spark: SparkSession, dir: String): DataFrame = withStreamWidth(spark, dir) {
-    val sinkDir = java.nio.file.Files.createTempDirectory("graft_upsert_").toString
+    // fixed per-JVM sink dir, CLEARED before each drain: a stale
+    // batch=N directory from a longer previous run would survive the
+    // per-batch overwrite and corrupt the compacting read; per-call
+    // temp dirs would leak disk in a long-lived session instead
+    val sinkDir = upsertSinkRoot
+    val fs = new org.apache.hadoop.fs.Path(sinkDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(sinkDir), true)
     val latest = (df: DataFrame) => df
       .groupBy(col("user_id"))
       .agg(max(struct(col("tus"), col("event_id"), col("value"))).as("m"))

@@ -112,6 +112,28 @@ class Ext6Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("IntervalJoin.overlapBinned equals the naive theta join, each pair once") {
+    import graft.operators.IntervalJoin
+    val l = spark.range(0, 200)
+      .select(col("id").as("lkey"), (col("id") * 3 % 97).as("ls"))
+      .withColumn("le", col("ls") + 1 + col("lkey") % 13)
+    val r = spark.range(0, 50)
+      .select(col("id").as("rkey"), (col("id") * 7 % 89).as("rs"))
+      .withColumn("re", col("rs") + 2 + col("rkey") % 17)
+    for (binWidth <- Seq(1L, 5L, 64L)) {
+      val binned = IntervalJoin.overlapBinned(l, r, binWidth)
+        .select(col("lkey"), col("rkey")).collect()
+        .map(x => (x.getLong(0), x.getLong(1)))
+      val naive = l.join(r, col("ls") < col("re") && col("rs") < col("le"))
+        .select(col("lkey"), col("rkey")).collect()
+        .map(x => (x.getLong(0), x.getLong(1)))
+      assert(binned.length == binned.distinct.length,
+        s"binWidth=$binWidth emitted duplicate pairs")
+      assert(binned.sorted.toSeq == naive.sorted.toSeq,
+        s"binWidth=$binWidth: ${binned.length} pairs vs naive ${naive.length}")
+    }
+  }
+
   test("text_entropy: bounded by 0 and log2(n_distinct-ish upper bound)") {
     q("text_entropy").collect().foreach { r =>
       val n = r.getLong(1)
