@@ -112,6 +112,14 @@ object ExtQueries7 {
     "stream_windowed_distinct" -> ((s, dir) =>
       graft.streaming.StreamingOps.streamWindowedDistinct(s, dir)),
 
+    // custom session windows on transformWithState with EVENT-TIME
+    // TIMERS (the reference's operator model: buffer per key, fire at
+    // the watermark) — same closed-session oracle as the
+    // session_window-based stream_session_agg, so the two independent
+    // implementations cross-check each other.
+    "stream_session_timers" -> ((s, dir) =>
+      graft.streaming.SessionStream.sessionAgg(s, dir)),
+
     // interval-overlap join WITHOUT an equi key: 7-day order-fulfilment
     // intervals x overlapping 15-day promo windows, bin-blocked
     // (IntervalJoin) so the theta join becomes an equi-join on 10-day
@@ -174,6 +182,31 @@ object ExtQueries7 {
         |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events WHERE strftime(ts, '%Y-%m-%d') < (SELECT lastday FROM mx)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same closed-session contract as stream_session_agg (sessions
+    // whose end = last event + gap <= global max ts)
+    "stream_session_timers" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN LAG(ts) OVER w IS NULL
+        |                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sgrp AS (
+        |  SELECT user_id, ts,
+        |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o),
+        |sess AS (
+        |  SELECT user_id, sid, COUNT(*) AS n_events,
+        |         MAX(ts) + INTERVAL 30 MINUTE AS send
+        |  FROM sgrp GROUP BY user_id, sid),
+        |closed AS (
+        |  SELECT * FROM sess WHERE send <= (SELECT MAX(ts) FROM events))
+        |SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n_events) AS BIGINT) AS n_events,
+        |       MAX(n_events) AS max_session_events
+        |FROM closed GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // independent derivation: plain theta join (the binned equi-join
     // must produce exactly the naive overlap set)

@@ -59,23 +59,11 @@ object ItemCutStream {
    */
   def sampled(spark: org.apache.spark.sql.SparkSession, dir: String, fMax: Int): DataFrame = StreamingOps.withStreamWidth(spark, dir) {
     import spark.implicits._
-    // transformWithState requires the RocksDB provider; set it for THIS
-    // query only and restore the session's prior value (shared sessions
-    // must not inherit a permanently mutated state-store provider).
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val priorProvider = spark.conf.getOption(providerKey)
-    spark.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    // recentProgress is capped by numRecentProgressUpdates (default 100)
-    // and would undercount long drains; raise the cap for this query so
-    // the one-data-microbatch assertion sees every batch, and restore it.
-    // 2000 comfortably covers any AvailableNow drain while bounding the
-    // driver's retained StreamingQueryProgress objects (each ~KBs) if a
-    // concurrent stream shares the session inside this window.
-    val progressKey = "spark.sql.streaming.numRecentProgressUpdates"
-    val priorProgress = spark.conf.getOption(progressKey)
-    spark.conf.set(progressKey, "2000")
-    try {
+    // RocksDB provider + progress-retention cap, query-scoped and
+    // restored after (see StreamingOps.withTransformWithStateConf); the
+    // raised progress cap lets the one-data-microbatch assertion below
+    // see every batch of the drain.
+    StreamingOps.withTransformWithStateConf(spark) {
       val stream = StreamingOps.eventsStream(spark, dir)
         .select(
           get_json_object(col("props"), "$.k").cast("int").as("item"),
@@ -102,15 +90,6 @@ object ItemCutStream {
       spark.table(name)
         .select(col("item"), col("event_id"), col("user"))
         .orderBy(col("item"), col("event_id"))
-    } finally {
-      priorProvider match {
-        case Some(v) => spark.conf.set(providerKey, v)
-        case None => spark.conf.unset(providerKey)
-      }
-      priorProgress match {
-        case Some(v) => spark.conf.set(progressKey, v)
-        case None => spark.conf.unset(progressKey)
-      }
     }
   }
 }

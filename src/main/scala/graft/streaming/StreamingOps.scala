@@ -78,6 +78,26 @@ object StreamingOps {
     try f finally spark.conf.set("spark.sql.shuffle.partitions", default)
   }
 
+  /**
+   * transformWithState session setup shared by every StatefulProcessor
+   * drain: the RocksDB provider (required by transformWithState) and a
+   * progress-retention cap high enough for drain assertions, both set
+   * for the enclosed query only and restored after (shared sessions
+   * must not inherit a permanently mutated provider).
+   */
+  def withTransformWithStateConf[A](spark: SparkSession)(f: => A): A = {
+    val swaps = Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.numRecentProgressUpdates" -> "2000")
+    val prior = swaps.map { case (k, _) => k -> spark.conf.getOption(k) }
+    swaps.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** Streaming scan of the events table (file source, event-time ts). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -71,11 +71,9 @@ object TopKStream {
   def topK(spark: org.apache.spark.sql.SparkSession, dir: String, k: Int): DataFrame =
     StreamingOps.withStreamWidth(spark, dir) {
       import spark.implicits._
-      val providerKey = "spark.sql.streaming.stateStore.providerClass"
-      val priorProvider = spark.conf.getOption(providerKey)
-      spark.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
+      // RocksDB provider, query-scoped and restored after (see
+      // StreamingOps.withTransformWithStateConf)
+      StreamingOps.withTransformWithStateConf(spark) {
         val stream = StreamingOps.eventsStream(spark, dir)
           .select(
             get_json_object(col("props"), "$.k").cast("int").as("item"),
@@ -101,11 +99,6 @@ object TopKStream {
           .where(col("version") === col("vmax"))
           .select(col("item"), col("id").as("event_id"), col("score").as("value"))
           .orderBy(col("item"), col("event_id"))
-      } finally {
-        priorProvider match {
-          case Some(v) => spark.conf.set(providerKey, v)
-          case None => spark.conf.unset(providerKey)
-        }
       }
     }
 }
