@@ -214,12 +214,23 @@ object ExtQueries6 {
       val d2 = Similarity.dotQ(col("qv"), col("qv")) +
         Similarity.dotQ(col("cv"), col("cv")) -
         lit(2L) * Similarity.dotQ(col("qv"), col("cv"))
+      // argmin as min(ONE long): struct-ordered min/min_by both fall
+      // back to SortAggregate (struct buffers aren't hash-aggregable),
+      // which sorts the 8x-corpus join output on both shuffle sides.
+      // Packing (dist2, dense code index) into a single long keeps the
+      // whole aggregation in HashAggregate: dist2 <= 64*(2e6)^2 needs
+      // 48 bits, the dense index (vec_id DIV 64 here) gets 13 —
+      // codebooks are <= 4k codewords in practice (PQ uses 256).
+      // min(packed) == lexicographic (dist2, code_id) min, ties broken
+      // identically because the index is monotone in code_id.
       emb.crossJoin(broadcast(codes))
-        .select(col("vec_id"), col("code_id"), d2.as("dist2"))
+        .select(col("vec_id"),
+          (d2 * lit(8192L) + expr("code_id DIV 64")).as("packed"))
         .groupBy("vec_id")
-        .agg(min(struct(col("dist2"), col("code_id"))).as("m"))
-        .select(col("vec_id"), col("m.code_id").as("code_id"),
-          col("m.dist2").as("dist2"))
+        .agg(min(col("packed")).as("p"))
+        .select(col("vec_id"),
+          (col("p") % 8192L * 64L).as("code_id"),
+          expr("p DIV 8192").as("dist2"))
         .orderBy("vec_id")
     }),
 
