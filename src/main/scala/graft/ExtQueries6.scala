@@ -224,8 +224,15 @@ object ExtQueries6 {
       // min(packed) == lexicographic (dist2, code_id) min, ties broken
       // identically because the index is monotone in code_id.
       emb.crossJoin(broadcast(codes))
-        .select(col("vec_id"),
-          (d2 * lit(8192L) + expr("code_id DIV 64")).as("packed"))
+        .select(col("vec_id"), expr("code_id DIV 64").as("cidx"), d2.as("d2"))
+        // fail fast instead of silently corrupting the min if the data
+        // outgrows the packing (index bleeding into distance bits /
+        // Long overflow); assert_true lives in a filter so the check
+        // cannot be pruned away as an unused column
+        .where(assert_true(col("cidx") < 8192L && col("d2") < lit(1L << 50),
+          lit("vq_assign packed-argmin bounds exceeded: need codeIndex < 2^13 and dist2 < 2^50"))
+          .isNull)
+        .select(col("vec_id"), (col("d2") * 8192L + col("cidx")).as("packed"))
         .groupBy("vec_id")
         .agg(min(col("packed")).as("p"))
         .select(col("vec_id"),

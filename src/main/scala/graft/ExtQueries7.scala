@@ -23,16 +23,7 @@ import graft.operators.Tables
  */
 object ExtQueries7 {
 
-  // One sink root per JVM, one subdirectory per query, overwrite-mode
-  // writes: repeated invocations (Bench loops, long-lived sessions)
-  // rewrite in place instead of accumulating a fresh temp dir per call.
-  private lazy val sinkRoot: java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory("graft_sinks_")
-    p.toFile.deleteOnExit()
-    p
-  }
-
-  private def tmpDir(name: String): String = sinkRoot.resolve(name).toString
+  private def tmpDir(name: String): String = graft.operators.Sinks.dir(name)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

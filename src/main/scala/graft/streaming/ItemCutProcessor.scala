@@ -84,6 +84,10 @@ object ItemCutStream {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // the retention cap must not have evicted early progress entries,
+      // or the data-batch count below could undercount and vacuously pass
+      require(q.recentProgress.length < 2000,
+        "progress window saturated; the one-data-microbatch check below would undercount")
       val dataBatches = q.recentProgress.count(_.numInputRows > 0)
       require(dataBatches <= 1,
         s"stream_item_cut's batch-oracle equivalence needs one data microbatch, saw $dataBatches")

@@ -56,7 +56,14 @@ class SessionProcessor(gapUs: Long)
         // later event exists) — emit now, no timer needed for it
         out += SessionOut(user, cur.n)
         cur = OpenSession(e.tsUs, e.tsUs, 1L, cur.timerMs)
-      } else cur = cur.copy(lastUs = e.tsUs, n = cur.n + 1)
+      } else {
+        // max(): a cross-batch late arrival (tsUs < lastUs, within the
+        // gap) joins the session but must not move its end BACKWARD —
+        // shrinking lastUs would re-arm the close timer too early and
+        // split the session against the lag/cumsum oracle
+        cur = cur.copy(lastUs = math.max(cur.lastUs, e.tsUs),
+          startUs = math.min(cur.startUs, e.tsUs), n = cur.n + 1)
+      }
     }
     if (cur != null) {
       // (re)arm the close timer at session end; timers are a set keyed

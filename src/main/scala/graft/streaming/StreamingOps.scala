@@ -19,13 +19,6 @@ import org.apache.spark.sql.types._
  */
 object StreamingOps {
 
-  /** Per-JVM root for the upsert sink (see streamUpsertLatest). */
-  private lazy val upsertSinkRoot: String = {
-    val p = java.nio.file.Files.createTempDirectory("graft_upsert_")
-    p.toFile.deleteOnExit()
-    p.resolve("sink").toString
-  }
-
   /** Driver events.parquet schema (ts read as nanos-long, see Tables). */
   private val eventsSchema = StructType(Seq(
     StructField("event_id", LongType),
@@ -264,7 +257,7 @@ object StreamingOps {
     // batch=N directory from a longer previous run would survive the
     // per-batch overwrite and corrupt the compacting read; per-call
     // temp dirs would leak disk in a long-lived session instead
-    val sinkDir = upsertSinkRoot
+    val sinkDir = graft.operators.Sinks.dir("stream_upsert_latest")
     val fs = new org.apache.hadoop.fs.Path(sinkDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(sinkDir), true)
