@@ -103,6 +103,46 @@ object ExtQueries7 {
     "stream_windowed_distinct" -> ((s, dir) =>
       graft.streaming.StreamingOps.streamWindowedDistinct(s, dir)),
 
+    // aggregate-as-window-function: rolling median of the trailing 10
+    // events per user (exact interpolated percentile over a rows
+    // frame) — keyed partitions only, no global sort.
+    "window_rolling_median" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-9, 0)
+      Tables.events(s, dir)
+        .where(col("user_id") % 10 === 2)
+        .select(col("event_id"), col("user_id"),
+          round(expr("percentile(value, 0.5)").over(w), 4).as("med_10"))
+        .orderBy(col("event_id"))
+    }),
+
+    // BPE-style pretokenization counts: letter runs / digit runs /
+    // punctuation runs via regexp_extract_all over deterministically
+    // enriched text (the corpus is bare words, so markers are
+    // synthesized the same way on both sides). Lookahead-free pattern —
+    // portable between Java regex and RE2.
+    "text_pretokenize" -> ((s, dir) =>
+      Tables.table(s, dir, "documents")
+        .where(col("doc_id") % 5 === 1)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" #"), col("doc_id"), lit(" v2.0, (beta)!"))
+            .as("t"))
+        .select(col("doc_id"),
+          size(expr("regexp_extract_all(t, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+', 0)"))
+            .as("n_tokens"),
+          size(expr("regexp_extract_all(t, '[A-Za-z]+', 0)")).as("n_alpha"),
+          size(expr("regexp_extract_all(t, '[0-9]+', 0)")).as("n_num"),
+          size(expr("regexp_extract_all(t, '[^A-Za-z0-9 ]+', 0)")).as("n_other"))
+        .orderBy("doc_id")),
+
+    // observed metrics on a streaming pipeline (Dataset.observe) — the
+    // reference's accumulator surface (SURVEY §6: work-proxy counters
+    // logged per run) in Structured Streaming form: counters ride the
+    // query, summed across microbatches from the progress events.
+    "stream_observe_metrics" -> ((s, dir) =>
+      graft.streaming.StreamingOps.streamObserveMetrics(s, dir)),
+
     // custom session windows on transformWithState with EVENT-TIME
     // TIMERS (the reference's operator model: buffer per key, fire at
     // the watermark) — same closed-session oracle as the
@@ -173,6 +213,32 @@ object ExtQueries7 {
         |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events WHERE strftime(ts, '%Y-%m-%d') < (SELECT lastday FROM mx)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "window_rolling_median" ->
+      """SELECT event_id, user_id,
+        |  round(quantile_cont(value, 0.5) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 4) AS med_10
+        |FROM events WHERE user_id % 10 = 2
+        |ORDER BY event_id""".stripMargin,
+
+    "text_pretokenize" ->
+      """WITH d AS (SELECT doc_id,
+        |             text || ' #' || CAST(doc_id AS VARCHAR) || ' v2.0, (beta)!' AS t
+        |           FROM documents WHERE doc_id % 5 = 1)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+')) AS INT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z]+')) AS INT) AS n_alpha,
+        |  CAST(len(regexp_extract_all(t, '[0-9]+')) AS INT) AS n_num,
+        |  CAST(len(regexp_extract_all(t, '[^A-Za-z0-9 ]+')) AS INT) AS n_other
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "stream_observe_metrics" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_purchase,
+        |  MIN(event_id) AS min_event, MAX(event_id) AS max_event
+        |FROM events""".stripMargin,
 
     // same closed-session contract as stream_session_agg (sessions
     // whose end = last event + gap <= global max ts)

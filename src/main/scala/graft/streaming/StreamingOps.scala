@@ -216,6 +216,43 @@ object StreamingOps {
   }
 
   /**
+   * Observed metrics over a streaming pipeline — the reference's
+   * accumulator surface (its per-run counters: elements buffered,
+   * observed co-occurrences, late drops — SURVEY §6) in Structured
+   * Streaming form. `Dataset.observe` attaches aggregates to the
+   * flowing data (zero extra pass, evaluated inside the stream's own
+   * stages); each microbatch reports them in its progress event and
+   * they reduce across batches (sum/min/max are associative). The
+   * result is returned AS a table so the same DuckDB oracle checks the
+   * counter values exactly.
+   */
+  def streamObserveMetrics(spark: SparkSession, dir: String): DataFrame = withStreamWidth(spark, dir) {
+    val observed = eventsStream(spark, dir)
+      .observe("graft_metrics",
+        count(lit(1)).as("n_rows"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
+        min(col("event_id")).as("min_event"),
+        max(col("event_id")).as("max_event"))
+    val q = windowedAgg(observed).writeStream
+      .format("memory")
+      .queryName(s"observe_${System.nanoTime()}")
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("graft_metrics")))
+      .filter(_.getAs[Long]("n_rows") > 0L) // no-data batches carry null extremes
+    import spark.implicits._
+    Seq((
+      batches.map(_.getAs[Long]("n_rows")).sum,
+      batches.map(_.getAs[Long]("n_purchase")).sum,
+      batches.map(_.getAs[Long]("min_event")).min,
+      batches.map(_.getAs[Long]("max_event")).max))
+      .toDF("n_rows", "n_purchase", "min_event", "max_event")
+  }
+
+  /**
    * Chained stateful streaming DISTINCT: per-day distinct users via
    * streaming dropDuplicates (state = one row per (day, user), cleaned
    * up as the watermark passes the day) re-aggregated by a windowed
