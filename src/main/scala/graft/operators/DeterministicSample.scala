@@ -36,6 +36,19 @@ object DeterministicSample {
     s"(${hModSql(keyE)} % 100 < $pct)"
 
   /**
+   * Per-ROW rate: keep iff H(key) mod 10000 < ratePermyriad — weighted
+   * Bernoulli where the keep probability is a column (quality score,
+   * length prior, ...). The rate rides an integer permyriad grid so
+   * the gate is float-free and engine-portable.
+   */
+  def weighted(df: DataFrame, key: Column, ratePermyriad: Column): DataFrame =
+    df.where(hMod(key) % 10000 < ratePermyriad)
+
+  /** SQL mirror of the weighted gate (DuckDB dialect). */
+  def weightedGateSql(keyE: String, rateE: String): String =
+    s"(${hModSql(keyE)} % 10000 < $rateE)"
+
+  /**
    * Per-stratum rates: keep iff H(key) mod 100 < rate(stratum). Rates
    * ride a broadcast join (tiny by construction); strata missing from
    * the map use defaultPct.
