@@ -90,6 +90,17 @@ object ExtQueries8 {
         .orderBy("src_a", "src_b")
     }),
 
+    // windowed audio-energy stub: 32-byte synthetic "PCM" payloads ->
+    // 4 windows of 8 bytes, exact integer energy per window — the
+    // fixed-frame audio feature-extraction shape (batched
+    // per-partition, windows fan out, payloads never shuffle).
+    "media_audio_energy_stub" -> ((s, dir) =>
+      graft.operators.Multimodal.audioEnergy(
+        graft.operators.Multimodal.pcmTable(
+          Tables.table(s, dir, "documents").where(col("doc_id") % 5 === 3)), 8)
+        .toDF()
+        .orderBy("doc_id", "win_idx")),
+
     // day-over-day change: daily event counts + percent change vs the
     // previous day. The trend window is over the 30-row daily AGGREGATE
     // (day cardinality, not event cardinality) — a single partition of
@@ -153,6 +164,19 @@ object ExtQueries8 {
         |FROM i JOIN sz za ON i.src_a = za.source
         |JOIN sz zb ON i.src_b = zb.source
         |ORDER BY src_a, src_b""".stripMargin,
+
+    // independent byte-level derivation from the same md5 hex
+    "media_audio_energy_stub" ->
+      """WITH m AS (SELECT doc_id, md5(text) || md5(text || 'x') AS hx
+        |           FROM documents WHERE doc_id % 5 = 3),
+        |b AS (SELECT doc_id,
+        |        [CAST(('0x' || substr(hx, 2*i - 1, 2)) AS BIGINT) for i in range(1, 33)] AS by
+        |      FROM m),
+        |e AS (SELECT doc_id, CAST((j - 1) // 8 AS INT) AS win_idx,
+        |        by[CAST(j AS INT)] * by[CAST(j AS INT)] AS sq
+        |      FROM b, UNNEST(range(1, 33)) r(j))
+        |SELECT doc_id, win_idx, CAST(SUM(sq) AS BIGINT) AS energy
+        |FROM e GROUP BY doc_id, win_idx ORDER BY doc_id, win_idx""".stripMargin,
 
     "daily_wow_change" ->
       """WITH d AS (SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n

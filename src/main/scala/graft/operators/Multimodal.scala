@@ -102,6 +102,42 @@ object Multimodal {
       }
   }
 
+  case class AudioWindow(doc_id: Long, win_idx: Int, energy: Long)
+
+  /**
+   * Windowed audio-energy STUB — the fixed-frame feature-extraction
+   * shape of audio processing (RMS/energy per window over PCM): each
+   * payload splits into winBytes-sized windows; per window, the energy
+   * is the exact integer sum of squared unsigned byte values (a real
+   * implementation would decode PCM samples and window with overlap —
+   * the batched per-partition iteration and the window fan-out are the
+   * production plumbing).
+   */
+  def audioEnergy(media: DataFrame, winBytes: Int): Dataset[AudioWindow] = {
+    require(winBytes >= 1, "winBytes must be >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { batch =>
+        batch.flatMap { row =>
+          row.payload.grouped(winBytes).zipWithIndex.map { case (w, i) =>
+            AudioWindow(row.doc_id, i,
+              w.map { b => val u = (b & 0xff).toLong; u * u }.sum)
+          }
+        }
+      }
+  }
+
+  /**
+   * Synthesize a longer "PCM" payload (32 bytes: two md5 blocks) so the
+   * audio stub has multiple windows to fan out.
+   */
+  def pcmTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      unhex(concat(md5(col("text").cast("binary")),
+        md5(concat(col("text"), lit("x")).cast("binary")))).as("payload"))
+
   /** Batched decode / feature extraction over the binary column. */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
