@@ -233,11 +233,13 @@ object ExtQueries7 {
         |  CAST(len(regexp_extract_all(t, '[^A-Za-z0-9 ]+')) AS INT) AS n_other
         |FROM d ORDER BY doc_id""".stripMargin,
 
+    // -1 sentinels mirror the drain's empty-input degradation
     "stream_observe_metrics" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_purchase,
-        |  MIN(event_id) AS min_event, MAX(event_id) AS max_event
+        |  CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS n_purchase,
+        |  COALESCE(MIN(event_id), -1) AS min_event,
+        |  COALESCE(MAX(event_id), -1) AS max_event
         |FROM events""".stripMargin,
 
     // same closed-session contract as stream_session_agg (sessions

@@ -227,29 +227,42 @@ object StreamingOps {
    * counter values exactly.
    */
   def streamObserveMetrics(spark: SparkSession, dir: String): DataFrame = withStreamWidth(spark, dir) {
-    val observed = eventsStream(spark, dir)
-      .observe("graft_metrics",
-        count(lit(1)).as("n_rows"),
-        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
-        min(col("event_id")).as("min_event"),
-        max(col("event_id")).as("max_event"))
-    val q = windowedAgg(observed).writeStream
-      .format("memory")
-      .queryName(s"observe_${System.nanoTime()}")
-      .outputMode(OutputMode.Complete())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val batches = q.recentProgress.toSeq
-      .flatMap(p => Option(p.observedMetrics.get("graft_metrics")))
-      .filter(_.getAs[Long]("n_rows") > 0L) // no-data batches carry null extremes
-    import spark.implicits._
-    Seq((
-      batches.map(_.getAs[Long]("n_rows")).sum,
-      batches.map(_.getAs[Long]("n_purchase")).sum,
-      batches.map(_.getAs[Long]("min_event")).min,
-      batches.map(_.getAs[Long]("max_event")).max))
-      .toDF("n_rows", "n_purchase", "min_event", "max_event")
+    // recentProgress is a ring buffer (default cap 100): raise the cap
+    // query-scoped so a many-microbatch drain cannot silently evict
+    // early counter values, and assert non-saturation below
+    val progressKey = "spark.sql.streaming.numRecentProgressUpdates"
+    val prior = spark.conf.getOption(progressKey)
+    spark.conf.set(progressKey, "2000")
+    try {
+      val observed = eventsStream(spark, dir)
+        .observe("graft_metrics",
+          count(lit(1)).as("n_rows"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
+          min(col("event_id")).as("min_event"),
+          max(col("event_id")).as("max_event"))
+      // noop sink: only the progress-event counters are consumed — the
+      // aggregate itself must not pile up in driver memory / the catalog
+      val q = windowedAgg(observed).writeStream
+        .format("noop")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      require(q.recentProgress.length < 2000,
+        "progress window saturated; observed counters would undercount")
+      val batches = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("graft_metrics")))
+        .filter(_.getAs[Long]("n_rows") > 0L) // no-data batches carry null extremes
+      import spark.implicits._
+      Seq((
+        batches.map(_.getAs[Long]("n_rows")).sum,
+        batches.map(_.getAs[Long]("n_purchase")).sum,
+        if (batches.isEmpty) -1L else batches.map(_.getAs[Long]("min_event")).min,
+        if (batches.isEmpty) -1L else batches.map(_.getAs[Long]("max_event")).max))
+        .toDF("n_rows", "n_purchase", "min_event", "max_event")
+    } finally prior match {
+      case Some(v) => spark.conf.set(progressKey, v)
+      case None => spark.conf.unset(progressKey)
+    }
   }
 
   /**
