@@ -134,6 +134,31 @@ class Ext6Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("IntervalJoin.overlapBinned: randomized equivalence (seeded), incl. touching endpoints") {
+    import graft.operators.IntervalJoin
+    for (seed <- Seq(7, 42, 1337); binWidth <- Seq(3L, 17L)) {
+      val rnd = new scala.util.Random(seed)
+      // adversarial mix: zero-length-adjacent, nested, far-apart intervals
+      val ls = (0 until 300).map { i =>
+        val s = rnd.nextInt(400).toLong; (i.toLong, s, s + 1 + rnd.nextInt(40).toLong)
+      }
+      val rs = (0 until 80).map { i =>
+        val s = rnd.nextInt(400).toLong; (i.toLong, s, s + 1 + rnd.nextInt(60).toLong)
+      }
+      val l = spark.createDataFrame(ls).toDF("lkey", "ls", "le")
+      val r = spark.createDataFrame(rs).toDF("rkey", "rs", "re")
+      val binned = IntervalJoin.overlapBinned(l, r, binWidth)
+        .select(col("lkey"), col("rkey")).collect()
+        .map(x => (x.getLong(0), x.getLong(1)))
+      val naive = ls.flatMap { case (lk, a, b) =>
+        rs.collect { case (rk, c, d) if a < d && c < b => (lk, rk) }
+      }
+      assert(binned.length == binned.distinct.length, s"seed=$seed w=$binWidth dup pairs")
+      assert(binned.sorted.toSeq == naive.sorted,
+        s"seed=$seed w=$binWidth: ${binned.length} vs ${naive.length}")
+    }
+  }
+
   test("text_entropy: bounded by 0 and log2(n_distinct-ish upper bound)") {
     q("text_entropy").collect().foreach { r =>
       val n = r.getLong(1)
