@@ -217,6 +217,7 @@ object ExtQueries {
           sum((col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(20, 4)) *
             (lit(BigDecimal(1)).cast(org.apache.spark.sql.types.DecimalType(20, 4)) -
               col("l_discount").cast(org.apache.spark.sql.types.DecimalType(20, 4)))))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 2))
             .cast("double").as("revenue"),
           count(lit(1)).as("n"))
         .orderBy(col("r_name"), col("n_name"))
@@ -489,8 +490,9 @@ object ExtQueries {
 
     "q5_multijoin" ->
       """SELECT r_name, n_name,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) *
-        |                (CAST(1 AS DECIMAL(20,4)) - CAST(l_discount AS DECIMAL(20,4)))) AS DOUBLE)
+        |       CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) *
+        |                (CAST(1 AS DECIMAL(20,4)) - CAST(l_discount AS DECIMAL(20,4)))),
+        |            2) AS DOUBLE)
         |         AS revenue,
         |       COUNT(*) AS n
         |FROM lineitem

@@ -40,7 +40,10 @@ object ExtQueries8 {
       val prev = Tables.table(s, dir, "orders")
         .where(col("o_orderkey") % 97 =!= 0)
         .select(col("o_orderkey").as("k"),
-          when(col("o_orderkey") % 31 === 0, round(col("o_totalprice") * 1.1, 2))
+          // additive mutation, not *1.1 + round: scaling lands on
+          // half-cent boundaries where Spark's and DuckDB's double
+          // rounding can differ by a cent (caught by the sf0.1 gate)
+          when(col("o_orderkey") % 31 === 0, col("o_totalprice") + 1000.0)
             .otherwise(col("o_totalprice")).as("prev_price"))
       cur.join(prev, Seq("k"), "full_outer")
         .withColumn("status",
@@ -130,7 +133,7 @@ object ExtQueries8 {
     "table_diff" ->
       """WITH cur AS (SELECT o_orderkey AS k, o_totalprice AS cur_price FROM orders),
         |prev AS (SELECT o_orderkey AS k,
-        |           CASE WHEN o_orderkey % 31 = 0 THEN round(o_totalprice * 1.1, 2)
+        |           CASE WHEN o_orderkey % 31 = 0 THEN o_totalprice + 1000.0
         |                ELSE o_totalprice END AS prev_price
         |         FROM orders WHERE o_orderkey % 97 <> 0),
         |j AS (SELECT COALESCE(cur.k, prev.k) AS k, cur_price, prev_price,

@@ -135,9 +135,12 @@ object SparkEntry {
         .agg(
           sum(col("l_quantity").cast(DecimalType(20, 4))).cast("double").as("sum_qty"),
           sum(col("l_extendedprice").cast(DecimalType(20, 4))).cast("double").as("sum_base_price"),
+          // scale-8 product sums exceed 2^53 unscaled at bench SFs; round
+          // the EXACT decimal to scale 2 first so the decimal->double
+          // conversion is an exactly-representable division in any engine
           sum((col("l_extendedprice").cast(DecimalType(20, 4)) *
             (lit(BigDecimal(1)).cast(DecimalType(20, 4)) - col("l_discount").cast(DecimalType(20, 4)))))
-            .cast("double").as("sum_disc_price"),
+            .cast(DecimalType(38, 2)).cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
 
@@ -150,7 +153,7 @@ object SparkEntry {
         .groupBy(col("o_orderkey"))
         .agg(sum((col("l_extendedprice").cast(DecimalType(20, 4)) *
           (lit(BigDecimal(1)).cast(DecimalType(20, 4)) - col("l_discount").cast(DecimalType(20, 4)))))
-          .cast("double").as("revenue"))
+          .cast(DecimalType(38, 2)).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     }),
@@ -416,8 +419,9 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_base_price,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) *
-        |                (CAST(1 AS DECIMAL(20,4)) - CAST(l_discount AS DECIMAL(20,4)))) AS DOUBLE)
+        |       CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) *
+        |                (CAST(1 AS DECIMAL(20,4)) - CAST(l_discount AS DECIMAL(20,4)))),
+        |            2) AS DOUBLE)
         |         AS sum_disc_price,
         |       COUNT(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
@@ -425,8 +429,9 @@ object SparkEntry {
 
     "q3_join" ->
       """SELECT o_orderkey,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) *
-        |                (CAST(1 AS DECIMAL(20,4)) - CAST(l_discount AS DECIMAL(20,4)))) AS DOUBLE)
+        |       CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) *
+        |                (CAST(1 AS DECIMAL(20,4)) - CAST(l_discount AS DECIMAL(20,4)))),
+        |            2) AS DOUBLE)
         |         AS revenue
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
