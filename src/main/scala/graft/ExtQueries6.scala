@@ -36,7 +36,10 @@ object ExtQueries6 {
     // gap-based sessionization (30-min inactivity): the batch form of
     // session windows — lag to mark session breaks, running sum to
     // number them, then per-session stats. All windows are keyed by
-    // user_id; nothing global.
+    // user_id; nothing global. Break at gap >= 30 min — the SAME
+    // boundary contract as session_window (windowed_session) and
+    // SessionProcessor (stream_session_timers): a session stays open
+    // only while successor events land STRICTLY inside lastTs + gap.
     "sessionize_batch" -> ((s, dir) => {
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -44,7 +47,7 @@ object ExtQueries6 {
         .withColumn("tus", expr("unix_micros(ts)"))
         .withColumn("prev", lag(col("tus"), 1).over(byUser))
         .withColumn("brk",
-          when(col("prev").isNull || col("tus") - col("prev") > 1800L * 1000000L, 1L)
+          when(col("prev").isNull || col("tus") - col("prev") >= 1800L * 1000000L, 1L)
             .otherwise(0L))
         .withColumn("session_id", sum(col("brk")).over(running))
         .groupBy(col("user_id"), col("session_id"))
@@ -309,7 +312,7 @@ object ExtQueries6 {
         |             LAG(epoch_us(ts)) OVER (PARTITION BY user_id
         |               ORDER BY ts, event_id) AS prev
         |           FROM events),
-        |f AS (SELECT *, CASE WHEN prev IS NULL OR tus - prev > 1800000000
+        |f AS (SELECT *, CASE WHEN prev IS NULL OR tus - prev >= 1800000000
         |                     THEN 1 ELSE 0 END AS brk FROM o),
         |s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f)

@@ -49,6 +49,11 @@ object Config {
       case ("-s" | "--seed") :: v :: t =>
         val seed = if (v.startsWith("0x")) java.lang.Long.parseLong(v.drop(2), 16) else v.toLong
         go(t, c.copy(seed = seed))
+      // Accepted for CLI parity with the reference (Configuration.java:181-182);
+      // Flink's network buffer-timeout has no analogue here — the microbatch
+      // trigger interval plays this latency/throughput role in Spark.
+      case ("-bt" | "--buffer-timeout") :: v :: t =>
+        v.toLong; go(t, c)
       case ("-h" | "--help") :: _ => Left(usage)
       case other :: _ => Left(s"unknown argument: $other\n$usage")
     }

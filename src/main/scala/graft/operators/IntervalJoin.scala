@@ -24,14 +24,27 @@ import org.apache.spark.sql.functions._
  */
 object IntervalJoin {
 
+  /** Row-level guard: intervals must be NON-EMPTY (`s < e`). Spark's
+    * `sequence(start, stop)` defaults to step -1 when start > stop, so a
+    * malformed interval (e << s) would silently generate an unbounded
+    * descending bin fan-out instead of failing — raise eagerly instead.
+    * Expressed as a filter disjunct (not a projected assert_true column,
+    * which column pruning could silently drop). */
+  private def requireNonEmpty(s: String, e: String) =
+    col(s) < col(e) ||
+      raise_error(concat(lit(s"IntervalJoin.overlapBinned: empty interval ($s >= $e) at $s="),
+        col(s).cast("string"), lit(s", $e="), col(e).cast("string"),
+        lit("; intervals must be non-empty half-open [s, e)"))).isNotNull
+
   /**
    * left must carry (ls, le), right (rs, re); all other columns are
-   * passed through. Both e exclusive, all values >= 0.
+   * passed through. Both e exclusive, all values >= 0, and every
+   * interval non-empty (s < e) — empty/inverted intervals raise.
    */
   def overlapBinned(left: DataFrame, right: DataFrame, binWidth: Long): DataFrame = {
-    val lb = left.withColumn("__bin",
+    val lb = left.where(requireNonEmpty("ls", "le")).withColumn("__bin",
       explode(sequence(expr(s"ls DIV $binWidth"), expr(s"(le - 1) DIV $binWidth"))))
-    val rb = right.withColumn("__bin",
+    val rb = right.where(requireNonEmpty("rs", "re")).withColumn("__bin",
       explode(sequence(expr(s"rs DIV $binWidth"), expr(s"(re - 1) DIV $binWidth"))))
     lb.join(rb, "__bin")
       .where(col("ls") < col("re") && col("rs") < col("le") &&

@@ -50,9 +50,24 @@ object IvfIndex {
   }
 
   /** Deterministic k-means: seeds = nLists lowest vec_ids; `iters` fixed
-    * Lloyd iterations (assignment scan + hash-agg mean per iteration). */
-  def fitCentroids(quantized: DataFrame, nLists: Int, iters: Int): Array[Array[Double]] = {
-    val spark = quantized.sparkSession
+    * Lloyd iterations (assignment scan + hash-agg mean per iteration).
+    *
+    * The fit runs on a bounded deterministic sample (the `maxFitRows`
+    * lowest portable-hash keys — a total order independent of engine and
+    * partitioning), so fit cost is independent of corpus size; the final
+    * ASSIGNMENT still covers the full corpus. Below the cap the sample is
+    * the whole corpus, so small-scale results are bit-identical. */
+  def fitCentroids(quantized: DataFrame, nLists: Int, iters: Int,
+      maxFitRows: Int = 1 << 18): Array[Array[Double]] = {
+    val fit = quantized
+      .orderBy(PortableHash.h(col("vec_id").cast("string")), col("vec_id"))
+      .limit(maxFitRows)
+      .persist()
+    try fitCentroidsFull(fit, nLists, iters)
+    finally { fit.unpersist(); () }
+  }
+
+  private def fitCentroidsFull(quantized: DataFrame, nLists: Int, iters: Int): Array[Array[Double]] = {
     var centroids: Array[Array[Double]] = quantized
       .orderBy(col("vec_id")).limit(nLists)
       .select(col("qv")).collect()

@@ -266,7 +266,17 @@ object Sampling {
         ds.select($"ev.*")
           .groupBy($"user").count().agg(coalesce(max($"count"), lit(0L))).as[Long].collect()
       if (maxPerItem <= fMax && maxPerUser <= kMax) None
-      else Some(ds.select($"wnd").distinct().as[Long].collect().sorted)
+      else {
+        // Guard the driver-side collect: distinct window ids are bounded
+        // by timeRange/windowMs, which is config-controlled — a 1 ms
+        // window over years of data would otherwise materialize millions
+        // of ids here. Fail loudly with the knob to turn.
+        val windowCount = ds.select($"wnd").distinct().count()
+        require(windowCount <= 1000000L,
+          s"sampledCoocDeltas: $windowCount distinct windows exceeds the 1e6 driver bound; " +
+            "increase windowMs (window-size/window-unit) so the window count stays bounded")
+        Some(ds.select($"wnd").distinct().as[Long].collect().sorted)
+      }
     }
 
     // RDD loop with CO-PARTITIONED state for every path (the sentinel

@@ -10,8 +10,21 @@ package graft.operators
 object Sinks {
   private lazy val root: java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory("graft_sinks_")
-    p.toFile.deleteOnExit()
+    // deleteOnExit is a no-op for non-empty directories — register a
+    // recursive-delete shutdown hook so sink output is actually bounded
+    // across JVM runs, not just within one.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(p)))
     p
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    import java.util.Comparator
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
   }
 
   def dir(name: String): String = root.resolve(name).toString

@@ -104,6 +104,30 @@ object SessionStream {
   def sessionAgg(spark: org.apache.spark.sql.SparkSession, dir: String,
       gapMinutes: Int = 30): DataFrame = StreamingOps.withStreamWidth(spark, dir) {
     import spark.implicits._
+    val gapUsL = gapMinutes * 60L * 1000000L
+    // Checkable exactness precondition (ADVICE r4): timers fire at
+    // MILLIsecond grain while the closed-session oracle compares close
+    // times at MICROsecond grain (close <= max(ts)). A close time c in
+    // (maxUs, ceil-to-ms(maxUs)) would fire stream-side yet count open
+    // oracle-side. c = lastUs + gap, so it suffices that NO event's
+    // ts + gap lands in that sub-millisecond sliver — one tiny agg +
+    // filter over the batch table turns the documented assumption into
+    // a loud failure instead of a silent divergence.
+    locally {
+      val evUs = graft.operators.Tables.events(spark, dir)
+        .select(expr("unix_micros(ts)").as("us"))
+      evUs.agg(max(col("us"))).collect().headOption
+        .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+        .foreach { maxUs =>
+          val ceilMsUs = (maxUs / 1000L + 1L) * 1000L
+          val risky = evUs
+            .where(col("us") + gapUsL > maxUs && col("us") + gapUsL < ceilMsUs)
+            .limit(1).count()
+          require(risky == 0L,
+            s"sessionAgg: a session close time lands within 1 ms of the final watermark " +
+              s"(maxUs=$maxUs); ms-grained timers cannot match the microsecond oracle here")
+        }
+    }
     StreamingOps.withTransformWithStateConf(spark) {
       val stream = StreamingOps.eventsStream(spark, dir)
         .withWatermark("ts", "0 seconds")
@@ -111,7 +135,7 @@ object SessionStream {
         .as[SessionProcessor.EvRow]
       val out = stream
         .groupByKey(_.user_id)
-        .transformWithState(new SessionProcessor(gapMinutes * 60L * 1000000L),
+        .transformWithState(new SessionProcessor(gapUsL),
           TimeMode.EventTime(), OutputMode.Append())
         .toDF()
       StreamingOps.runToMemory(out, s"sesstimer_${System.nanoTime()}",

@@ -47,12 +47,31 @@ object StreamingCooc {
       .dropCarriedStats(st.deltas.union(d).localCheckpoint(true))
   }
 
-  /** Rescore the accumulated matrix: row sums first, then LLR top-K. */
-  def rescore(st: State, k: Int): DataFrame = {
+  /** Rescore the accumulated matrix: row sums first, then LLR top-K.
+    *
+    * `devReconcile` (default: the `graft.dev.reconcile` system property)
+    * mirrors the reference's DEV-mode row-sum reconciliation
+    * (ItemRowRescorerTwoInputStreamOperator.java:183-193): the row sums
+    * derived from the raw delta stream must equal the row sums of the
+    * materialized matrix. A mismatch means a cell went negative (a
+    * refund/eviction bug) and fails loudly instead of mis-scoring. */
+  def rescore(st: State, k: Int,
+      devReconcile: Boolean = java.lang.Boolean.getBoolean("graft.dev.reconcile")): DataFrame = {
     val counts = st.deltas
       .groupBy(col("item"), col("other"))
       .agg(sum(col("inc")).as("cnt"))
       .where(col("cnt") > 0)
+    if (devReconcile) {
+      val fromDeltas = st.deltas.groupBy(col("item")).agg(sum(col("inc")).as("delta_sum"))
+      val fromMatrix = counts.groupBy(col("item")).agg(sum(col("cnt")).as("matrix_sum"))
+      val bad = fromDeltas.join(fromMatrix, Seq("item"), "full_outer")
+        .where(coalesce(col("delta_sum"), lit(0L)) =!= coalesce(col("matrix_sum"), lit(0L)))
+        .limit(1).collect()
+      require(bad.isEmpty,
+        s"row-sum reconciliation failed (item=${bad.headOption.map(_.get(0)).orNull}: " +
+          s"delta-sum=${bad.headOption.map(_.get(1)).orNull}, " +
+          s"matrix-sum=${bad.headOption.map(_.get(2)).orNull}) — a cooc cell went negative")
+    }
     Cooccurrence.llrTopKFromCounts(counts, k)
   }
 

@@ -91,13 +91,24 @@ object StreamingOps {
     }
   }
 
-  /** Streaming scan of the events table (file source, event-time ts). */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+  /** Streaming scan of the events table (file source, event-time ts).
+    *
+    * Per-file order contract (reference:
+    * ContinuousFileMonitoringFunction.java:266-294 — splits are forwarded
+    * in modification-time order and input files are never split):
+    * `maxFilesPerTrigger=1` + `latestFirst=false` reproduces it — each
+    * microbatch ingests exactly one file, oldest mod-time first, so the
+    * 0-delay watermark advances between files exactly as the reference's
+    * monitor would, and multi-file late-drop behavior is deterministic. */
+  def eventsStream(spark: SparkSession, dir: String,
+      glob: String = "events.parquet"): DataFrame = {
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () }
     spark.readStream
       .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
+      .option("pathGlobFilter", glob)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
@@ -303,14 +314,13 @@ object StreamingOps {
    * event_id is unique.
    */
   def streamUpsertLatest(spark: SparkSession, dir: String): DataFrame = withStreamWidth(spark, dir) {
-    // fixed per-JVM sink dir, CLEARED before each drain: a stale
-    // batch=N directory from a longer previous run would survive the
-    // per-batch overwrite and corrupt the compacting read; per-call
-    // temp dirs would leak disk in a long-lived session instead
-    val sinkDir = graft.operators.Sinks.dir("stream_upsert_latest")
-    val fs = new org.apache.hadoop.fs.Path(sinkDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(sinkDir), true)
+    // per-invocation sink dir (two concurrent drains in one JVM must not
+    // clobber each other's batch directories), deleted after the
+    // compacted result is materialized — no cross-run disk accumulation
+    val sinkDir = graft.operators.Sinks.dir(s"stream_upsert_latest_${System.nanoTime()}")
+    val sinkPath = new org.apache.hadoop.fs.Path(sinkDir)
+    val fs = sinkPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(sinkPath, true)
     val latest = (df: DataFrame) => df
       .groupBy(col("user_id"))
       .agg(max(struct(col("tus"), col("event_id"), col("value"))).as("m"))
@@ -327,11 +337,16 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    latest(spark.read.parquet(sinkDir))
+    // materialize (one row per user — result-sized) so the sink dir can
+    // be deleted before returning the lazily-consumed frame
+    val out = latest(spark.read.parquet(sinkDir))
       .select(col("user_id"),
         date_format(timestamp_micros(col("tus")), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
         col("event_id").as("last_event"), col("value").as("last_value"))
       .orderBy("user_id")
+      .localCheckpoint(true)
+    fs.delete(sinkPath, true)
+    out
   }
 
   /**

@@ -138,4 +138,29 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L))
   }
+
+  test("sampled pipeline: pathological window config (1 ms windows over a long range) fails loudly") {
+    // 1.1M rows, one per millisecond, windowMs=1 -> 1.1M distinct window
+    // ids; the driver-side window-id collect must refuse (>1e6 bound)
+    // instead of materializing millions of ids
+    val inter = spark.range(1100000L)
+      .select(col("id").cast("int").as("user"), lit(1).as("item"),
+        timestamp_millis(col("id")).as("ts"))
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.sampledCoocDeltas(inter, 0, 0, seed = 1L, windowMs = 1L).count()
+    }
+    assert(ex.getMessage.contains("windowMs"))
+  }
+
+  test("interval join: empty/inverted intervals raise instead of descending-sequence fan-out") {
+    val left = spark.createDataFrame(Seq((5L, 5L, "a"))).toDF("ls", "le", "lv") // empty: ls == le
+    val right = spark.createDataFrame(Seq((0L, 10L, "b"))).toDF("rs", "re", "rv")
+    val ex = intercept[Throwable] {
+      IntervalJoin.overlapBinned(left, right, 10L).collect()
+    }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(ex).exists(t =>
+      Option(t.getMessage).exists(_.contains("empty interval"))))
+  }
 }

@@ -45,6 +45,19 @@ class MainSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Config.parse(Array("-i", "/x", "-ws", "1", "--bogus")).isLeft)
   }
 
+  test("config accepts the reference's full default command line incl. -bt (Configuration.java:181-182)") {
+    // buffer-timeout is accepted-and-ignored: Flink's network buffer
+    // timeout has no analogue; the microbatch trigger interval plays
+    // that latency/throughput role here
+    val c = Config.parse(Array("-i", "/x", "-ic", "500", "-uc", "500", "-k", "10",
+      "-ws", "3600000", "-wu", "MILLISECONDS", "-bt", "100", "-s", "42")).toOption.get
+    assert(c.itemCut == 500 && c.topK == 10 && c.seed == 42L)
+    val c2 = Config.parse(Array("-i", "/x", "-ws", "1", "--buffer-timeout", "5")).toOption.get
+    assert(c2.windowMs == 1L)
+    assert(scala.util.Try(Config.parse(Array("-i", "/x", "-ws", "1", "-bt", "nan")).isLeft)
+      .getOrElse(true)) // malformed value: Left or a parse exception, never silent success
+  }
+
   test("end-to-end CSV job: known tiny dataset produces the expected top-K") {
     // users 1 and 2 both interact with items 10 and 20 -> strong cooc
     val lines = Seq(

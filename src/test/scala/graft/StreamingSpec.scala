@@ -171,6 +171,78 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.nonEmpty)
   }
 
+  test("multi-file stream honors mod-time file order: older file first, newer file's earlier events late-dropped") {
+    // reference contract (ContinuousFileMonitoringFunction.java:266-294):
+    // splits forward in modification-time order, files never split. Files
+    // A and B (older mtimes) hold day-2 events; file C (newest) holds
+    // day-1 events. maxFilesPerTrigger=1 + latestFirst=false must ingest
+    // A, B, then C — and since Spark filters late events with the
+    // PREVIOUS batch's watermark (split late/eviction watermarks), C's
+    // day-1 rows are judged against the watermark established after A
+    // and dropped. In a single combined batch they would survive.
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val dir = Files.createTempDirectory("graft_order").toString
+    def writeOne(rows: Seq[(Long, Long, Long, String, Double, String)],
+        name: String, mtimeMs: Long): Unit = {
+      val sp = spark; import sp.implicits._
+      val stage = Files.createTempDirectory("graft_order_stage").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage)).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val target = Paths.get(dir, name)
+      Files.copy(part, target)
+      Files.setLastModifiedTime(target, FileTime.fromMillis(mtimeMs))
+    }
+    val usPerDay = 86400L * 1000000L
+    def nanos(day: Long, sec: Long) = (day * usPerDay + sec * 1000000L) * 1000L
+    val now = System.currentTimeMillis()
+    // file A (OLDER mtime): 3 events on day 2
+    writeOne(Seq(
+      (1L, nanos(2, 10), 1L, "view", 1.0, "{}"),
+      (2L, nanos(2, 20), 2L, "view", 2.0, "{}"),
+      (3L, nanos(2, 30), 3L, "click", 3.0, "{}")), "a.parquet", now - 60000L)
+    // file B (middle mtime): 2 more day-2 events — advances the batch
+    // index so C meets an already-propagated late-events watermark
+    writeOne(Seq(
+      (6L, nanos(2, 40), 1L, "view", 6.0, "{}"),
+      (7L, nanos(2, 50), 2L, "view", 7.0, "{}")), "b.parquet", now - 30000L)
+    // file C (NEWEST mtime): 2 events on day 1 — late once A+B were seen
+    writeOne(Seq(
+      (4L, nanos(1, 10), 1L, "view", 4.0, "{}"),
+      (5L, nanos(1, 20), 2L, "view", 5.0, "{}")), "c.parquet", now)
+    val agg = StreamingOps.eventsStream(spark, dir, glob = "*.parquet")
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"), col("n"))
+    // Update mode: the sink appends one row per updated window per batch
+    val upd = StreamingOps.runToMemory(agg, s"order_${System.nanoTime()}",
+        OutputMode.Update()).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(!upd.exists(_._1 == "1970-01-02"),
+      s"day-1 events from the newest file must be late-dropped, got ${upd.toSeq}")
+    assert(upd.filter(_._1 == "1970-01-03").map(_._2).max == 5L,
+      s"day-2 window must see both on-time files, got ${upd.toSeq}")
+  }
+
+  test("DEV row-sum reconciliation catches a negative cooc cell; passes on a consistent matrix") {
+    val sp = spark; import sp.implicits._
+    import graft.operators.Sampling.CoocDelta
+    val good = new StreamingCooc.State(spark)
+    good.deltas = Seq(CoocDelta(1, 2, 1), CoocDelta(2, 1, 1)).toDS()
+    assert(StreamingCooc.rescore(good, 5, devReconcile = true).count() >= 0L)
+    val bad = new StreamingCooc.State(spark)
+    // cell (1,2) nets to -1: filtered from the matrix but present in the
+    // delta row sums -> reconciliation must fail loudly
+    bad.deltas = Seq(CoocDelta(1, 2, 1), CoocDelta(1, 2, -2), CoocDelta(3, 4, 1)).toDS()
+    val ex = intercept[IllegalArgumentException] {
+      StreamingCooc.rescore(bad, 5, devReconcile = true).count()
+    }
+    assert(ex.getMessage.contains("reconciliation"))
+  }
+
   test("streaming windowed agg (update mode, AvailableNow) == batch day agg") {
     val streamed = StreamingOps.streamWindowedAgg(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
