@@ -47,6 +47,10 @@ object ExtQueries {
 
     // LSH ANN is approximate by design -> no SQL oracle (rows-only check);
     // SimilaritySpec measures its recall against the exact result.
+    // LSH ANN is deterministic end-to-end (fixed hyperplane signs), so it
+    // IS fully oracled: the DuckDB oracle mirrors bucket assignment,
+    // multi-probe expansion, scoring and ranking from the same literal
+    // sign constants (generated below — the two sides cannot drift).
     "ann_topk_lsh" -> ((s, dir) =>
       Similarity.lshTopK(embs(s, dir), AnnQueries, 10, dims = 64, nPlanes = 4)
         .orderBy(col("query_id"), col("rnk"))),
@@ -56,6 +60,45 @@ object ExtQueries {
     "ann_topk_ivf" -> ((s, dir) =>
       IvfIndex.ivfTopK(embs(s, dir), AnnQueries, 10, nLists = 16, nProbe = 4)
         .orderBy(col("query_id"), col("rnk"))),
+
+    // IVF soundness harness (oracled): every returned (query, id, score)
+    // must carry the EXACT cosine of that pair, ranks must be contiguous
+    // from 1, and the rank-r score can never beat the exact rank-r score.
+    // The oracle states the invariant (all-true per query); the Spark
+    // side MEASURES it by rejoining the IVF output against the corpus
+    // and the exact ranking — turning the rows-only approx query into a
+    // checkable one.
+    "ann_ivf_sound" -> ((s, dir) => {
+      val ivf = IvfIndex.ivfTopK(embs(s, dir), AnnQueries, 10, nLists = 16, nProbe = 4)
+      val corpus = Similarity.quantizedWithNorm(embs(s, dir))
+      val qSide = corpus.select(col("vec_id").as("query_id"),
+        col("qv").as("qqv"), col("norm").as("qnorm"))
+      val exactPair = ivf
+        .join(broadcast(qSide), "query_id")
+        .join(corpus, "vec_id")
+        .select(col("query_id"), col("rnk"), col("cos"),
+          round(Similarity.cosineFromParts(
+            Similarity.dotQ(col("qqv"), col("qv")), col("qnorm"), col("norm")), 4).as("excos"))
+      val exactTop = Similarity.bruteForceTopK(embs(s, dir), AnnQueries, 10)
+        .select(col("query_id"), col("rnk"), col("cos").as("best_cos"))
+      exactPair.join(broadcast(exactTop), Seq("query_id", "rnk"))
+        .groupBy(col("query_id"))
+        .agg(
+          bool_and(col("cos") === col("excos")).as("scores_exact"),
+          (max(col("rnk")) === count(lit(1)) && min(col("rnk")) === lit(1) &&
+            count(col("rnk")) === countDistinct(col("rnk"))).as("ranks_ok"),
+          bool_and(col("cos") <= col("best_cos")).as("bounded_by_exact"))
+        .orderBy(col("query_id"))
+    }),
+
+    // embedding near-dup at scale (oracled): banded sign-projection
+    // buckets -> exact verify inside buckets only. The oracle mirrors
+    // the band/bucket computation from the same sign constants, so the
+    // emitted pair set hash-matches exactly; recall vs the quadratic
+    // verifier is measured in ExtOperatorsSpec.
+    "dedup_embedding_lsh" -> ((s, dir) =>
+      Dedup.embeddingNearDupsLsh(embs(s, dir), 0.30)
+        .orderBy(col("vec_a"), col("vec_b"))),
 
     "text_token_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(docs(s, dir)).orderBy(col("doc_id"))),
@@ -402,7 +445,53 @@ object ExtQueries {
       |  FROM embeddings),
       |qn AS (SELECT vec_id, qv, list_inner_product(qv, qv) AS n2 FROM q)""".stripMargin
 
+  /** Sign-random-projection bucket as SQL, GENERATED from the same
+    * literal plane signs as `Similarity.lshBucket` — bit i set when
+    * plane `planes(i)`'s signed projection is positive. */
+  private def bucketSql(planes: Range, dims: Int = 64): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      val signs = Similarity.planeSigns(p, dims).mkString("[", ", ", "]")
+      s"(CASE WHEN list_inner_product(qv, $signs) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
   def oracleSql: Map[String, String] = Map(
+    "ann_topk_lsh" ->
+      s"""WITH $quantSql,
+         |bk AS (SELECT vec_id, qv, n2, ${bucketSql(0 until 4)} AS bucket FROM qn),
+         |probes AS (
+         |  SELECT vec_id AS query_id, qv AS qqv, n2 AS qn2,
+         |         unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+         |                 xor(bucket, 4), xor(bucket, 8)]) AS bucket
+         |  FROM bk WHERE vec_id IN (${AnnQueries.mkString(", ")})),
+         |scored AS (
+         |  SELECT p.query_id, c.vec_id,
+         |         ROUND(list_inner_product(p.qqv, c.qv) / (sqrt(p.qn2) * sqrt(c.n2)), 4) AS cos
+         |  FROM probes p JOIN bk c ON c.bucket = p.bucket AND c.vec_id != p.query_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, rnk, vec_id, cos FROM ranked WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    "ann_ivf_sound" ->
+      s"""SELECT CAST(query_id AS BIGINT) AS query_id, true AS scores_exact,
+         |       true AS ranks_ok, true AS bounded_by_exact
+         |FROM (VALUES ${AnnQueries.map(q => s"($q)").mkString(", ")}) t(query_id)
+         |ORDER BY query_id""".stripMargin,
+
+    "dedup_embedding_lsh" ->
+      s"""WITH $quantSql,
+         |bk AS (SELECT vec_id, qv, n2, ${bucketSql(0 until 4)} AS bkt0,
+         |              ${bucketSql(4 until 8)} AS bkt1 FROM qn),
+         |pairs AS (
+         |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |         list_inner_product(x.qv, y.qv) / (sqrt(x.n2) * sqrt(y.n2)) AS cosr
+         |  FROM bk x JOIN bk y
+         |    ON x.vec_id < y.vec_id AND (x.bkt0 = y.bkt0 OR x.bkt1 = y.bkt1))
+         |SELECT vec_a, vec_b, ROUND(cosr, 4) AS cos FROM pairs
+         |WHERE cosr >= 0.30 ORDER BY vec_a, vec_b""".stripMargin,
+
     "join_asof" ->
       """WITH j AS (
         |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,

@@ -369,4 +369,54 @@ object Dedup {
       .where(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
   }
+
+  /**
+   * Embedding near-dup at scale — the documented 100 TB path: candidate
+   * pairs come from BANDED sign-random-projection buckets (nBands
+   * independent plane sets, same shape as MinHash banding), the exact
+   * cosine verifier runs only inside buckets. Corpus² never materializes:
+   * the join is an equi-join on (band, bucket) and each pair is emitted
+   * EXACTLY ONCE — in its first colliding band (pair rows carry both
+   * sides' bucket columns, so "no earlier band collided" is a local
+   * predicate, not a distinct()).
+   *
+   * Recall < 1 by design (a pair colliding in no band is missed);
+   * ExtOperatorsSpec measures recall against the exact quadratic
+   * verifier. Every EMITTED pair is exact — same scores as
+   * embeddingNearDups.
+   */
+  def embeddingNearDupsLsh(embeddings: DataFrame, threshold: Double,
+      dims: Int = 64, nPlanes: Int = 4, nBands: Int = 2): DataFrame = {
+    val q = (0 until nBands).foldLeft(Similarity.quantizedWithNorm(embeddings)) {
+      case (df, band) =>
+        // band b uses planes [b*nPlanes, (b+1)*nPlanes) — independent sets
+        df.withColumn(s"bkt$band",
+          (0 until nPlanes).map { p =>
+            val signs = array(Similarity.planeSigns(band * nPlanes + p, dims).map(lit): _*)
+            when(Similarity.dotQ(col("qv"), signs) > 0, lit(1L << p)).otherwise(lit(0L))
+          }.reduce(_ + _))
+    }
+    val bandRows = q.select(col("*"),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"), col(s"bkt$b").as("bucket"))): _*)).as("bb"))
+      .select(col("vec_id"), col("qv"), col("norm"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"),
+        array((0 until nBands).map(b => col(s"bkt$b")): _*).as("allBkts"))
+    val a = bandRows.as("a")
+    val b = bandRows.as("b")
+    a.join(b, Seq("band", "bucket"))
+      .where(col("a.vec_id") < col("b.vec_id"))
+      // first-colliding-band canonicalization: emit only if no band
+      // before this one also collides (pairs colliding in k bands would
+      // otherwise appear k times)
+      .where(not(exists(zip_with(
+        slice(col("a.allBkts"), lit(1), col("band").cast("int")),
+        slice(col("b.allBkts"), lit(1), col("band").cast("int")),
+        (x, y) => x === y), p => p)))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        Similarity.cosineFromParts(
+          Similarity.dotQ(col("a.qv"), col("b.qv")), col("a.norm"), col("b.norm")).as("cos"))
+      .where(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+  }
 }

@@ -71,6 +71,12 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("vec_id"), col("cos"))
   }
 
+  /** Literal sign vector of one hyperplane — public so the DuckDB oracle
+    * can mirror the bucket computation exactly (the signs are fixed
+    * constants, not data). */
+  def planeSigns(plane: Int, dims: Int): IndexedSeq[Long] =
+    (0 until dims).map(d => planeSign(plane, d))
+
   /** Deterministic pseudo-random hyperplane sign for (plane, dim):
     * +1/-1 from the portable hash of "p:d". */
   private def planeSign(plane: Int, dim: Int): Long = {

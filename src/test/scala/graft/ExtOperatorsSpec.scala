@@ -63,6 +63,28 @@ class ExtOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.3, s"recall $recall too low")
   }
 
+  test("banded embedding LSH dedup: sound (exact scores, subset), near-1 recall on true near-dups, partition-independent") {
+    val exactPairs = Dedup.embeddingNearDups(embs, 0.30).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh1 = Dedup.embeddingNearDupsLsh(embs, 0.30).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    val lsh2 = Dedup.embeddingNearDupsLsh(embs.repartition(7), 0.30).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(lsh1.toMap == lsh2.toMap, "banded LSH dedup must be partition-independent")
+    assert(lsh1.length == lsh1.toMap.size, "each pair must be emitted exactly once")
+    // soundness: every emitted pair is a true pair with the exact score
+    lsh1.foreach { case (k, s) =>
+      assert(exactPairs.get(k).contains(s), s"pair $k not in exact set or score drifted") }
+    // recall on TRUE near-dups (cos >= 0.9): tight pairs collide in some
+    // band almost surely; moderate-cos pairs are allowed to be missed
+    val tight = exactPairs.filter(_._2 >= 0.9).keySet
+    if (tight.nonEmpty) {
+      val got = lsh1.map(_._1).toSet
+      val recall = tight.count(got.contains).toDouble / tight.size
+      assert(recall >= 0.8, s"near-dup recall $recall too low (${tight.size} tight pairs)")
+    }
+  }
+
   test("SimHash banded join finds EVERY pair within hamming <= 3 (pigeonhole)") {
     val fps = Dedup.simhashFingerprints(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
