@@ -32,21 +32,31 @@ object Bench {
     warm("stream_group_topk", timedAny(Set(
       "stream_item_cut", "stream_reservoir_cooc", "stream_group_topk")))
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
-    val failures = scala.collection.mutable.ArrayBuffer[String]()
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case t: Throwable =>
-        failures += name
-        System.err.println(s"[bench] $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
+    // Per-query MEDIANS over `reps` full suite passes (round-4 verdict:
+    // single-pass timings on a shared box swung ±20-40% from contention,
+    // masking and faking regressions). Median of 3 rejects a one-off
+    // spike per query; run walls are reported alongside for transparency.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val failures = scala.collection.mutable.LinkedHashSet[String]()
+    val runs: Seq[Map[String, Double]] = (1 to reps).map { _ =>
+      selected.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch { case t: Throwable =>
+          if (failures.add(name))
+            System.err.println(s"[bench] $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def median(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
+    val medians = selected.keys.map(n => n -> median(runs.map(_(n)))).toMap
+    val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fails = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"sf":"$sfDir"}""")
+    val runWalls = runs.map(_.values.sum).map(w => f"$w%.1f").mkString("[", ",", "]")
+    val total = if (medians.nonEmpty) medians.values.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"run_walls":$runWalls,"queries":$qs,"failures":$fails,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
