@@ -1,0 +1,326 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Cooccurrence, Multimodal, PortableHash, Tables}
+
+/**
+ * Round-5 wave: graph analytics over the bounded item-cooccurrence graph
+ * (triangles, neighborhood Jaccard), a 2-D skyline (pareto front) with a
+ * scale prefilter, vocabulary-coverage pruning, sparse token-count
+ * document cosine via a df-capped inverted index, media checksum dedup
+ * through the binary payload path, last-touch attribution, and
+ * deterministic in-batch negative sampling.
+ *
+ * Scale stances per query are on each entry; every float that crosses an
+ * engine boundary is either exact integer arithmetic, a correctly-rounded
+ * sqrt/division of integers, or ROUND(..., 4)-guarded.
+ */
+object ExtQueries9 {
+
+  /** Undirected item co-occurrence graph (u < v, cooc count >= 3). The
+    * vertex set is the ITEM VOCABULARY, so however large the event log,
+    * the graph is vocab-bounded — the standard trick that makes item-graph
+    * analytics feasible at 100 TB (events aggregate into edges; the edge
+    * list, not the log, feeds the graph ops). */
+  private def itemEdges(s: SparkSession, dir: String): DataFrame =
+    Cooccurrence.coocCounts(Cooccurrence.interactions(s, dir))
+      .where(col("item") < col("other") && col("cnt") >= 3)
+      .select(col("item").as("u"), col("other").as("v"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // triangle count on the item graph: id-oriented edges (u<v) make each
+    // triangle materialize exactly once as e(u,v)+e(v,w)+e(u,w) — no /6
+    // correction, no distinct. At scale, orient by DEGREE instead of id
+    // (lower-degree endpoint first) to bound per-vertex wedge fan-out by
+    // sqrt(|E|); the join shape is identical.
+    "graph_triangles" -> ((s, dir) => {
+      val e = itemEdges(s, dir).localCheckpoint(true) // 3-way self-join: scan once
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.v") === col("e2.u"))
+        .join(e.as("e3"), col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+        .agg(count(lit(1)).as("n_triangles"))
+      e.agg(count(lit(1)).as("n_edges")).crossJoin(tri) // two 1-row aggregates
+    }),
+
+    // neighborhood Jaccard per edge (link-prediction feature): common
+    // neighbors via the wedge join, degrees via one hash agg, ratio of
+    // integers rounded to 4 dp. Top-20 with a total-order tiebreak.
+    "graph_jaccard" -> ((s, dir) => {
+      val e = itemEdges(s, dir).localCheckpoint(true)
+      val adj = e.select(col("u").as("x"), col("v").as("w"))
+        .union(e.select(col("v").as("x"), col("u").as("w")))
+      val deg = adj.groupBy(col("x")).agg(count(lit(1)).as("deg"))
+      val common = adj.as("n1")
+        .join(adj.as("n2"), col("n1.w") === col("n2.w") && col("n1.x") < col("n2.x"))
+        .groupBy(col("n1.x").as("u"), col("n2.x").as("v"))
+        .agg(count(lit(1)).as("common"))
+      e.join(common, Seq("u", "v"))
+        .join(broadcast(deg.select(col("x").as("u"), col("deg").as("du"))), "u")
+        .join(broadcast(deg.select(col("x").as("v"), col("deg").as("dv"))), "v")
+        .select(col("u"), col("v"),
+          round(col("common").cast("double") /
+            (col("du") + col("dv") - col("common")), 4).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("u"), col("v"))
+        .limit(20)
+    }),
+
+    // 2-D skyline (pareto front) over urgent orders: points that no other
+    // point beats on BOTH price and date. Distinct points first (one hash
+    // agg), then a broadcast prefilter — anything below the P90 price AND
+    // older than the top decile's best date is dominated by that decile's
+    // best point — so the global-order window runs over a residue that
+    // shrinks toward the skyline itself (~log n points on random data);
+    // the full sort never happens at scale.
+    "pareto_front" -> ((s, dir) => {
+      val pts = Tables.table(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_totalprice").as("price"), to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).as("n_orders"))
+      val thr = pts.agg(expr("percentile(price, 0.9)").as("p90"))
+      val best = pts.join(broadcast(thr))
+        .where(col("price") >= col("p90"))
+        .agg(max(col("d")).as("best_hi_date"))
+      val pruned = pts.join(broadcast(thr)).join(broadcast(best))
+        .where(!(col("price") < col("p90") && col("d") < col("best_hi_date")))
+      val w = Window.orderBy(col("price").desc, col("d").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      pruned
+        .withColumn("dmax", max(col("d")).over(w))
+        .where(col("dmax").isNull || col("dmax") < col("d"))
+        .select(col("price"), date_format(col("d"), "yyyy-MM-dd").as("odate"), col("n_orders"))
+        .orderBy(col("price").desc)
+    }),
+
+    // vocabulary pruning with coverage stats: top-500 words by document
+    // frequency (global rank over the vocab-bounded df table; at larger
+    // vocabularies use the two-level group-topk), then per-source token
+    // coverage. All-integer outputs — no cross-engine float at all.
+    "vocab_prune" -> ((s, dir) => {
+      val toks = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("w"))
+        .where(col("w") =!= "")
+      val dfreq = toks.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
+      val wv = Window.orderBy(col("df").desc, col("w"))
+      val vocab = dfreq.withColumn("rk", row_number().over(wv))
+        .where(col("rk") <= 500).select(col("w"), lit(1L).as("inv"))
+      toks
+        .join(broadcast(vocab), Seq("w"), "left")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("nt"), sum(coalesce(col("inv"), lit(0L))).as("nv"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("sum_tokens"),
+          sum(col("nv")).as("sum_invocab"),
+          sum(when(col("nv") * 10 >= col("nt") * 9, 1L).otherwise(0L)).as("n_docs_cov90"))
+        .orderBy(col("source"))
+    }),
+
+    // sparse document cosine over token counts via a df-capped inverted
+    // index: stop-ish words (df > 50) leave the index BEFORE the pair
+    // join (broadcast anti-join of the small frequent set — same cap
+    // pattern as dedup_ngram_capped), so per-word fan-out is <= 50^2 and
+    // the pair partials stay bounded however large the corpus. Dot
+    // products are exact integers; norms are correctly-rounded sqrt of
+    // integers — bit-identical across engines.
+    "text_cosine_pairs" -> ((s, dir) => {
+      val tf = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .where(col("w") =!= "")
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val hot = tf.groupBy(col("w")).agg(count(lit(1)).as("df")).where(col("df") > 50)
+      val kept = tf.join(broadcast(hot.select(col("w"))), Seq("w"), "left_anti")
+      val norms = kept.groupBy(col("doc_id"))
+        .agg(sqrt(sum(col("tf") * col("tf")).cast("double")).as("nrm"))
+      kept.as("a")
+        .join(kept.as("b"),
+          col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+        .join(broadcast(norms.select(col("doc_id").as("doc_a"), col("nrm").as("na"))), "doc_a")
+        .join(broadcast(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb"))), "doc_b")
+        .withColumn("cosr", col("dot").cast("double") / (col("na") * col("nb")))
+        .where(col("cosr") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("cosr"), 4).as("cos"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // media checksum dedup through the BINARY payload path (the standard
+    // first pass of an image-corpus pipeline: exact-byte dedup by digest
+    // before any perceptual hashing). Emits the full digest -> keeper
+    // mapping (n holds the duplicate count; the driver corpus happens to
+    // be dup-free, so every n is 1 — the mapping itself is the check).
+    // Payloads never shuffle — only the 16-byte digest does.
+    "media_checksum_dedup" -> ((s, dir) =>
+      Multimodal.mediaTable(Tables.table(s, dir, "documents"))
+        .groupBy(lower(hex(col("payload"))).as("checksum"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
+        .orderBy(col("checksum"))),
+
+    // last-touch attribution: each purchase attributed to the user's
+    // latest click/view in the 7 days before it. Per-user equi-join +
+    // in-window filter + row_number — the as-of-join shape; at scale the
+    // user key bounds the join and salting handles power users.
+    "attribution_last_touch" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+      val t = ev.where(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_id").as("touch_id"),
+          col("event_type").as("channel"), col("ts").as("tts"))
+      val w = Window.partitionBy(col("purchase_id"))
+        .orderBy(col("tts").desc, col("touch_id").desc)
+      p.join(t,
+          p("user_id") === t("user_id") &&
+            col("tts") < col("pts") &&
+            col("tts") >= col("pts") - expr("INTERVAL 7 DAY"), "left")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("purchase_id"), p("user_id").as("user_id"),
+          coalesce(col("touch_id"), lit(-1L)).as("attributed_event"),
+          coalesce(col("channel"), lit("none")).as("channel"))
+        .orderBy(col("purchase_id"))
+    }),
+
+    // deterministic in-batch negative sampling: 5 non-interacted items
+    // per user, chosen by portable-hash rank — the same sample on any
+    // partitioning, cluster size, or engine. The item vocabulary
+    // broadcasts (bounded); candidate generation is linear in
+    // users x vocab; positives leave via one anti-join.
+    "negative_sample" -> ((s, dir) => {
+      val inter = Cooccurrence.interactions(s, dir)
+        .select(col("user"), col("item")).distinct()
+      val items = inter.select(col("item")).distinct()
+      val users = inter.select(col("user")).distinct()
+      val w = Window.partitionBy(col("user")).orderBy(col("hk"), col("item"))
+      users.crossJoin(broadcast(items))
+        .join(inter, Seq("user", "item"), "left_anti")
+        .withColumn("hk", PortableHash.h(
+          concat(col("user").cast("string"), lit(":"), col("item").cast("string"))))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 5)
+        .select(col("user"), col("rnk"), col("item"))
+        .orderBy(col("user"), col("rnk"))
+    })
+  )
+
+  private val edgesSql =
+    SparkEntry.pairsSql +
+      ", e AS (SELECT item AS u, other AS v FROM pairs WHERE item < other AND cnt >= 3)\n"
+
+  def oracleSql: Map[String, String] = Map(
+
+    "graph_triangles" -> (edgesSql +
+      """SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+        |       (SELECT CAST(COUNT(*) AS BIGINT)
+        |        FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""".stripMargin),
+
+    "graph_jaccard" -> (edgesSql +
+      """, adj AS (SELECT u AS x, v AS w FROM e UNION ALL SELECT v AS x, u AS w FROM e),
+        |deg AS (SELECT x, COUNT(*) AS deg FROM adj GROUP BY x),
+        |com AS (
+        |  SELECT n1.x AS u, n2.x AS v, COUNT(*) AS c
+        |  FROM adj n1 JOIN adj n2 ON n1.w = n2.w AND n1.x < n2.x
+        |  GROUP BY n1.x, n2.x)
+        |SELECT e.u, e.v, ROUND(CAST(c AS DOUBLE) / (du.deg + dv.deg - c), 4) AS jaccard
+        |FROM e JOIN com ON com.u = e.u AND com.v = e.v
+        |JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v
+        |ORDER BY jaccard DESC, e.u, e.v LIMIT 20""".stripMargin),
+
+    "pareto_front" ->
+      """WITH pts AS (
+        |  SELECT o_totalprice AS price, CAST(o_orderdate AS DATE) AS d,
+        |         COUNT(*) AS n_orders
+        |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1, 2),
+        |sky AS (
+        |  SELECT price, d, n_orders,
+        |         MAX(d) OVER (ORDER BY price DESC, d DESC
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS dmax
+        |  FROM pts)
+        |SELECT price, strftime(d, '%Y-%m-%d') AS odate, n_orders
+        |FROM sky WHERE dmax IS NULL OR dmax < d ORDER BY price DESC""".stripMargin,
+
+    "vocab_prune" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |t AS (SELECT * FROM toks WHERE w != ''),
+        |dfreq AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY w),
+        |vocab AS (SELECT w FROM (
+        |  SELECT w, ROW_NUMBER() OVER (ORDER BY df DESC, w) AS rk FROM dfreq)
+        |  WHERE rk <= 500),
+        |per AS (
+        |  SELECT doc_id, source, COUNT(*) AS nt,
+        |         SUM(CASE WHEN w IN (SELECT w FROM vocab) THEN 1 ELSE 0 END) AS nv
+        |  FROM t GROUP BY doc_id, source)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(nt) AS BIGINT) AS sum_tokens,
+        |       CAST(SUM(nv) AS BIGINT) AS sum_invocab,
+        |       CAST(SUM(CASE WHEN nv * 10 >= nt * 9 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_cov90
+        |FROM per GROUP BY source ORDER BY source""".stripMargin,
+
+    "text_cosine_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks WHERE w != '' GROUP BY doc_id, w),
+        |kept AS (SELECT * FROM tf WHERE w NOT IN (
+        |  SELECT w FROM tf GROUP BY w HAVING COUNT(*) > 50)),
+        |norms AS (SELECT doc_id, sqrt(CAST(SUM(tf * tf) AS DOUBLE)) AS nrm
+        |          FROM kept GROUP BY doc_id),
+        |dots AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.tf * b.tf) AS dot
+        |  FROM kept a JOIN kept b ON a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |cosd AS (
+        |  SELECT doc_a, doc_b, CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) AS cosr
+        |  FROM dots JOIN norms na ON na.doc_id = doc_a
+        |            JOIN norms nb ON nb.doc_id = doc_b)
+        |SELECT doc_a, doc_b, ROUND(cosr, 4) AS cos FROM cosd
+        |WHERE cosr >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "media_checksum_dedup" ->
+      """SELECT md5(text) AS checksum, CAST(COUNT(*) AS BIGINT) AS n,
+        |       MIN(doc_id) AS keeper
+        |FROM documents GROUP BY md5(text)
+        |ORDER BY checksum""".stripMargin,
+
+    "attribution_last_touch" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS pts
+        |           FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_id AS touch_id, event_type AS channel, ts AS tts
+        |      FROM events WHERE event_type IN ('click', 'view')),
+        |j AS (
+        |  SELECT p.purchase_id, p.user_id, t.touch_id, t.channel,
+        |         ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+        |                            ORDER BY t.tts DESC, t.touch_id DESC) AS rn
+        |  FROM p LEFT JOIN t
+        |    ON p.user_id = t.user_id AND t.tts < p.pts
+        |       AND t.tts >= p.pts - INTERVAL 7 DAY)
+        |SELECT purchase_id, user_id, COALESCE(touch_id, -1) AS attributed_event,
+        |       COALESCE(channel, 'none') AS channel
+        |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
+
+    "negative_sample" -> {
+      val hk = PortableHash.hSql("CAST(usr AS VARCHAR) || ':' || CAST(item AS VARCHAR)")
+      s"""WITH inter AS (
+         |  SELECT DISTINCT user_id AS usr,
+         |         CAST(json_extract_string(props, 'k') AS INT) AS item
+         |  FROM events),
+         |items AS (SELECT DISTINCT item FROM inter),
+         |users AS (SELECT DISTINCT usr FROM inter),
+         |cand AS (
+         |  SELECT u.usr, i.item FROM users u CROSS JOIN items i
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM inter x WHERE x.usr = u.usr AND x.item = i.item)),
+         |ranked AS (
+         |  SELECT usr, item,
+         |         ROW_NUMBER() OVER (PARTITION BY usr ORDER BY $hk, item) AS rnk
+         |  FROM cand)
+         |SELECT usr AS "user", rnk, item FROM ranked WHERE rnk <= 5
+         |ORDER BY "user", rnk""".stripMargin
+    }
+  )
+}

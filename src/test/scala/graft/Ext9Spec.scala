@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/**
+ * Semantic cross-checks for the round-5 wave: each query's clever plan
+ * (prefilter, orientation, hash rank) must equal the naive definition
+ * computed driver-side on the small SF.
+ */
+class Ext9Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("pareto_front: prefiltered skyline == naive quadratic dominance filter") {
+    val got = ExtQueries9.queries("pareto_front")(spark, sfDir).collect()
+      .map(r => (r.getDouble(0), r.getString(1), r.getLong(2))).toSet
+    val pts = graft.operators.Tables.table(spark, sfDir, "orders")
+      .where(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_totalprice").as("p"), to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("p"), date_format(col("d"), "yyyy-MM-dd").as("d"), col("n"))
+      .collect().map(r => (r.getDouble(0), r.getString(1), r.getLong(2)))
+    val naive = pts.filter { case (p, d, _) =>
+      !pts.exists { case (p2, d2, _) =>
+        p2 >= p && d2 >= d && (p2 > p || d2 > d) }
+    }.toSet
+    assert(got == naive, s"skyline mismatch: got ${got.size}, naive ${naive.size}")
+    assert(got.nonEmpty)
+  }
+
+  test("graph_triangles: oriented 3-join count == driver-side enumeration") {
+    val row = ExtQueries9.queries("graph_triangles")(spark, sfDir).collect().head
+    val (nEdges, nTri) = (row.getLong(0), row.getLong(1))
+    val edges = graft.operators.Cooccurrence
+      .coocCounts(graft.operators.Cooccurrence.interactions(spark, sfDir))
+      .where(col("item") < col("other") && col("cnt") >= 3)
+      .select(col("item"), col("other")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    val eset = edges.toSet
+    val naive = (for {
+      (u, v) <- edges
+      w <- edges.collect { case (`v`, w2) => w2 }
+      if eset.contains((u, w))
+    } yield 1).size
+    assert(nEdges == edges.length.toLong)
+    assert(nTri == naive.toLong, s"triangles $nTri != naive $naive")
+  }
+
+  test("negative_sample: never a positive, <= 5 per user, partition-independent") {
+    val inter = graft.operators.Cooccurrence.interactions(spark, sfDir)
+      .select(col("user"), col("item")).distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    val s1 = ExtQueries9.queries("negative_sample")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    s1.foreach { case (u, _, i) =>
+      assert(!inter.contains((u, i)), s"sampled a positive ($u,$i)") }
+    s1.groupBy(_._1).foreach { case (u, rows) =>
+      assert(rows.length <= 5 && rows.map(_._2).sorted.sameElements(1 to rows.length),
+        s"bad rank sequence for user $u") }
+    assert(s1.nonEmpty)
+  }
+
+  test("graph_jaccard: every jaccard in (0, 1] and edges exist in the graph") {
+    val rows = ExtQueries9.queries("graph_jaccard")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (u, v, j) =>
+      assert(u < v && j > 0.0 && j <= 1.0, s"bad edge ($u,$v,$j)") }
+  }
+}
