@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{BpeTrainer, Tables}
+
+/**
+ * Round-5 second wave: BPE merge training (the iterative subword-vocab
+ * loop, corpus-sized work only in the initial word count), Z-order
+ * layout bucketing (the data-layout primitive behind min/max file
+ * pruning), and a runtime-bloom-filtered shuffle join (Spark's runtime
+ * filter injection, the shuffle-join analogue of partition pruning).
+ */
+object ExtQueries10 {
+
+  /** Interleave the low 8 bits of x and y (Morton/Z-order curve) —
+    * generated once, mirrored verbatim into the DuckDB oracle. */
+  private def zInterleave(sparkSide: Boolean): String =
+    (0 until 8).map { i =>
+      if (sparkSide) s"(shiftleft((shiftright(x, $i) & 1), ${2 * i}) + shiftleft((shiftright(y, $i) & 1), ${2 * i + 1}))"
+      else s"((((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1}))"
+    }.mkString("(", " + ", ")")
+
+  /** The bloom-join body WITHOUT materialization — shared by the query
+    * (which materializes under the runtime-filter confs) and PlanSpec
+    * (which inspects the optimized plan under the same confs). */
+  def bloomJoinBody(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.table(s, dir, "orders")
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    Tables.table(s, dir, "lineitem")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(20, 4)))
+          .cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Set session confs for the duration of `f`, restoring after. */
+  def withConfs[A](s: SparkSession, confs: (String, String)*)(f: => A): A = {
+    val prior = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try f finally prior.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  val bloomConfs: Seq[(String, String)] = Seq(
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+    // test-scale thresholds: the prod defaults (10 MB creation / 10 GB
+    // application side) key off real data volumes; at sf<=0.1 nothing
+    // clears them, so the demo lowers the application floor to 0
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+    "spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled" -> "false",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force the shuffle join the filter exists for
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // BPE merge training, 12 merges: iterative, so no SQL oracle —
+    // rows-only at the gate; BpeSpec cross-checks the merge sequence
+    // exactly against a single-machine reference implementation.
+    "bpe_merges" -> ((s, dir) =>
+      BpeTrainer.merges(Tables.table(s, dir, "documents"), 12)),
+
+    // Z-order layout bucketing: interleave customer-key and order-day
+    // bits, bucket by the top interleaved byte. Each bucket's x/y
+    // min-max ranges stay tight (<= 16-wide per dimension) — exactly
+    // the property that makes file-level min/max pruning work on BOTH
+    // columns after a z-ordered write, where a lexicographic sort only
+    // prunes the leading column. The output IS the evidence.
+    "zorder_layout" -> ((s, dir) =>
+      Tables.table(s, dir, "orders")
+        .select((col("o_custkey") % 256).cast("int").as("x"),
+          (datediff(to_date(col("o_orderdate")), lit("1970-01-01")) % 256).cast("int").as("y"))
+        .withColumn("z", expr(zInterleave(sparkSide = true)))
+        .groupBy((col("z") / 256).cast("int").as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .orderBy(col("zbucket"))),
+
+    // runtime-bloom-filtered shuffle join: the selective dim filter is
+    // turned into a bloom filter evaluated ON THE FACT SCAN before the
+    // shuffle — rows for non-urgent orders never leave the map side.
+    // This is the shuffle-join analogue of partition pruning and the
+    // default Spark mechanism at warehouse scale; result materialized
+    // under the demo confs (3 rows), then session confs restored.
+    "join_runtime_bloom" -> ((s, dir) =>
+      withConfs(s, bloomConfs: _*) {
+        bloomJoinBody(s, dir).localCheckpoint(true)
+      })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "zorder_layout" -> {
+      val z = zInterleave(sparkSide = false)
+      s"""WITH xy AS (
+         |  SELECT CAST(o_custkey % 256 AS INT) AS x,
+         |         CAST((CAST(o_orderdate AS DATE) - DATE '1970-01-01') % 256 AS INT) AS y
+         |  FROM orders),
+         |zt AS (SELECT x, y, $z AS z FROM xy)
+         |SELECT CAST(z // 256 AS INT) AS zbucket, CAST(COUNT(*) AS BIGINT) AS n,
+         |       MIN(x) AS min_x, MAX(x) AS max_x,
+         |       MIN(y) AS min_y, MAX(y) AS max_y
+         |FROM zt GROUP BY 1 ORDER BY zbucket""".stripMargin
+    },
+
+    "join_runtime_bloom" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}

@@ -185,6 +185,47 @@ object ExtQueries9 {
         .orderBy(col("purchase_id"))
     }),
 
+    // KNN label propagation (auto-labeling): majority label of the 5
+    // exact nearest neighbors, ties to the smallest label. The KNN scan
+    // broadcasts the query set and never shuffles the corpus; the vote
+    // is a tiny hash agg over |queries| x k rows.
+    "knn_label" -> ((s, dir) => {
+      val queryIds = (0L until 20L).toSeq
+      val top = operators.Similarity.bruteForceTopK(
+        Tables.table(s, dir, "embeddings"), queryIds, 5)
+      val labels = Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("votes").desc, col("label"))
+      top.join(broadcast(labels), "vec_id")
+        .groupBy(col("query_id"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+        .orderBy(col("query_id"))
+    }),
+
+    // stream-static join: the streaming enrichment shape — a file-source
+    // stream joined against a broadcast static dimension (no state, no
+    // watermark needed for the join itself), then a windowless global
+    // aggregation per nation. At scale the static side is a broadcast
+    // (or a bucketed table for big dims); the stream side never
+    // re-shuffles for the join.
+    "stream_static_join" -> ((s, dir) => {
+      val cust = Tables.table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val joined = graft.streaming.StreamingOps.eventsStream(s, dir)
+        .join(broadcast(cust), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(20, 4)))
+            .cast("double").as("sum_value"))
+      graft.streaming.StreamingOps.runToMemory(
+          joined, s"ssj_${System.nanoTime()}")
+        .orderBy(col("c_nationkey"))
+    }),
+
     // deterministic in-batch negative sampling: 5 non-interacted items
     // per user, chosen by portable-hash rank — the same sample on any
     // partitioning, cluster size, or engine. The item vocabulary
@@ -286,6 +327,40 @@ object ExtQueries9 {
         |       MIN(doc_id) AS keeper
         |FROM documents GROUP BY md5(text)
         |ORDER BY checksum""".stripMargin,
+
+    "knn_label" -> {
+      val quant = """q AS (
+        |  SELECT vec_id,
+        |         [CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) for x in embedding] AS qv
+        |  FROM embeddings),
+        |qn AS (SELECT vec_id, qv, list_inner_product(qv, qv) AS n2 FROM q)""".stripMargin
+      s"""WITH $quant,
+         |scored AS (
+         |  SELECT qq.vec_id AS query_id, c.vec_id,
+         |         ROUND(list_inner_product(qq.qv, c.qv) / (sqrt(qq.n2) * sqrt(c.n2)), 4) AS cos
+         |  FROM qn qq JOIN qn c ON c.vec_id != qq.vec_id
+         |  WHERE qq.vec_id BETWEEN 0 AND 19),
+         |ranked AS (
+         |  SELECT query_id, vec_id,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM scored),
+         |votes AS (
+         |  SELECT r.query_id, e.label, COUNT(*) AS votes
+         |  FROM ranked r JOIN embeddings e ON e.vec_id = r.vec_id
+         |  WHERE r.rnk <= 5 GROUP BY r.query_id, e.label),
+         |best AS (
+         |  SELECT query_id, label, votes,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rn
+         |  FROM votes)
+         |SELECT query_id, label AS pred_label, votes FROM best WHERE rn = 1
+         |ORDER BY query_id""".stripMargin
+    },
+
+    "stream_static_join" ->
+      """SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "attribution_last_touch" ->
       """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS pts

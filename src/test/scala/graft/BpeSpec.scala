@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.{BpeTrainer, Tables}
+
+/**
+ * The distributed BPE loop must produce the EXACT merge sequence of the
+ * single-machine reference implementation (same word-freq table, same
+ * total-order tie-break), independent of partitioning.
+ */
+class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("distributed merges == reference merges (12 rounds), partition-independent") {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val freqs = BpeTrainer.wordFreqs(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = BpeTrainer.referenceTrain(freqs, 12)
+    val got = BpeTrainer.train(docs, 12)
+    assert(got == expected, s"merge sequences differ:\n got=$got\n exp=$expected")
+    val got2 = BpeTrainer.train(docs.repartition(7), 12)
+    assert(got2 == expected, "merge sequence must be partition-independent")
+    assert(got.size == 12)
+  }
+
+  test("merged symbols reconstruct words (merges are consistent)") {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val merges = BpeTrainer.train(docs, 8)
+    // apply merges to a few words and check the concatenation invariant
+    val words = BpeTrainer.wordFreqs(docs).limit(20).collect().map(_.getString(0))
+    words.foreach { w =>
+      var syms: Seq[String] = w.map(_.toString) :+ BpeTrainer.EndMark
+      merges.foreach { m =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == m.left && syms(i + 1) == m.right) {
+            out += m.left + m.right; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toSeq
+      }
+      assert(syms.mkString == w + BpeTrainer.EndMark,
+        s"merge application broke word '$w': $syms")
+    }
+  }
+}

@@ -166,6 +166,45 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.linesIterator.count(_.contains("FileScan")) <= 2, p.take(1500))
   }
 
+  test("negative sampling: items broadcast, positives leave via a hash anti-join, no cartesian shuffle") {
+    val df = SparkEntry.queries("negative_sample")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // users x items is the vocab-bounded broadcast nested loop; the
+    // anti-join on (user, item) must be a hash join, and nothing may
+    // plan as a CartesianProduct (a shuffled cross product would scale
+    // with users x items x partitions)
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(p.contains("LeftAnti"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("sparse document cosine: candidate pairs come from an equi-join on the term, never a cross product") {
+    val df = SparkEntry.queries("text_cosine_pairs")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must stay an equi-join on the term:\n${p.take(1500)}")
+    // norms join back broadcast (one row per doc — small side)
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
+  test("KNN label vote: corpus scans once, labels and query set broadcast") {
+    val df = SparkEntry.queries("knn_label")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.linesIterator.count(_.contains("FileScan")) <= 3,
+      s"corpus must not rescan per query:\n${p.take(1500)}")
+  }
+
+  test("runtime bloom filter injects on the fact side of the shuffle join") {
+    ExtQueries10.withConfs(spark, ExtQueries10.bloomConfs: _*) {
+      val df = ExtQueries10.bloomJoinBody(spark, sfDir)
+      val p = df.queryExecution.optimizedPlan.toString.toLowerCase
+      assert(p.contains("bloom") || p.contains("might_contain"),
+        s"expected an injected runtime bloom filter:\n${p.take(2000)}")
+    }
+  }
+
   test("day-partitioned sink read-back prunes partitions at the scan") {
     val df = SparkEntry.queries("sink_partitioned_prune")(spark, sfDir)
     val p = df.queryExecution.explainString(org.apache.spark.sql.execution.ExtendedMode)
