@@ -65,6 +65,30 @@ object ExtQueries10 {
     "bpe_merges" -> ((s, dir) =>
       BpeTrainer.merges(Tables.table(s, dir, "documents"), 12)),
 
+    // BPE encode (token counting under the learned vocab): the word
+    // vocabulary is encoded once and broadcast; the corpus pass is one
+    // explode + agg + broadcast join. Rows-only (merges are learned
+    // from the data); BpeSpec checks equality with per-doc application.
+    "bpe_encode" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      BpeTrainer.encode(docs, BpeTrainer.train(docs, 12))
+    }),
+
+    // global row numbering WITHOUT the single-partition window: the
+    // two-level prefix scan (value-range buckets + driver fold over
+    // bucket totals + broadcast-back) assigns contiguous global row
+    // numbers over a total order — the scalable ROW_NUMBER() OVER
+    // (ORDER BY ...) for offset assignment / record ids at 100 TB.
+    "global_rownum" -> ((s, dir) => {
+      val li = Tables.table(s, dir, "lineitem")
+        .select((col("l_orderkey") * 100 + col("l_linenumber")).as("okey"),
+          col("l_orderkey"), col("l_linenumber"), lit(1L).as("one"))
+      operators.PrefixScan.runningSumExclusive(li, "okey", "one", "rn0")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("rn0") + 1).as("rownum"))
+        .orderBy(col("rownum"))
+    }),
+
     // Z-order layout bucketing: interleave customer-key and order-day
     // bits, bucket by the top interleaved byte. Each bucket's x/y
     // min-max ranges stay tight (<= 16-wide per dimension) — exactly
@@ -95,6 +119,11 @@ object ExtQueries10 {
   )
 
   def oracleSql: Map[String, String] = Map(
+
+    "global_rownum" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       ROW_NUMBER() OVER (ORDER BY l_orderkey * 100 + l_linenumber) AS rownum
+        |FROM lineitem ORDER BY rownum""".stripMargin,
 
     "zorder_layout" -> {
       val z = zInterleave(sparkSide = false)

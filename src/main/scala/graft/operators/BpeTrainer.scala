@@ -89,6 +89,47 @@ object BpeTrainer {
       .orderBy(col("rank"))
   }
 
+  /** Apply a merge sequence to one word — shared by encode and the spec. */
+  def applyMerges(w: String, merges: Seq[Merge]): Seq[String] = {
+    var syms: Seq[String] = w.map(_.toString) :+ EndMark
+    merges.sortBy(_.rank).foreach { m =>
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == m.left && syms(i + 1) == m.right) {
+          out += m.left + m.right; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.toSeq
+    }
+    syms
+  }
+
+  /**
+   * Token counts per document under a trained merge list — the encode
+   * side of the tokenizer, in its scale shape: the WORD VOCABULARY is
+   * encoded once (bounded work), then documents join the (word ->
+   * subtoken count) table broadcast — the corpus-sized pass is one
+   * explode + hash agg + broadcast join, with no per-document merge
+   * loops.
+   */
+  def encode(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val docWords = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+    val ms = merges
+    val vocabTok = docWords.select(col("w")).distinct().as[String]
+      .map(w => (w, applyMerges(w, ms).length.toLong))
+      .toDF("w", "n_sub")
+    docWords.join(broadcast(vocabTok), "w")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt") * col("n_sub")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /**
    * Reference single-machine BPE over a word-freq map — used by the spec
    * to cross-check the distributed loop exactly.

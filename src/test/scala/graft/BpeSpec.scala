@@ -43,22 +43,25 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("merged symbols reconstruct words (merges are consistent)") {
     val docs = Tables.table(spark, sfDir, "documents")
     val merges = BpeTrainer.train(docs, 8)
-    // apply merges to a few words and check the concatenation invariant
     val words = BpeTrainer.wordFreqs(docs).limit(20).collect().map(_.getString(0))
     words.foreach { w =>
-      var syms: Seq[String] = w.map(_.toString) :+ BpeTrainer.EndMark
-      merges.foreach { m =>
-        val out = scala.collection.mutable.ArrayBuffer[String]()
-        var i = 0
-        while (i < syms.length) {
-          if (i + 1 < syms.length && syms(i) == m.left && syms(i + 1) == m.right) {
-            out += m.left + m.right; i += 2
-          } else { out += syms(i); i += 1 }
-        }
-        syms = out.toSeq
-      }
+      val syms = BpeTrainer.applyMerges(w, merges)
       assert(syms.mkString == w + BpeTrainer.EndMark,
         s"merge application broke word '$w': $syms")
+    }
+  }
+
+  test("encode (vocab-join shape) == naive per-document merge application") {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val merges = BpeTrainer.train(docs, 12)
+    val got = BpeTrainer.encode(docs, merges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sample = docs.select("doc_id", "text").limit(30).collect()
+    sample.foreach { r =>
+      val naive = r.getString(1).split(" ").iterator.filter(_.nonEmpty)
+        .map(w => BpeTrainer.applyMerges(w, merges).length.toLong).sum
+      assert(got(r.getLong(0)) == naive,
+        s"doc ${r.getLong(0)}: encode ${got(r.getLong(0))} != naive $naive")
     }
   }
 }
