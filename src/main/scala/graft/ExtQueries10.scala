@@ -89,6 +89,17 @@ object ExtQueries10 {
         .orderBy(col("rownum"))
     }),
 
+    // Spark-4 VARIANT path: props parse into the binary variant encoding
+    // (open-schema semi-structured column type, shreddable at the scan);
+    // variant_get extracts with a target type. The oracle checks the
+    // VALUE via a typed JSON extract — the variant encode/decode
+    // machinery is what the query exercises.
+    "json_variant" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+        .orderBy(col("event_id"))),
+
     // Z-order layout bucketing: interleave customer-key and order-day
     // bits, bucket by the top interleaved byte. Each bucket's x/y
     // min-max ranges stay tight (<= 16-wide per dimension) — exactly
@@ -119,6 +130,10 @@ object ExtQueries10 {
   )
 
   def oracleSql: Map[String, String] = Map(
+
+    "json_variant" ->
+      """SELECT event_id, CAST(json_extract_string(props, 'k') AS INT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "global_rownum" ->
       """SELECT l_orderkey, l_linenumber,

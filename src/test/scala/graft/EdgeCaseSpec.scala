@@ -139,6 +139,22 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("BPE: empty corpus -> zero merges, empty encode, no exception") {
+    val merges = BpeTrainer.train(emptyDocs, 5)
+    assert(merges.isEmpty)
+    assert(BpeTrainer.encode(emptyDocs, merges).count() == 0L)
+    assert(BpeTrainer.merges(emptyDocs, 5).count() == 0L)
+  }
+
+  test("BPE: single-char single word corpus merges char with end marker then stops") {
+    val docs = spark.createDataFrame(Seq((1L, "a a a"))).toDF("doc_id", "text")
+    val merges = BpeTrainer.train(docs, 5)
+    assert(merges.length == 1 &&
+      merges.head.left == "a" && merges.head.right == BpeTrainer.EndMark)
+    val enc = BpeTrainer.encode(docs, merges).collect()
+    assert(enc.length == 1 && enc.head.getLong(1) == 3L) // 3 words x 1 token
+  }
+
   test("sampled pipeline: pathological window config (1 ms windows over a long range) fails loudly") {
     // 1.1M rows, one per millisecond, windowMs=1 -> 1.1M distinct window
     // ids; the driver-side window-id collect must refuse (>1e6 bound)
