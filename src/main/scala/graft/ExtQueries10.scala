@@ -89,6 +89,46 @@ object ExtQueries10 {
         .orderBy(col("rownum"))
     }),
 
+    // recursive CTE (Spark 4 WITH RECURSIVE): transitive closure of the
+    // implicit binary tree over part keys (k -> 2k, 2k+1) from root 1 —
+    // the BFS/bill-of-materials recursion shape. Linear total work
+    // (every part reached once); the <= 4095 key cap bounds the
+    // iteration count at 12 (each recursive step pays a full planning
+    // round — depth, not volume, is the cost driver). The oracle runs
+    // the IDENTICAL recursive SQL in DuckDB.
+    "recursive_tree" -> ((s, dir) => {
+      Tables.table(s, dir, "part").createOrReplaceTempView("part_v")
+      s.sql(
+        """WITH RECURSIVE tree(k, depth) AS (
+          |  SELECT CAST(1 AS BIGINT), 0
+          |  UNION ALL
+          |  SELECT c.p_partkey, t.depth + 1
+          |  FROM tree t JOIN part_v c
+          |    ON (c.p_partkey = t.k * 2 OR c.p_partkey = t.k * 2 + 1)
+          |       AND c.p_partkey <= 4095)
+          |SELECT depth, COUNT(*) AS n, MIN(k) AS min_k, MAX(k) AS max_k
+          |FROM tree GROUP BY depth ORDER BY depth""".stripMargin)
+    }),
+
+    // try_-function surface (ANSI-safe arithmetic): division by zero,
+    // malformed cast, out-of-bounds element — NULL instead of error,
+    // with the oracle expressing each via its portable equivalent.
+    // NULLs coalesce to -1 sentinels (pandas NaN-vs-null canon); the
+    // quotient is FLOOR of an IEEE division of exact integers (price
+    // cents / integral quantity offset) — bit-identical across engines,
+    // where ROUND(double, 4) diverges at binary half-boundaries.
+    "scalar_try" -> ((s, dir) =>
+      Tables.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          coalesce(
+            floor(expr("try_divide(CAST(round(l_extendedprice * 100) AS BIGINT), " +
+              "CAST(l_quantity AS BIGINT) - 25)")).cast("long"),
+            lit(-1L)).as("safe_div"),
+          coalesce(expr("try_cast(l_returnflag AS INT)"), lit(-1)).as("safe_cast"),
+          coalesce(expr("try_element_at(array(l_linenumber, l_linenumber * 2), 5)"),
+            lit(-1)).as("safe_at"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
     // Spark-4 VARIANT path: props parse into the binary variant encoding
     // (open-schema semi-structured column type, shreddable at the scan);
     // variant_get extracts with a target type. The oracle checks the
@@ -134,6 +174,25 @@ object ExtQueries10 {
     "json_variant" ->
       """SELECT event_id, CAST(json_extract_string(props, 'k') AS INT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "recursive_tree" ->
+      """WITH RECURSIVE tree(k, depth) AS (
+        |  SELECT CAST(1 AS BIGINT), 0
+        |  UNION ALL
+        |  SELECT c.p_partkey, t.depth + 1
+        |  FROM tree t JOIN part c
+        |    ON (c.p_partkey = t.k * 2 OR c.p_partkey = t.k * 2 + 1)
+        |       AND c.p_partkey <= 4095)
+        |SELECT depth, CAST(COUNT(*) AS BIGINT) AS n, MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM tree GROUP BY depth ORDER BY depth""".stripMargin,
+
+    "scalar_try" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       COALESCE(CAST(FLOOR(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           / NULLIF(CAST(l_quantity AS BIGINT) - 25, 0)) AS BIGINT), -1) AS safe_div,
+        |       COALESCE(TRY_CAST(l_returnflag AS INT), -1) AS safe_cast,
+        |       COALESCE(([l_linenumber, l_linenumber * 2])[5], -1) AS safe_at
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "global_rownum" ->
       """SELECT l_orderkey, l_linenumber,
