@@ -186,4 +186,85 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byWindow(0L) == 2L, s"late event leaked into closed window: $byWindow")
     assert(byWindow(2 * 3600L) == 1L && byWindow(3 * 3600L) == 1L)
   }
+
+  test("AQE re-plans a shuffle join to broadcast when the filtered side turns out tiny") {
+    // the planner may NOT broadcast (threshold -1 — the honest setup
+    // when planning-time stats can't be trusted); at RUNTIME the filter
+    // leaves a handful of rows and AQE converts the sort-merge join to
+    // a broadcast join via its OWN threshold
+    // (spark.sql.adaptive.autoBroadcastJoinThreshold) — the re-plan
+    // that saves the big-side shuffle at 100 TB. Assert on the final
+    // adaptive plan.
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val priorAqe = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "1MB")
+    try {
+      val o = Tables.table(spark, sfDir, "orders")
+        .where(col("o_totalprice") > 450000.0) // runtime-tiny side
+        .select(col("o_orderkey"))
+      val joined = Tables.table(spark, sfDir, "lineitem")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"))
+      joined.collect() // executes -> adaptive plan finalizes
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("AdaptiveSparkPlan isFinalPlan=true"), p.take(800))
+      assert(p.contains("BroadcastHashJoin"),
+        s"AQE should have converted the join to broadcast:\n${p.take(2000)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+      priorAqe match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
+  test("streaming checkpoint resume: second drain processes ONLY new files (exactly-once offsets)") {
+    import java.nio.file.{Files => JFiles, Paths}
+    import java.nio.file.attribute.FileTime
+    val sp = spark; import sp.implicits._
+    val srcDir = JFiles.createTempDirectory("graft_ckpt_src").toString
+    val ckpt = JFiles.createTempDirectory("graft_ckpt").toString
+    val sinkDir = JFiles.createTempDirectory("graft_ckpt_sink").toString
+    def writeFile(rows: Seq[(Long, Long)], name: String, mtimeMs: Long): Unit = {
+      val stage = JFiles.createTempDirectory("graft_ckpt_stage").toString
+      rows.toDF("id", "v").coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = JFiles.list(Paths.get(stage)).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val target = Paths.get(srcDir, name)
+      JFiles.copy(part, target)
+      JFiles.setLastModifiedTime(target, FileTime.fromMillis(mtimeMs))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType)))
+    def drain(): Seq[Long] = {
+      val batches = scala.collection.mutable.ArrayBuffer[Long]()
+      val q = spark.readStream.schema(schema).parquet(srcDir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          batches += batchId
+          batch.write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      batches.toSeq
+    }
+    val now = System.currentTimeMillis()
+    writeFile(Seq((1L, 10L), (2L, 20L)), "f1.parquet", now - 60000)
+    val b1 = drain()
+    // new file arrives; SAME checkpoint -> only the delta is processed
+    writeFile(Seq((3L, 30L)), "f2.parquet", now)
+    val b2 = drain()
+    assert(b2.nonEmpty && b2.forall(b => !b1.contains(b)),
+      s"resume must continue batch ids, not replay: first=$b1 second=$b2")
+    val all = spark.read.parquet(sinkDir).select("id", "v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(all == Map(1L -> 10L, 2L -> 20L, 3L -> 30L),
+      s"exactly-once union of both drains expected, got $all")
+  }
 }
