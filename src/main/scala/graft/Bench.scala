@@ -37,6 +37,7 @@ object Bench {
     // masking and faking regressions). Median of 3 rejects a one-off
     // spike per query; run walls are reported alongside for transparency.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
     val failures = scala.collection.mutable.LinkedHashSet[String]()
     val runs: Seq[Map[String, Double]] = (1 to reps).map { _ =>
       selected.map { case (name, fn) =>

@@ -45,8 +45,6 @@ object ExtQueries {
       Similarity.bruteForceTopK(embs(s, dir), AnnQueries, 10)
         .orderBy(col("query_id"), col("rnk"))),
 
-    // LSH ANN is approximate by design -> no SQL oracle (rows-only check);
-    // SimilaritySpec measures its recall against the exact result.
     // LSH ANN is deterministic end-to-end (fixed hyperplane signs), so it
     // IS fully oracled: the DuckDB oracle mirrors bucket assignment,
     // multi-probe expansion, scoring and ranking from the same literal

@@ -140,8 +140,10 @@ object ExtQueries9 {
           col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
-        .join(broadcast(norms.select(col("doc_id").as("doc_a"), col("nrm").as("na"))), "doc_a")
-        .join(broadcast(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb"))), "doc_b")
+        // norms are corpus-cardinality: equi-join them (the dots table
+        // is df-cap-bounded) rather than broadcasting a per-doc table
+        .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("na")), "doc_a")
+        .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), "doc_b")
         .withColumn("cosr", col("dot").cast("double") / (col("na") * col("nb")))
         .where(col("cosr") >= 0.5)
         .select(col("doc_a"), col("doc_b"), round(col("cosr"), 4).as("cos"))
@@ -197,7 +199,9 @@ object ExtQueries9 {
         .select(col("vec_id"), col("label"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("votes").desc, col("label"))
-      top.join(broadcast(labels), "vec_id")
+      // broadcast the |queries| x k TOP side, never the corpus-sized
+      // labels table (review r5: the small side is the top-K rows)
+      labels.join(broadcast(top), "vec_id")
         .groupBy(col("query_id"), col("label"))
         .agg(count(lit(1)).as("votes"))
         .withColumn("rn", row_number().over(w))

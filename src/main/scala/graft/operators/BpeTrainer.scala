@@ -148,7 +148,15 @@ object BpeTrainer {
       }
       if (counts.isEmpty) r = nMerges + 1
       else {
-        val ((l, rr), pf) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        // tie-break in UNSIGNED UTF-8 byte order — the order Spark's
+        // orderBy uses on strings — so the reference matches the
+        // distributed loop on supplementary-plane text too (Java
+        // compareTo is UTF-16-unit order, which disagrees beyond the
+        // BMP; signed-byte compare disagrees from 0x80 up)
+        val utf8Order: Ordering[String] = (x: String, y: String) =>
+          java.util.Arrays.compareUnsigned(x.getBytes("UTF-8"), y.getBytes("UTF-8"))
+        val ((l, rr), pf) = counts.minBy { case ((a, b), c) => (-c, a, b) }(
+          Ordering.Tuple3(Ordering.Long, utf8Order, utf8Order))
         out += Merge(r, l, rr, pf)
         vocab = vocab.map { case (syms, f) =>
           val ns = scala.collection.mutable.ArrayBuffer[String]()

@@ -270,12 +270,14 @@ object Sampling {
         // Guard the driver-side collect: distinct window ids are bounded
         // by timeRange/windowMs, which is config-controlled — a 1 ms
         // window over years of data would otherwise materialize millions
-        // of ids here. Fail loudly with the knob to turn.
-        val windowCount = ds.select($"wnd").distinct().count()
-        require(windowCount <= 1000000L,
-          s"sampledCoocDeltas: $windowCount distinct windows exceeds the 1e6 driver bound; " +
+        // of ids here. limit(bound+1) enforces the cap in the SAME job
+        // that materializes the ids (no second distinct pass).
+        val bound = 1000000
+        val ids = ds.select($"wnd").distinct().limit(bound + 1).as[Long].collect()
+        require(ids.length <= bound,
+          s"sampledCoocDeltas: more than $bound distinct windows; " +
             "increase windowMs (window-size/window-unit) so the window count stays bounded")
-        Some(ds.select($"wnd").distinct().as[Long].collect().sorted)
+        Some(ids.sorted)
       }
     }
 

@@ -183,8 +183,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"pair generation must stay an equi-join on the term:\n${p.take(1500)}")
-    // norms join back broadcast (one row per doc — small side)
-    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    // the stop-set (bounded by N/maxDf) leaves via a broadcast anti-join;
+    // the corpus-cardinality norms tables must NOT broadcast
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(1500))
   }
 
   test("KNN label vote: corpus scans once, labels and query set broadcast") {
