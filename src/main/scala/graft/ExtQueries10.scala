@@ -110,6 +110,24 @@ object ExtQueries10 {
           |FROM tree GROUP BY depth ORDER BY depth""".stripMargin)
     }),
 
+    // overlapping context-window chunking — the split side of the
+    // packing story (text_pack_bins packs short docs UP; this splits
+    // long docs DOWN): windows of 200 chars starting every 150 (50
+    // overlap), one explode per doc — scan-shaped, chunk count linear
+    // in text length. greatest(len,1) keeps the empty-text chunk count
+    // engine-portable (DIV truncates, // floors — they disagree at -1).
+    "text_chunk_overlap" -> ((s, dir) =>
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(sequence(lit(0),
+            expr("(greatest(length(text), 1) - 1) DIV 150").cast("int"))).as("chunk_idx"),
+          col("text"))
+        .select(col("doc_id"), col("chunk_idx"),
+          expr("substring(text, chunk_idx * 150 + 1, 200)").as("chunk"))
+        .withColumn("n_chars", length(col("chunk")))
+        .drop("text")
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // try_-function surface (ANSI-safe arithmetic): division by zero,
     // malformed cast, out-of-bounds element — NULL instead of error,
     // with the oracle expressing each via its portable equivalent.
@@ -185,6 +203,14 @@ object ExtQueries10 {
         |       AND c.p_partkey <= 4095)
         |SELECT depth, CAST(COUNT(*) AS BIGINT) AS n, MIN(k) AS min_k, MAX(k) AS max_k
         |FROM tree GROUP BY depth ORDER BY depth""".stripMargin,
+
+    "text_chunk_overlap" ->
+      """SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |       substring(text, CAST(i AS INT) * 150 + 1, 200) AS chunk,
+        |       CAST(length(substring(text, CAST(i AS INT) * 150 + 1, 200)) AS INT) AS n_chars
+        |FROM documents,
+        |     UNNEST(generate_series(0, (greatest(length(text), 1) - 1) // 150)) AS t(i)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "scalar_try" ->
       """SELECT l_orderkey, l_linenumber,
