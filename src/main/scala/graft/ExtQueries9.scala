@@ -30,33 +30,74 @@ object ExtQueries9 {
       .where(col("item") < col("other") && col("cnt") >= 3)
       .select(col("item").as("u"), col("other").as("v"))
 
+  /** Edges re-oriented by DEGREE: `a` is the endpoint with the smaller
+    * (degree, id). Out-degree under this orientation is bounded by
+    * O(sqrt(|E|)) on any graph (arboricity bound), so wedge enumeration
+    * from `a` never fans out deg^2 on hub vertices — the id-orientation's
+    * 100x-scale weakness (r5 verdict). The degree table is vocab-bounded,
+    * hence broadcast. */
+  private[graft] def orientedEdges(e: DataFrame): DataFrame = {
+    val deg = e.select(col("u").as("x")).union(e.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    e.join(broadcast(deg.select(col("x").as("u"), col("d").as("du"))), "u")
+      .join(broadcast(deg.select(col("x").as("v"), col("d").as("dv"))), "v")
+      .select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("fst"), col("v").as("snd")))
+          .otherwise(struct(col("v").as("fst"), col("u").as("snd"))).as("o"))
+      .select(col("o.fst").as("a"), col("o.snd").as("b"))
+  }
+
+  /** Wedge pairs (x; y, z) — two distinct out-edges of the same vertex in
+    * the degree orientation. |wedges| = sum_a outdeg(a)*(outdeg(a)-1),
+    * bounded by the orientation; each unordered out-pair appears twice
+    * (y,z) and (z,y), and exactly one of the two closes against an
+    * oriented third edge. */
+  private[graft] def wedges(o: DataFrame): DataFrame =
+    o.as("e1")
+      .join(o.as("e2"), col("e1.a") === col("e2.a") && col("e1.b") =!= col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+
+  /** Each triangle materializes exactly once: its (degree, id)-minimal
+    * vertex is the only one with two out-edges inside the triangle, and
+    * only the orientation-consistent (y, z) wedge closes. */
+  private[graft] def triangles(o: DataFrame): DataFrame =
+    wedges(o)
+      .join(o.as("e3"), col("e3.a") === col("y") && col("e3.b") === col("z"))
+      .select(col("x"), col("y"), col("z"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // triangle count on the item graph: id-oriented edges (u<v) make each
-    // triangle materialize exactly once as e(u,v)+e(v,w)+e(u,w) — no /6
-    // correction, no distinct. At scale, orient by DEGREE instead of id
-    // (lower-degree endpoint first) to bound per-vertex wedge fan-out by
-    // sqrt(|E|); the join shape is identical.
+    // triangle count on the item graph, DEGREE-oriented (r6): each
+    // triangle materializes exactly once at its orientation-minimal
+    // vertex, and per-vertex wedge fan-out is bounded by sqrt(|E|) even
+    // on hub vertices — the join shape a 100x scale-up needs. The count
+    // is orientation-invariant, so the id-oriented oracle is unchanged.
     "graph_triangles" -> ((s, dir) => {
-      val e = itemEdges(s, dir).localCheckpoint(true) // 3-way self-join: scan once
-      val tri = e.as("e1")
-        .join(e.as("e2"), col("e1.v") === col("e2.u"))
-        .join(e.as("e3"), col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
-        .agg(count(lit(1)).as("n_triangles"))
+      val e = itemEdges(s, dir).localCheckpoint(true)
+      val o = orientedEdges(e).localCheckpoint(true) // 3-way self-join: scan once
+      val tri = triangles(o).agg(count(lit(1)).as("n_triangles"))
       e.agg(count(lit(1)).as("n_edges")).crossJoin(tri) // two 1-row aggregates
     }),
 
-    // neighborhood Jaccard per edge (link-prediction feature): common
-    // neighbors via the wedge join, degrees via one hash agg, ratio of
-    // integers rounded to 4 dp. Top-20 with a total-order tiebreak.
+    // neighborhood Jaccard per edge (link-prediction feature). Common
+    // neighbors of an EDGE (u,v) are exactly the triangles through it, so
+    // the degree-oriented triangle enumeration (bounded wedge fan-out)
+    // replaces the old adj-self-join that fanned out deg^2 on hubs: each
+    // triangle contributes one common neighbor to each of its 3 edges.
+    // Degrees via one hash agg; ratio of integers rounded to 4 dp.
     "graph_jaccard" -> ((s, dir) => {
       val e = itemEdges(s, dir).localCheckpoint(true)
-      val adj = e.select(col("u").as("x"), col("v").as("w"))
-        .union(e.select(col("v").as("x"), col("u").as("w")))
-      val deg = adj.groupBy(col("x")).agg(count(lit(1)).as("deg"))
-      val common = adj.as("n1")
-        .join(adj.as("n2"), col("n1.w") === col("n2.w") && col("n1.x") < col("n2.x"))
-        .groupBy(col("n1.x").as("u"), col("n2.x").as("v"))
+      val o = orientedEdges(e).localCheckpoint(true)
+      val deg = e.select(col("u").as("x")).union(e.select(col("v").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("deg"))
+      val common = triangles(o)
+        .select(explode(array(
+          struct(least(col("x"), col("y")).as("cu"), greatest(col("x"), col("y")).as("cv")),
+          struct(least(col("x"), col("z")).as("cu"), greatest(col("x"), col("z")).as("cv")),
+          struct(least(col("y"), col("z")).as("cu"), greatest(col("y"), col("z")).as("cv"))))
+          .as("p"))
+        .groupBy(col("p.cu").as("u"), col("p.cv").as("v"))
         .agg(count(lit(1)).as("common"))
       e.join(common, Seq("u", "v"))
         .join(broadcast(deg.select(col("x").as("u"), col("deg").as("du"))), "u")
@@ -96,17 +137,19 @@ object ExtQueries9 {
     }),
 
     // vocabulary pruning with coverage stats: top-500 words by document
-    // frequency (global rank over the vocab-bounded df table; at larger
-    // vocabularies use the two-level group-topk), then per-source token
-    // coverage. All-integer outputs — no cross-engine float at all.
+    // frequency, then per-source token coverage. The global top-500 is
+    // orderBy+limit — Spark plans TakeOrderedAndProject (per-partition
+    // bounded heaps, merged once), NOT a single-partition row_number
+    // window over the full vocabulary (r5 verdict item 4). The ordering
+    // (df desc, w) is total, so the cut is deterministic. All-integer
+    // outputs — no cross-engine float at all.
     "vocab_prune" -> ((s, dir) => {
       val toks = Tables.table(s, dir, "documents")
         .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("w"))
         .where(col("w") =!= "")
       val dfreq = toks.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
-      val wv = Window.orderBy(col("df").desc, col("w"))
-      val vocab = dfreq.withColumn("rk", row_number().over(wv))
-        .where(col("rk") <= 500).select(col("w"), lit(1L).as("inv"))
+      val vocab = dfreq.orderBy(col("df").desc, col("w")).limit(500)
+        .select(col("w"), lit(1L).as("inv"))
       toks
         .join(broadcast(vocab), Seq("w"), "left")
         .groupBy(col("doc_id"), col("source"))
@@ -168,20 +211,25 @@ object ExtQueries9 {
     // user key bounds the join and salting handles power users.
     "attribution_last_touch" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
+      // explicit side aliases (r5 advice): the two projections come from
+      // the same scan, and a bare p("user_id") === t("user_id") only
+      // resolves through fragile Dataset-id disambiguation
       val p = ev.where(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+        .as("p")
       val t = ev.where(col("event_type").isin("click", "view"))
         .select(col("user_id"), col("event_id").as("touch_id"),
           col("event_type").as("channel"), col("ts").as("tts"))
+        .as("t")
       val w = Window.partitionBy(col("purchase_id"))
         .orderBy(col("tts").desc, col("touch_id").desc)
       p.join(t,
-          p("user_id") === t("user_id") &&
+          col("p.user_id") === col("t.user_id") &&
             col("tts") < col("pts") &&
             col("tts") >= col("pts") - expr("INTERVAL 7 DAY"), "left")
         .withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
-        .select(col("purchase_id"), p("user_id").as("user_id"),
+        .select(col("purchase_id"), col("p.user_id").as("user_id"),
           coalesce(col("touch_id"), lit(-1L)).as("attributed_event"),
           coalesce(col("channel"), lit("none")).as("channel"))
         .orderBy(col("purchase_id"))
@@ -232,22 +280,41 @@ object ExtQueries9 {
 
     // deterministic in-batch negative sampling: 5 non-interacted items
     // per user, chosen by portable-hash rank — the same sample on any
-    // partitioning, cluster size, or engine. The item vocabulary
-    // broadcasts (bounded); candidate generation is linear in
-    // users x vocab; positives leave via one anti-join.
+    // partitioning, cluster size, or engine. r6 rewrite (r5 verdict #1):
+    // the item vocabulary broadcasts (bounded) and each user keeps a
+    // 5-element heap over it inside flatMapGroups — exactly 5 rows per
+    // user ever exist; the U x V candidate set is never materialized,
+    // anti-joined, or window-sorted. One shuffle total (groupByKey on
+    // user); per-user positives are group-local.
     "negative_sample" -> ((s, dir) => {
+      import s.implicits._
       val inter = Cooccurrence.interactions(s, dir)
+        .where(col("user").isNotNull && col("item").isNotNull)
         .select(col("user"), col("item")).distinct()
-      val items = inter.select(col("item")).distinct()
-      val users = inter.select(col("user")).distinct()
-      val w = Window.partitionBy(col("user")).orderBy(col("hk"), col("item"))
-      users.crossJoin(broadcast(items))
-        .join(inter, Seq("user", "item"), "left_anti")
-        .withColumn("hk", PortableHash.h(
-          concat(col("user").cast("string"), lit(":"), col("item").cast("string"))))
-        .withColumn("rnk", row_number().over(w))
-        .where(col("rnk") <= 5)
-        .select(col("user"), col("rnk"), col("item"))
+      val vocab = inter.select(col("item")).distinct().as[Int].collect().sorted
+      val bc = s.sparkContext.broadcast(vocab)
+      val ord = Ordering.Tuple2[Long, Int]
+      inter.as[(Int, Int)]
+        .groupByKey(_._1)
+        .flatMapGroups { (user: Int, rows: Iterator[(Int, Int)]) =>
+          val pos = rows.map(_._2).toSet
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Int)](ord)
+          val items = bc.value
+          var i = 0
+          while (i < items.length) {
+            val item = items(i)
+            if (!pos.contains(item)) {
+              val cand = (PortableHash.hJvm(md, user.toString + ":" + item.toString), item)
+              if (heap.size < 5) heap.enqueue(cand)
+              else if (ord.lt(cand, heap.head)) { heap.dequeue(); heap.enqueue(cand) }
+            }
+            i += 1
+          }
+          heap.dequeueAll.sorted(ord).iterator.zipWithIndex
+            .map { case ((_, item), idx) => (user, idx + 1, item) }
+        }
+        .toDF("user", "rnk", "item")
         .orderBy(col("user"), col("rnk"))
     })
   )

@@ -43,6 +43,19 @@ object PortableHash {
   def h(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
+  /** JVM-side mirror of `h` for per-row use inside mapGroups/mapPartitions
+    * operators — bit-identical to the Column and SQL forms. The first 15 hex
+    * digits of md5 are bytes 0..6 plus the high nibble of byte 7. Pass a
+    * reused MessageDigest (create one per group/partition, not per row). */
+  def hJvm(md: java.security.MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
   /** H(s) mod P — the input to every derived hash family. */
   def hMod(c: Column): Column = h(c) % P
 

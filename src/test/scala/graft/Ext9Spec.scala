@@ -76,6 +76,24 @@ class Ext9Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s1.nonEmpty)
   }
 
+  test("degree orientation bounds wedge fan-out on a hub graph") {
+    // star: hub 0 with leaves 1..20, plus one leaf-leaf edge (1,2). The
+    // naive center-based wedge enumeration fans out deg(hub)^2 — here
+    // 20*19 + 2 + 2 = 384 ordered wedges. Degree orientation points every
+    // edge AT the hub, so only vertex 1 (out-edges to 0 and 2) forms
+    // wedges: exactly 2 ordered, of which 1 closes into the one triangle.
+    val e = spark.createDataFrame((1 to 20).map(l => (0, l)) :+ ((1, 2)))
+      .toDF("u", "v")
+    val o = ExtQueries9.orientedEdges(e)
+    val orient = o.collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(orient.forall { case (a, b) => b == 0 || (a, b) == (1, 2) },
+      s"every edge must point at the hub: $orient")
+    val naiveWedges = 20 * 19 + 2 + 2
+    val wedgeCount = ExtQueries9.wedges(o).count()
+    assert(wedgeCount == 2L, s"oriented wedges must be 2, not O($naiveWedges): $wedgeCount")
+    assert(ExtQueries9.triangles(o).count() == 1L)
+  }
+
   test("graph_jaccard: every jaccard in (0, 1] and edges exist in the graph") {
     val rows = ExtQueries9.queries("graph_jaccard")(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))

@@ -166,16 +166,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.linesIterator.count(_.contains("FileScan")) <= 2, p.take(1500))
   }
 
-  test("negative sampling: items broadcast, positives leave via a hash anti-join, no cartesian shuffle") {
+  test("negative sampling: U x V candidates never materialize — no window, no join, a bounded per-group heap") {
     val df = SparkEntry.queries("negative_sample")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
-    // users x items is the vocab-bounded broadcast nested loop; the
-    // anti-join on (user, item) must be a hash join, and nothing may
-    // plan as a CartesianProduct (a shuffled cross product would scale
-    // with users x items x partitions)
-    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
-    assert(p.contains("LeftAnti"), p.take(1500))
-    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // r6 shape: one groupByKey shuffle on user + flatMapGroups over the
+    // broadcast vocabulary, emitting exactly 5 rows per user. The U x V
+    // candidate set must not exist as rows anywhere in the plan: no
+    // cross/nested-loop join, no anti-join, and no window rank over
+    // candidates.
+    assert(p.contains("MapGroups"), p.take(1500))
+    assert(!p.contains("Window"), "candidate ranking must be the in-group heap:\n" + p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")
+      && !p.contains("LeftAnti"), "U x V candidates must never materialize:\n" + p.take(1500))
+  }
+
+  test("vocab top-500 is a distributed TakeOrdered, not a single-partition global window") {
+    val df = SparkEntry.queries("vocab_prune")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-500 must plan as per-partition heaps + one merge:\n${p.take(1500)}")
+    assert(!p.contains("Window"),
+      "no row_number window over the full vocabulary:\n" + p.take(1500))
   }
 
   test("sparse document cosine: candidate pairs come from an equi-join on the term, never a cross product") {
