@@ -39,25 +39,42 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
     val failures = scala.collection.mutable.LinkedHashSet[String]()
-    val runs: Seq[Map[String, Double]] = (1 to reps).map { _ =>
+    // a rep that FAILS records None, not its fail-fast wall time — medians
+    // are over successful reps only, so a partially-failing query can't
+    // report a misleadingly low number (round-5 advice)
+    val runs: Seq[Map[String, Option[Double]]] = (1 to reps).map { _ =>
       selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case t: Throwable =>
-          if (failures.add(name))
-            System.err.println(s"[bench] $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
-        }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case t: Throwable =>
+            if (failures.add(name))
+              System.err.println(s"[bench] $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
+            false
+          }
+        name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
       }
     }
     def median(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
-    val medians = selected.keys.map(n => n -> median(runs.map(_(n)))).toMap
-    val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }
+    val medians = selected.keys.toSeq
+      .map(n => n -> runs.flatMap(_(n)))
+      .collect { case (n, ok) if ok.nonEmpty => n -> median(ok) }
+      .toMap
+    val qs = medians.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fails = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val runWalls = runs.map(_.values.sum).map(w => f"$w%.1f").mkString("[", ",", "]")
+    val runWalls = runs.map(_.values.flatten.sum).map(w => f"$w%.1f").mkString("[", ",", "]")
     val total = if (medians.nonEmpty) medians.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"run_walls":$runWalls,"queries":$qs,"failures":$fails,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"run_walls":$runWalls,"queries":$qs,"failures":$fails,"sf":"$sfDir"}"""
+    println(json)
+    // the driver captures only the tail of stdout (r5: 116/179 per-query
+    // medians lost to truncation) — always persist the full JSON to a file
+    // that gets committed per round
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    System.err.println(s"[bench] full JSON written to $outPath")
     spark.stop()
   }
 }

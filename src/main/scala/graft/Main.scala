@@ -57,16 +57,25 @@ object Config {
       case ("-h" | "--help") :: _ => Left(usage)
       case other :: _ => Left(s"unknown argument: $other\n$usage")
     }
-    go(args.toList, Config()).flatMap { c =>
+    // malformed flag values (non-numeric -ic/-uc/-k/-ws/-s/-bt, unknown
+    // -wu unit) surface as the usage message + exit 2, not a bare
+    // NumberFormatException stack trace (round-5 verdict item 8)
+    try go(args.toList, Config()).flatMap { c =>
       if (c.input.isEmpty) Left("missing required -i/--input\n" + usage)
       else if (c.windowSize <= 0 && !c.skipCuts) Left("missing required -ws/--window-size\n" + usage)
       else Right(c)
+    } catch {
+      case e: NumberFormatException =>
+        Left(s"invalid numeric flag value (${e.getMessage})\n$usage")
+      case e: IllegalArgumentException =>
+        Left(s"invalid flag value: ${e.getMessage}\n$usage")
     }
   }
 
   val usage: String =
     """usage: graft.Main -i <path> [-o <path>] [-sc] [-ic N] [-uc N] [-k N]
       |       -ws N [-wu MILLISECONDS|SECONDS|MINUTES|HOURS|DAYS] [-s seed|0xhex]
+      |       [-bt millis]
       |input: CSV lines `user,item,timestampMillis` (file or directory)""".stripMargin
 }
 

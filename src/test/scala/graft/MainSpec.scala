@@ -54,8 +54,21 @@ class MainSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c.itemCut == 500 && c.topK == 10 && c.seed == 42L)
     val c2 = Config.parse(Array("-i", "/x", "-ws", "1", "--buffer-timeout", "5")).toOption.get
     assert(c2.windowMs == 1L)
-    assert(scala.util.Try(Config.parse(Array("-i", "/x", "-ws", "1", "-bt", "nan")).isLeft)
-      .getOrElse(true)) // malformed value: Left or a parse exception, never silent success
+  }
+
+  test("malformed flag values produce the usage message, not a bare exception (r5 #8)") {
+    for (bad <- Seq(
+        Array("-i", "/x", "-ws", "1", "-bt", "nan"),
+        Array("-i", "/x", "-ws", "1", "-ic", "many"),
+        Array("-i", "/x", "-ws", "oops"),
+        Array("-i", "/x", "-ws", "1", "-s", "0xZZ"),
+        Array("-i", "/x", "-ws", "1", "-wu", "FORTNIGHTS"))) {
+      val r = Config.parse(bad)
+      assert(r.isLeft, s"expected Left for ${bad.mkString(" ")}")
+      assert(r.swap.toOption.get.contains("usage:"),
+        s"error must include usage for ${bad.mkString(" ")}")
+    }
+    assert(Config.parse(Array("-h")).isLeft) // help is also the usage path
   }
 
   test("end-to-end CSV job: known tiny dataset produces the expected top-K") {
