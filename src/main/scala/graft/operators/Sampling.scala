@@ -74,6 +74,25 @@ object Sampling {
     val sampledInteractions = sc.longAccumulator("ItemInteractionCounterSampled")
     val droppedInteractions = sc.longAccumulator("ItemInteractionCounterDropped")
     val feedbackElements = sc.longAccumulator("ItemInteractionCounterFeedbackElements")
+    /** Late arrivals dropped at the (upstream) item stage — reference
+      * counts an element late when its ts <= the operator's current
+      * watermark (ItemInteractionCounterTwoInputStreamOperator.java:66,76).
+      * Incremented by the streaming shell's ingest filter (StreamingCooc):
+      * lateness is a stream-arrival concept, so the batch loop — which
+      * sees each window complete — never increments it. */
+    val itemLateElements = sc.longAccumulator("ItemInteractionCounterLateElements")
+    /** Late arrivals at the user stage (UserInteractionCounterOneInput-
+      * StreamOperator.java:111,122). In Flink the two stages' watermarks
+      * advance independently over async channels, so an element can pass
+      * the item stage and still be late downstream. Under synchronous
+      * microbatch sequencing both stages share one watermark per batch,
+      * making this set empty BY CONSTRUCTION — the counter exists for
+      * harness parity and stays 0 (asserted in StreamingSpec). */
+    val userLateElements = sc.longAccumulator("UserInteractionCounterLateElements")
+    /** Item rows (re)scored by the rescorer — one per item with a
+      * pending delta at each flush
+      * (ItemRowRescorerTwoInputStreamOperator.java:60,169). */
+    val rescoredItems = sc.longAccumulator("ItemRowRescorerRescoredItems")
   }
 
   /** splitmix64 finalizer: java.util.Random's seed scrambler is weak —
@@ -261,10 +280,15 @@ object Sampling {
     val windowsOpt: Option[Array[Long]] = {
       // coalesce: agg(max) over an empty input yields one NULL row, which
       // the non-nullable Long encoder would reject
-      val Array(maxPerItem, maxPerUser) = ds.select($"ev.*")
-        .groupBy($"item").count().agg(coalesce(max($"count"), lit(0L))).as[Long].collect() ++
-        ds.select($"ev.*")
-          .groupBy($"user").count().agg(coalesce(max($"count"), lit(0L))).as[Long].collect()
+      // one job for both maxima: the per-item and per-user histograms
+      // union into a single two-row aggregate (was two collect() jobs)
+      val maxima = ds.select($"ev.item".as("key"), lit(0).as("side"))
+        .union(ds.select($"ev.user".as("key"), lit(1).as("side")))
+        .groupBy($"side", $"key").count()
+        .groupBy($"side").agg(coalesce(max($"count"), lit(0L)).as("mx"))
+        .as[(Int, Long)].collect().toMap
+      val maxPerItem = maxima.getOrElse(0, 0L)
+      val maxPerUser = maxima.getOrElse(1, 0L)
       if (maxPerItem <= fMax && maxPerUser <= kMax) None
       else {
         // Guard the driver-side collect: distinct window ids are bounded

@@ -29,16 +29,47 @@ object StreamingCooc {
     var itemState: Dataset[ItemCount] = spark.emptyDataset[ItemCount]
     var userState: Dataset[UserState] = spark.emptyDataset[UserState]
     var deltas: Dataset[CoocDelta] = spark.emptyDataset[CoocDelta]
+    /** Event-time watermark after the previous batch (max ts seen). Late
+      * filtering uses the PREVIOUS batch's value — the same split Spark's
+      * own watermark operators apply to multi-batch late data. */
+    var watermarkMs: Long = Long.MinValue
   }
 
   /**
    * Run one microbatch through the window step and fold its deltas into
    * the accumulated matrix state. Returns the updated accumulated deltas.
+   *
+   * With `metrics` attached the reference's late-element contract is
+   * enforced at ingest (the item stage is the first operator to see an
+   * interaction): events with ts <= the previous batch's watermark are
+   * dropped and counted as `ItemInteractionCounterLateElements`
+   * (reference: ItemInteractionCounterTwoInputStreamOperator.java:66,76).
+   * The user stage then processes an already-filtered batch under the
+   * same watermark, so `UserInteractionCounterLateElements` is 0 by
+   * construction here (see PipelineMetrics scaladoc). Without metrics
+   * the ingest filter is off and every arrival is processed — the
+   * arrival-sequenced mode the streaming oracles pin.
    */
   def processBatch(st: State, batch: Dataset[Interaction], batchId: Long,
-      fMax: Int, kMax: Int, seed: Long): Unit = {
+      fMax: Int, kMax: Int, seed: Long,
+      metrics: Option[Sampling.PipelineMetrics] = None): Unit = {
+    val admitted = metrics match {
+      case None => batch
+      case Some(m) =>
+        val wm = st.watermarkMs
+        // one instrumented-mode job: late count + new watermark together
+        val row = batch.groupBy()
+          .agg(
+            sum(when(col("ts") <= wm, 1L).otherwise(0L)).as("late"),
+            max(col("ts")).as("mx"))
+          .head()
+        if (!row.isNullAt(0)) m.itemLateElements.add(row.getLong(0))
+        if (!row.isNullAt(1)) st.watermarkMs = math.max(wm, row.getLong(1))
+        batch.filter(col("ts") > wm)
+    }
     val (d, is, us) =
-      Sampling.processWindow(batch, st.itemState, st.userState, fMax, kMax, seed, batchId)
+      Sampling.processWindow(admitted, st.itemState, st.userState, fMax, kMax, seed, batchId,
+        metrics)
     st.itemState = is
     st.userState = us
     // dropCarriedStats: chained checkpoint-union-checkpoint would compound
@@ -56,11 +87,17 @@ object StreamingCooc {
     * materialized matrix. A mismatch means a cell went negative (a
     * refund/eviction bug) and fails loudly instead of mis-scoring. */
   def rescore(st: State, k: Int,
-      devReconcile: Boolean = java.lang.Boolean.getBoolean("graft.dev.reconcile")): DataFrame = {
+      devReconcile: Boolean = java.lang.Boolean.getBoolean("graft.dev.reconcile"),
+      metrics: Option[Sampling.PipelineMetrics] = None): DataFrame = {
     val counts = st.deltas
       .groupBy(col("item"), col("other"))
       .agg(sum(col("inc")).as("cnt"))
       .where(col("cnt") > 0)
+    // harness parity: one rescored-item-row per item with a pending delta
+    // at this flush (ItemRowRescorerTwoInputStreamOperator.java:60,169) —
+    // an instrumented-mode-only job, like the DEV reconcile below
+    metrics.foreach(_.rescoredItems.add(
+      counts.select(col("item")).distinct().count()))
     if (devReconcile) {
       val fromDeltas = st.deltas.groupBy(col("item")).agg(sum(col("inc")).as("delta_sum"))
       val fromMatrix = counts.groupBy(col("item")).agg(sum(col("cnt")).as("matrix_sum"))

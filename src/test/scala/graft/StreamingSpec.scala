@@ -61,6 +61,29 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch)
   }
 
+  test("late/rescored accumulator parity: known late totals, user-late 0, rescored = matrix items") {
+    val sp = spark; import sp.implicits._
+    val m = new graft.operators.Sampling.PipelineMetrics(spark.sparkContext)
+    val st = new StreamingCooc.State(spark)
+    // batch 0: user 1 on items 10 (ts=100) and 20 (ts=200) -> wm 200
+    // batch 1: ts=150 is late (<= 200); ts=250 on-time -> wm 250
+    // batch 2: ts=250 is late (<= 250, reference uses <=); ts=300 on-time
+    val batches = Seq(
+      Seq(Interaction(1, 10, 100L), Interaction(1, 20, 200L)),
+      Seq(Interaction(1, 99, 150L), Interaction(1, 30, 250L)),
+      Seq(Interaction(2, 99, 250L), Interaction(2, 10, 300L)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamingCooc.processBatch(st, b.toDS(), i.toLong, 1000000, 1000000, 42L, Some(m))
+    }
+    assert(m.itemLateElements.value == 2L, s"item-late ${m.itemLateElements.value}")
+    assert(m.userLateElements.value == 0L) // structurally 0 under microbatch sequencing
+    // late item 99 must NOT enter the matrix; on-time items 10,20,30 must
+    val res = StreamingCooc.rescore(st, 10, metrics = Some(m))
+    val items = res.select(col("item")).distinct().collect().map(_.getInt(0)).toSet
+    assert(items == Set(10, 20, 30), s"matrix items $items")
+    assert(m.rescoredItems.value == 3L, s"rescored ${m.rescoredItems.value}")
+  }
+
   test("transformWithState reservoir across 3 MemoryStream batches == batch C matrix (kMax >= n)") {
     val sp = spark; import sp.implicits._
     implicit val sq = spark.sqlContext
