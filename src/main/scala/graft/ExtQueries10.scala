@@ -74,6 +74,16 @@ object ExtQueries10 {
       BpeTrainer.encode(docs, BpeTrainer.train(docs, 12))
     }),
 
+    // BPE token SEQUENCES (doc_id, pos, token) — the model-input form of
+    // the tokenizer (r5 verdict #6). Same broadcast vocab-join shape as
+    // encode; per-doc position via a doc-partitioned (bounded) window.
+    // Rows-only at the gate; BpeSpec checks per-document equality with
+    // direct applyMerges application.
+    "bpe_tokenize" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      BpeTrainer.tokenize(docs, BpeTrainer.train(docs, 12))
+    }),
+
     // global row numbering WITHOUT the single-partition window: the
     // two-level prefix scan (value-range buckets + driver fold over
     // bucket totals + broadcast-back) assigns contiguous global row

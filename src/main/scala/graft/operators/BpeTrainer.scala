@@ -131,6 +131,37 @@ object BpeTrainer {
   }
 
   /**
+   * Token SEQUENCES per document (doc_id, pos, token) — what a training
+   * pipeline actually feeds a model, next to encode()'s counts. Same
+   * scale shape: the word vocabulary is tokenized once (bounded work)
+   * and broadcast; the corpus pass is explode + broadcast join +
+   * per-document position assignment. The ordering window partitions by
+   * doc_id — bounded by one document's token count, never corpus-sized.
+   * `pos` is the contiguous 0-based index over the document's final
+   * token stream (word order, then sub-token order within the word).
+   */
+  def tokenize(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val docWords = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("wpos", "w")))
+      .where(col("w") =!= "")
+    val ms = merges
+    val vocabTok = docWords.select(col("w")).distinct().as[String]
+      .map(w => (w, applyMerges(w, ms)))
+      .toDF("w", "toks")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("wpos"), col("spos"))
+    docWords.join(broadcast(vocabTok), "w")
+      .select(col("doc_id"), col("wpos"),
+        posexplode(col("toks")).as(Seq("spos", "token")))
+      .withColumn("pos", row_number().over(byDoc) - 1)
+      .select(col("doc_id"), col("pos"), col("token"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  /**
    * Reference single-machine BPE over a word-freq map — used by the spec
    * to cross-check the distributed loop exactly.
    */

@@ -64,4 +64,21 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"doc ${r.getLong(0)}: encode ${got(r.getLong(0))} != naive $naive")
     }
   }
+
+  test("tokenize sequences == naive per-document merge application, positions contiguous") {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val merges = BpeTrainer.train(docs, 12)
+    val got = BpeTrainer.tokenize(docs, merges).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1)
+      .map { case (d, rows) => d -> rows.sortBy(_._2).map(t => (t._2, t._3)).toSeq }
+    docs.select("doc_id", "text").limit(30).collect().foreach { r =>
+      val naive = r.getString(1).split(" ").iterator.filter(_.nonEmpty)
+        .flatMap(w => BpeTrainer.applyMerges(w, merges)).toSeq
+      val seq = got(r.getLong(0))
+      assert(seq.map(_._1) == (0 until naive.length), s"doc ${r.getLong(0)}: gaps in pos")
+      assert(seq.map(_._2) == naive,
+        s"doc ${r.getLong(0)}: sequence mismatch (${seq.take(5)} vs ${naive.take(5)})")
+    }
+  }
 }
