@@ -32,9 +32,14 @@ object IntervalJoin {
     * which column pruning could silently drop). */
   private def requireNonEmpty(s: String, e: String) =
     col(s) < col(e) ||
-      raise_error(concat(lit(s"IntervalJoin.overlapBinned: empty interval ($s >= $e) at $s="),
-        col(s).cast("string"), lit(s", $e="), col(e).cast("string"),
-        lit("; intervals must be non-empty half-open [s, e)"))).isNotNull
+      // NULL bounds take this branch too (null < x is NULL, not true) —
+      // say so in the message, and coalesce the formatted values so a
+      // null bound can't null out the whole concat (r5 advice)
+      raise_error(concat(
+        lit(s"IntervalJoin.overlapBinned: empty, inverted, or null interval ($s >= $e or NULL bound) at $s="),
+        coalesce(col(s).cast("string"), lit("null")),
+        lit(s", $e="), coalesce(col(e).cast("string"), lit("null")),
+        lit("; intervals must be non-empty half-open [s, e) with non-null bounds"))).isNotNull
 
   /**
    * left must carry (ls, le), right (rs, re); all other columns are

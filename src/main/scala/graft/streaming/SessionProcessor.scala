@@ -114,19 +114,20 @@ object SessionStream {
     // filter over the batch table turns the documented assumption into
     // a loud failure instead of a silent divergence.
     locally {
+      // ONE extra job, not two (r5 advice): the 1-row max broadcasts
+      // back against the scan inside the same action, so the hot path
+      // pays a single precheck job per invocation
       val evUs = graft.operators.Tables.events(spark, dir)
         .select(expr("unix_micros(ts)").as("us"))
-      evUs.agg(max(col("us"))).collect().headOption
-        .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
-        .foreach { maxUs =>
-          val ceilMsUs = (maxUs / 1000L + 1L) * 1000L
-          val risky = evUs
-            .where(col("us") + gapUsL > maxUs && col("us") + gapUsL < ceilMsUs)
-            .limit(1).count()
-          require(risky == 0L,
-            s"sessionAgg: a session close time lands within 1 ms of the final watermark " +
-              s"(maxUs=$maxUs); ms-grained timers cannot match the microsecond oracle here")
-        }
+      val bad = evUs
+        .crossJoin(broadcast(evUs.agg(max(col("us")).as("maxUs"))))
+        .where(col("us") + gapUsL > col("maxUs") &&
+          col("us") + gapUsL < col("maxUs") - pmod(col("maxUs"), lit(1000L)) + 1000L)
+        .limit(1).collect()
+      require(bad.isEmpty,
+        "sessionAgg: a session close time lands within 1 ms of the final watermark " +
+          s"(us=${bad.headOption.map(_.get(0)).orNull}); ms-grained timers cannot " +
+          "match the microsecond oracle here")
     }
     StreamingOps.withTransformWithStateConf(spark) {
       val stream = StreamingOps.eventsStream(spark, dir)

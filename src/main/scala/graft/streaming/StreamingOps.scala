@@ -337,16 +337,20 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // materialize (one row per user — result-sized) so the sink dir can
-    // be deleted before returning the lazily-consumed frame
-    val out = latest(spark.read.parquet(sinkDir))
+    // materialize to a LOCAL relation (one row per user — result-sized)
+    // so the sink dir can be deleted before returning: localCheckpoint
+    // blocks are MEMORY_AND_DISK and lost on executor loss, after which
+    // a recomputation would hit the deleted path; collected rows carry
+    // no lineage at all (r5 advice)
+    val resolved = latest(spark.read.parquet(sinkDir))
       .select(col("user_id"),
         date_format(timestamp_micros(col("tus")), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
         col("event_id").as("last_event"), col("value").as("last_value"))
       .orderBy("user_id")
-      .localCheckpoint(true)
+    val out = spark.createDataFrame(
+      java.util.Arrays.asList(resolved.collect(): _*), resolved.schema)
     fs.delete(sinkPath, true)
-    out
+    out.orderBy("user_id")
   }
 
   /**
