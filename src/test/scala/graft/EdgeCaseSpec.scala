@@ -177,6 +177,6 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     def chain(t: Throwable): List[Throwable] =
       if (t == null) Nil else t :: chain(t.getCause)
     assert(chain(ex).exists(t =>
-      Option(t.getMessage).exists(_.contains("empty interval"))))
+      Option(t.getMessage).exists(_.contains("empty, inverted, or null interval"))))
   }
 }
