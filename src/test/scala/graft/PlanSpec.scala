@@ -231,4 +231,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!pushed.contains("2024-01-05"),
       s"day is a partition column; it must prune at listing, not row filtering: [$pushed]")
   }
+
+  test("token-budget cumsum is the bucket-partitioned two-level scan, never a global window funnel") {
+    val df = SparkEntry.queries("select_token_budget")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    val winLines = p.linesIterator.filter(_.contains("Window ")).toList
+    assert(winLines.nonEmpty, s"expected the per-bucket running sum:\n${p.take(1500)}")
+    winLines.foreach(l => assert(l.contains("__pid"),
+      s"window must be partitioned by the range bucket, not global:\n$l"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"bucket prefixes must broadcast back:\n${p.take(1500)}")
+  }
 }
