@@ -7,7 +7,7 @@ object PlanDump {
       .config("spark.ui.enabled","false")
       .config("spark.sql.session.timeZone","UTC").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (q <- Seq("quantile_bins","vq_assign","join_interval_binned","sink_partitioned_prune")) {
+    for (q <- (if (args.nonEmpty) args.toSeq else Seq("quantile_bins","vq_assign","join_interval_binned","sink_partitioned_prune"))) {
       val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
       df.count()
       println(s"===== $q =====")
