@@ -33,8 +33,9 @@ class Ext15Spec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, h ^ (1L << 7)), // distance 1 from h
       (4L, h ^ (1L << 3) ^ (1L << 20) ^ (1L << 45)), // distance 3
       (5L, h ^ (1L << 2) ^ (1L << 17) ^ (1L << 33) ^ (1L << 52))) // distance 4
-    // run the same banded-join shape via the public query on a temp dir:
-    // easier to drive the internals directly through SQL on a temp view
+    // rebuild the query's exact banded-join shape over the planted
+    // hashes (the public query derives phash from testdata payloads,
+    // which carry no controlled distances)
     val df = rows.toDF("doc_id", "phash")
     val chunks: org.apache.spark.sql.DataFrame = (0 until 4).map(j =>
       df.select(col("doc_id"), col("phash"), lit(j).as("c"),
