@@ -19,7 +19,7 @@ object ExtQueries {
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "embeddings")
 
-  private val AnnQueries: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
+  private[graft] val AnnQueries: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) =>
@@ -436,7 +436,7 @@ object ExtQueries {
        |WHERE bit_count(xor(fp_a, fp_b)) <= 3 ORDER BY doc_a, doc_b""".stripMargin
 
   /** Quantized embedding vectors: exact integer dot products. */
-  private val quantSql =
+  private[graft] val quantSql =
     """q AS (
       |  SELECT vec_id,
       |         [CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) for x in embedding] AS qv
@@ -446,7 +446,7 @@ object ExtQueries {
   /** Sign-random-projection bucket as SQL, GENERATED from the same
     * literal plane signs as `Similarity.lshBucket` — bit i set when
     * plane `planes(i)`'s signed projection is positive. */
-  private def bucketSql(planes: Range, dims: Int = 64): String =
+  private[graft] def bucketSql(planes: Range, dims: Int = 64): String =
     planes.zipWithIndex.map { case (p, i) =>
       val signs = Similarity.planeSigns(p, dims).mkString("[", ", ", "]")
       s"(CASE WHEN list_inner_product(qv, $signs) > 0 THEN ${1L << i} ELSE 0 END)"

@@ -242,4 +242,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
       s"bucket prefixes must broadcast back:\n${p.take(1500)}")
   }
+
+  test("bucketed join: co-located buckets sort-merge with NO exchange on the join key") {
+    val df = SparkEntry.queries("join_bucketed")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"expected SMJ:\n${p.take(1500)}")
+    // the only exchange allowed is the final tiny group-by on
+    // o_orderpriority; the join key must never re-shuffle (that is the
+    // entire point of pre-bucketing the fact table)
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+      !p.contains("Exchange hashpartitioning(o_orderkey"),
+      s"join key re-shuffled despite bucketing:\n${p.take(3000)}")
+    assert(p.contains("SelectedBucketsCount"),
+      s"scan is not bucket-aware:\n${p.take(3000)}")
+  }
 }
