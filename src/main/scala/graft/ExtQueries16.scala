@@ -28,8 +28,11 @@ import graft.operators.{ConnectedComponents, Dedup, Similarity, Tables, TextAnal
  */
 object ExtQueries16 {
 
-  /** Eval set stride for knn_classify_eval: every 20th vector. */
+  /** Eval set for knn_classify_eval: every 20th vector, hard-capped by id
+    * so the broadcast side stays bounded no matter the corpus size (an
+    * eval is a SAMPLE — stride alone would grow with the corpus). */
   private val EvalStride = 20
+  private val EvalIdCap = 100000L
   private val KnnK = 3
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -40,7 +43,9 @@ object ExtQueries16 {
     // NO Exchange on the join key appears in the plan (the scale win:
     // repeated joins on a pre-bucketed fact table never re-shuffle it).
     // coalesce(1) before write => exactly one file per bucket, so the
-    // bucket-local sort order is usable as-is.
+    // bucket-local sort order is usable as-is (a local-demo knob: at
+    // real scale you keep write parallelism, accept multiple files per
+    // bucket, and the SMJ re-sorts bucket-locally — still no exchange).
     "join_bucketed" -> ((s, dir) => {
       val tag = "bj_" + java.lang.Integer.toHexString(dir.hashCode)
       val base = new java.io.File(
@@ -146,16 +151,17 @@ object ExtQueries16 {
     }),
 
     // Leave-one-out 3-NN classification accuracy per label: the standard
-    // embedding-quality eval. Eval set = every 20th vector (bounded by
-    // construction — an eval never scans eval x corpus at corpus scale);
-    // majority vote with deterministic tiebreak (vote count desc, then
-    // smaller label). Corpus scans once against the broadcast eval set.
+    // embedding-quality eval. Eval set = every 20th vector under a fixed
+    // id cap (bounded by construction — the broadcast side cannot grow
+    // with the corpus); majority vote with deterministic tiebreak (vote
+    // count desc, then smaller label). Corpus scans once against the
+    // broadcast eval set.
     "knn_classify_eval" -> ((s, dir) => {
       val emb = Tables.table(s, dir, "embeddings")
       val corpus = Similarity.quantizedWithNorm(emb)
         .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
       val eval = corpus
-        .where(pmod(col("vec_id"), lit(EvalStride)) === 0)
+        .where(pmod(col("vec_id"), lit(EvalStride)) === 0 && col("vec_id") < EvalIdCap)
         .select(col("vec_id").as("eval_id"), col("qv").as("qqv"),
           col("norm").as("qnorm"), col("label").as("true_label"))
       val scored = corpus
@@ -306,7 +312,7 @@ object ExtQueries16 {
          |lb AS (SELECT vec_id, label FROM embeddings),
          |ev AS (SELECT q.vec_id AS eval_id, q.qv, q.n2, lb.label AS true_label
          |       FROM qn q JOIN lb ON lb.vec_id = q.vec_id
-         |       WHERE q.vec_id % $EvalStride = 0),
+         |       WHERE q.vec_id % $EvalStride = 0 AND q.vec_id < $EvalIdCap),
          |scored AS (
          |  SELECT e.eval_id, e.true_label, c.vec_id, cl.label,
          |         ROUND(list_inner_product(e.qv, c.qv) / (sqrt(e.n2) * sqrt(c.n2)), 4) AS cos

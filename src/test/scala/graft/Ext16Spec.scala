@@ -96,7 +96,8 @@ class Ext16Spec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("knn_classify_eval: eval counts cover every strided vector and accuracy is consistent") {
     val emb = graft.operators.Tables.table(spark, sfDir, "embeddings")
-    val nEvalExpected = emb.where(pmod(col("vec_id"), lit(20)) === 0).count()
+    val nEvalExpected = emb
+      .where(pmod(col("vec_id"), lit(20)) === 0 && col("vec_id") < 100000L).count()
     val rows = SparkEntry.queries("knn_classify_eval")(spark, sfDir).collect()
     assert(rows.map(_.getLong(1)).sum == nEvalExpected)
     rows.foreach { r =>
