@@ -188,6 +188,14 @@ object ExtQueries16 {
         .orderBy(col("label"))
     }),
 
+    // Streaming SimHash near-dup filter: documents stream in, each is
+    // checked against its 4 fingerprint-band buckets in keyed state and
+    // dropped if an earlier near-dup (hamming <= 3) was admitted —
+    // first-arrival-wins online dedup, the streaming analogue of the
+    // batch banded join. Output: the admitted doc_ids.
+    "stream_simhash_dedup" -> ((s, dir) =>
+      graft.streaming.SimhashDedupStream.kept(s, dir, maxHamming = 3)),
+
     // Tokenizer fertility by predicted language: BPE-ish regex tokens per
     // whitespace word, aggregated over the langid split — the
     // tokenizer-cost profile a multilingual corpus is balanced against.
@@ -337,6 +345,14 @@ object ExtQueries16 {
          |         AS accuracy
          |FROM pred WHERE vr = 1
          |GROUP BY true_label ORDER BY label""".stripMargin,
+
+    "stream_simhash_dedup" ->
+      s"""WITH ${ExtQueries.simhashPairsCtes},
+         |dups AS (SELECT DISTINCT doc_b FROM pairs
+         |         WHERE bit_count(xor(fp_a, fp_b)) <= 3)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_b FROM dups)
+         |ORDER BY doc_id""".stripMargin,
 
     "text_fertility" -> {
       val stop = TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(", ")

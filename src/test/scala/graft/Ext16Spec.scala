@@ -107,6 +107,27 @@ class Ext16Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("stream_simhash_dedup equals documents minus the batch near-dup doc_b set") {
+    val kept = SparkEntry.queries("stream_simhash_dedup")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val docs = graft.operators.Tables.table(spark, sfDir, "documents")
+    val dupB = graft.operators.Dedup.simhashNearDups(docs, 3)
+      .select(col("doc_b")).collect().map(_.getLong(0)).toSet
+    val all = docs.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(kept == all -- dupB)
+  }
+
+  test("streaming fp expression is bit-identical to the batch grouped fingerprint") {
+    val docs = graft.operators.Tables.table(spark, sfDir, "documents")
+    val stream = docs.select(col("doc_id"),
+      graft.streaming.SimhashDedupStream.simhashFpExpr(col("text")).as("fp_s"))
+    val batch = graft.operators.Dedup.simhashFingerprints(docs)
+      .withColumnRenamed("fp", "fp_b")
+    val diff = stream.join(batch, "doc_id")
+      .where(col("fp_s") =!= col("fp_b")).count()
+    assert(diff == 0L)
+  }
+
   test("text_fertility: regex tokens per word >= 1 and doc counts partition the corpus") {
     val rows = SparkEntry.queries("text_fertility")(spark, sfDir).collect()
     val total = graft.operators.Tables.table(spark, sfDir, "documents").count()
