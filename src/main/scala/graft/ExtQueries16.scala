@@ -188,6 +188,27 @@ object ExtQueries16 {
         .orderBy(col("label"))
     }),
 
+    // Preference-pair construction (RLHF-style): per user with >= 2
+    // events, the highest- and lowest-valued interactions become the
+    // (chosen, rejected) pair with its margin. One shuffle on user_id,
+    // max_by/min_by aggregates with deterministic id tiebreaks — no
+    // window sort, no per-user explode.
+    "preference_pairs" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .where(col("value").isNotNull && col("user_id").isNotNull)
+      ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          max(struct(col("value"), col("event_id"))).as("best"),
+          min(struct(col("value"), col("event_id"))).as("worst"))
+        .where(col("n_events") >= 2)
+        .select(col("user_id"),
+          col("best.event_id").as("chosen_event"),
+          col("worst.event_id").as("rejected_event"),
+          round(col("best.value") - col("worst.value"), 4).as("margin"))
+        .orderBy(col("user_id"))
+    }),
+
     // Streaming SimHash near-dup filter: documents stream in, each is
     // checked against its 4 fingerprint-band buckets in keyed state and
     // dropped if an earlier near-dup (hamming <= 3) was admitted —
@@ -345,6 +366,25 @@ object ExtQueries16 {
          |         AS accuracy
          |FROM pred WHERE vr = 1
          |GROUP BY true_label ORDER BY label""".stripMargin,
+
+    "preference_pairs" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value FROM events
+        |  WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        |r AS (
+        |  SELECT user_id, event_id, value,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id
+        |                            ORDER BY value DESC, event_id DESC) AS rb,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id
+        |                            ORDER BY value ASC, event_id ASC) AS rw,
+        |         COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM e)
+        |SELECT b.user_id, b.event_id AS chosen_event, w.event_id AS rejected_event,
+        |       round(b.value - w.value, 4) AS margin
+        |FROM (SELECT * FROM r WHERE rb = 1) b
+        |JOIN (SELECT * FROM r WHERE rw = 1) w USING (user_id)
+        |WHERE b.n >= 2
+        |ORDER BY user_id""".stripMargin,
 
     "stream_simhash_dedup" ->
       s"""WITH ${ExtQueries.simhashPairsCtes},

@@ -107,6 +107,18 @@ class Ext16Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("preference_pairs: nonneg margin, distinct events, singleton users excluded") {
+    val ev = graft.operators.Tables.events(spark, sfDir)
+    val rows = SparkEntry.queries("preference_pairs")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.0)
+      assert(r.getLong(1) != r.getLong(2), s"chosen == rejected for user ${r.get(0)}")
+    }
+    val multi = ev.groupBy(col("user_id")).count().where(col("count") >= 2).count()
+    assert(rows.length.toLong == multi)
+  }
+
   test("stream_simhash_dedup equals documents minus the batch near-dup doc_b set") {
     val kept = SparkEntry.queries("stream_simhash_dedup")(spark, sfDir)
       .collect().map(_.getLong(0)).toSet
