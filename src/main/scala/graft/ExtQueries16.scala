@@ -28,11 +28,14 @@ import graft.operators.{ConnectedComponents, Dedup, Similarity, Tables, TextAnal
  */
 object ExtQueries16 {
 
-  /** Eval set for knn_classify_eval: every 20th vector, hard-capped by id
-    * so the broadcast side stays bounded no matter the corpus size (an
-    * eval is a SAMPLE — stride alone would grow with the corpus). */
+  /** Eval set for knn_classify_eval: every 20th vector under a hard id
+    * cap — a FIXED-SIZE sample (<= 100 vectors), so eval x corpus work is
+    * linear in the corpus. The first cut used stride alone; the sf0.1→sf1
+    * soak showed the 46x superlinear blowup (eval and corpus both 10x →
+    * pairs 100x) that a growing eval set causes — the cap must BIND, not
+    * just exist. */
   private val EvalStride = 20
-  private val EvalIdCap = 100000L
+  private val EvalIdCap = 2000L
   private val KnnK = 3
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -187,6 +190,13 @@ object ExtQueries16 {
           round(col("n_correct") * lit(1.0) / col("n_eval"), 4).as("accuracy"))
         .orderBy(col("label"))
     }),
+
+    // PMI-scored co-occurrence top-K: same sparse-C + broadcast-row-sums
+    // pipeline as the LLR rescorer with pointwise mutual information in
+    // the scoring slot — the rescorer is pluggable, the plan posture is
+    // unchanged (one pair aggregation, tiny broadcasts, partitioned rank).
+    "cooc_pmi_topk" -> ((s, dir) =>
+      graft.operators.Cooccurrence.pmiTopK(s, dir, 10)),
 
     // Preference-pair construction (RLHF-style): per user with >= 2
     // events, the highest- and lowest-valued interactions become the
@@ -366,6 +376,24 @@ object ExtQueries16 {
          |         AS accuracy
          |FROM pred WHERE vr = 1
          |GROUP BY true_label ORDER BY label""".stripMargin,
+
+    "cooc_pmi_topk" -> (SparkEntry.pairsSql +
+      """, rs AS (SELECT item, SUM(cnt) AS row_sum FROM pairs GROUP BY item),
+        |tot AS (SELECT SUM(cnt) AS total FROM pairs),
+        |scored AS (
+        |  SELECT p.item, p.other,
+        |         ROUND(LN((CAST(p.cnt AS DOUBLE) * t.total) /
+        |                  (CAST(ri.row_sum AS DOUBLE) * ro.row_sum)), 4) AS score
+        |  FROM pairs p
+        |  JOIN rs ri ON p.item = ri.item
+        |  JOIN rs ro ON p.other = ro.item
+        |  CROSS JOIN tot t),
+        |ranked AS (
+        |  SELECT item, other, score,
+        |         ROW_NUMBER() OVER (PARTITION BY item ORDER BY score DESC, other) AS rnk
+        |  FROM scored)
+        |SELECT item, rnk, other, score FROM ranked WHERE rnk <= 10
+        |ORDER BY item, rnk""".stripMargin),
 
     "preference_pairs" ->
       """WITH e AS (

@@ -97,6 +97,35 @@ object Cooccurrence {
       .orderBy(col("item"), col("rnk"))
   }
 
+  /**
+   * PMI-scored top-K: pointwise mutual information
+   * ln(total * cnt / (rowSum_i * rowSum_j)) over the same sparse C matrix
+   * — demonstrates the rescorer slot is pluggable (same sums-before-
+   * scoring shape as LLR, different score). Broadcast row sums + scalar
+   * total, partitioned window rank — identical plan posture to llrTopK.
+   */
+  def pmiTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val cooc = coocCounts(interactions(spark, dir))
+    val rs = rowSums(cooc)
+    val totalDf = cooc.agg(sum(col("cnt")).as("total"))
+    val scored = cooc
+      .join(broadcast(rs.withColumnRenamed("item", "i").withColumnRenamed("row_sum", "row_sum_i")),
+        col("item") === col("i"))
+      .join(broadcast(rs.withColumnRenamed("item", "o").withColumnRenamed("row_sum", "row_sum_o")),
+        col("other") === col("o"))
+      .join(broadcast(totalDf))
+      .select(col("item"), col("other"),
+        round(log(col("cnt").cast("double") * col("total").cast("double") /
+          (col("row_sum_i").cast("double") * col("row_sum_o").cast("double"))), 4)
+          .as("score"))
+    val w = Window.partitionBy(col("item")).orderBy(col("score").desc, col("other").asc)
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("item"), col("rnk"), col("other"), col("score"))
+      .orderBy(col("item"), col("rnk"))
+  }
+
   /** LLR score for every non-zero cell of the co-occurrence matrix.
     * rowSums and the scalar total are broadcast — they are one row per item. */
   def llrScores(cooc: DataFrame): DataFrame = {

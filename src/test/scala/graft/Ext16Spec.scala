@@ -97,7 +97,7 @@ class Ext16Spec extends AnyFunSuite with BeforeAndAfterAll {
   test("knn_classify_eval: eval counts cover every strided vector and accuracy is consistent") {
     val emb = graft.operators.Tables.table(spark, sfDir, "embeddings")
     val nEvalExpected = emb
-      .where(pmod(col("vec_id"), lit(20)) === 0 && col("vec_id") < 100000L).count()
+      .where(pmod(col("vec_id"), lit(20)) === 0 && col("vec_id") < 2000L).count()
     val rows = SparkEntry.queries("knn_classify_eval")(spark, sfDir).collect()
     assert(rows.map(_.getLong(1)).sum == nEvalExpected)
     rows.foreach { r =>
@@ -105,6 +105,21 @@ class Ext16Spec extends AnyFunSuite with BeforeAndAfterAll {
       assert(c >= 0 && c <= n)
       assert(math.abs(acc - c.toDouble / n) < 1e-4 + 1e-9)
     }
+  }
+
+  test("cooc_pmi_topk: contiguous ranks, nonincreasing scores, same item set as LLR") {
+    val pmi = SparkEntry.queries("cooc_pmi_topk")(spark, sfDir).collect()
+    assert(pmi.nonEmpty)
+    pmi.groupBy(_.getInt(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)).toSeq == (1 to byRank.length))
+      val scores = byRank.map(_.getDouble(3)).toSeq
+      assert(scores == scores.sorted.reverse)
+    }
+    // same rescorer slot: the item universe matches the LLR top-K's
+    val llrItems = SparkEntry.queries("cooc_llr_topk")(spark, sfDir)
+      .select(col("item")).distinct().collect().map(_.getInt(0)).toSet
+    assert(pmi.map(_.getInt(0)).toSet == llrItems)
   }
 
   test("preference_pairs: nonneg margin, distinct events, singleton users excluded") {
