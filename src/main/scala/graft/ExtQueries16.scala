@@ -25,6 +25,10 @@ import graft.operators.{ConnectedComponents, Dedup, Similarity, Tables, TextAnal
  *                       per label over the embedding corpus.
  *  - text_fertility:    tokens-per-word ratio by predicted language — the
  *                       tokenizer-cost lens on the langid split.
+ *  - stream_simhash_dedup: online near-dup filter — band-keyed
+ *                       transformWithState, first-arrival-wins.
+ *  - preference_pairs:  RLHF-style (chosen, rejected) pair mining per user.
+ *  - cooc_pmi_topk:     PMI in the LLR rescorer's scoring slot.
  */
 object ExtQueries16 {
 
