@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Similarity, Tables}
+
+/**
+ * Round-6 seventh wave: retrieval-quality evaluations.
+ *
+ *  - ann_dim_ablation: Matryoshka-style truncation eval — recall@10 of
+ *                      exact search over the first 16 dims vs the full
+ *                      64-dim exact ranking, fully oracled.
+ *  - stream_ann_topk:  streamed query vectors probing the static LSH-
+ *                      bucketed corpus (stream-static equi-join on the
+ *                      bucket id) — the online-serving lookup path;
+ *                      equals the batch multi-probe LSH result.
+ */
+object ExtQueries17 {
+
+  private val TruncDims = 16
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Dimension-ablation recall: how much of the exact top-10 survives
+    // when vectors are truncated to their first 16 dimensions — the
+    // measurement behind Matryoshka/truncated-embedding serving
+    // decisions. Both rankings are deterministic integer-quantized
+    // scans, so the recall NUMBERS are oracled. Same bounded posture as
+    // ann_recall: the corpus never shuffles, query sets broadcast.
+    "ann_dim_ablation" -> ((s, dir) => {
+      val emb = Tables.table(s, dir, "embeddings")
+      val full = Similarity.bruteForceTopK(emb, ExtQueries.AnnQueries, 10)
+        .select(col("query_id"), col("vec_id"))
+      val truncated = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, TruncDims).as("embedding"))
+      val trunc = Similarity.bruteForceTopK(truncated, ExtQueries.AnnQueries, 10)
+        .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+      full.join(trunc, Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_full"),
+          count(col("hit")).as("n_kept"))
+        .select(col("query_id"), col("n_full"), col("n_kept"),
+          round(col("n_kept") * lit(1.0) / col("n_full"), 4).as("recall"))
+        .orderBy(col("query_id"))
+    }),
+
+    // Streaming ANN: query vectors arrive on a stream, probe the STATIC
+    // LSH-bucketed corpus through a stream-static equi-join on bucket id
+    // (multi-probe: own bucket + each hamming-1 neighbor), then the
+    // drained candidates rank top-10 per query. The serving-path shape:
+    // the corpus index is a static broadcast-ready table, per-query work
+    // is bucket-sized, and the only streamed state is the in-flight
+    // microbatch. Result equals batch ann_topk_lsh by construction.
+    "stream_ann_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val nPlanes = 4
+      val corpus = Similarity.quantizedWithNorm(Tables.table(s, dir, "embeddings"))
+        .withColumn("bucket", Similarity.lshBucket(col("qv"), 64, nPlanes))
+      val embSchema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType)))
+      val qStream = s.readStream
+        .schema(embSchema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(dir)
+        .where(col("vec_id").isin(ExtQueries.AnnQueries: _*))
+        .select(col("vec_id").as("query_id"),
+          Similarity.quantize(col("embedding")).as("qqv"))
+      val qNorm = qStream.select(col("query_id"), col("qqv"),
+        sqrt(Similarity.dotQ(col("qqv"), col("qqv")).cast("double")).as("qnorm"),
+        Similarity.lshBucket(col("qqv"), 64, nPlanes).as("bucket0"))
+      val probed = qNorm.select(col("query_id"), col("qqv"), col("qnorm"),
+        explode(array(
+          col("bucket0") +:
+            (0 until nPlanes).map(p => col("bucket0").bitwiseXOR(lit(1L << p))): _*))
+          .as("bucket"))
+      val scored = probed
+        .join(corpus, Seq("bucket"))
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(Similarity.cosineFromParts(
+            Similarity.dotQ(col("qqv"), col("qv")),
+            col("qnorm"), col("norm")), 4).as("cos"))
+      val drained = graft.streaming.StreamingOps.runToMemory(
+        scored, s"sann_${System.nanoTime()}",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      drained
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 10)
+        .select(col("query_id"), col("rnk"), col("vec_id"), col("cos"))
+        .orderBy(col("query_id"), col("rnk"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "ann_dim_ablation" -> {
+      val qs = ExtQueries.AnnQueries.mkString(", ")
+      s"""WITH ${ExtQueries.quantSql},
+         |q16 AS (
+         |  SELECT vec_id,
+         |         [CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) for x in embedding[1:$TruncDims]] AS qv
+         |  FROM embeddings),
+         |qn16 AS (SELECT vec_id, qv, list_inner_product(qv, qv) AS n2 FROM q16),
+         |fscored AS (
+         |  SELECT qq.vec_id AS query_id, c.vec_id,
+         |         ROUND(list_inner_product(qq.qv, c.qv) / (sqrt(qq.n2) * sqrt(c.n2)), 4) AS cos
+         |  FROM qn qq JOIN qn c ON c.vec_id != qq.vec_id
+         |  WHERE qq.vec_id IN ($qs)),
+         |franked AS (
+         |  SELECT query_id, vec_id,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM fscored),
+         |fl AS (SELECT query_id, vec_id FROM franked WHERE rnk <= 10),
+         |tscored AS (
+         |  SELECT qq.vec_id AS query_id, c.vec_id,
+         |         ROUND(list_inner_product(qq.qv, c.qv) / (sqrt(qq.n2) * sqrt(c.n2)), 4) AS cos
+         |  FROM qn16 qq JOIN qn16 c ON c.vec_id != qq.vec_id
+         |  WHERE qq.vec_id IN ($qs)),
+         |tranked AS (
+         |  SELECT query_id, vec_id,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM tscored),
+         |tr AS (SELECT query_id, vec_id FROM tranked WHERE rnk <= 10)
+         |SELECT f.query_id, CAST(COUNT(*) AS BIGINT) AS n_full,
+         |       CAST(COUNT(t.vec_id) AS BIGINT) AS n_kept,
+         |       round(COUNT(t.vec_id) * 1.0 / COUNT(*), 4) AS recall
+         |FROM fl f LEFT JOIN tr t
+         |  ON t.query_id = f.query_id AND t.vec_id = f.vec_id
+         |GROUP BY f.query_id ORDER BY f.query_id""".stripMargin
+    },
+
+    // identical computation to the batch multi-probe LSH — reuse its oracle
+    "stream_ann_topk" -> ExtQueries.oracleSql("ann_topk_lsh")
+  )
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Cross-checks for the round-6 seventh wave (retrieval evals). */
+class Ext17Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("ann_dim_ablation: n_full = 10 and recall is the kept ratio") {
+    val rows = SparkEntry.queries("ann_dim_ablation")(spark, sfDir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 10L)
+      val kept = r.getLong(2)
+      assert(kept >= 0L && kept <= 10L)
+      assert(math.abs(r.getDouble(3) - kept.toDouble / 10.0) < 1e-9)
+    }
+  }
+
+  test("stream_ann_topk equals the batch multi-probe LSH ranking") {
+    val streamed = SparkEntry.queries("stream_ann_topk")(spark, sfDir).collect()
+    val batch = graft.operators.Similarity
+      .lshTopK(graft.operators.Tables.table(spark, sfDir, "embeddings"),
+        ExtQueries.AnnQueries, 10, dims = 64, nPlanes = 4)
+      .orderBy(col("query_id"), col("rnk"))
+      .collect()
+    assert(streamed.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq ==
+      batch.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq)
+  }
+}

@@ -4,7 +4,7 @@
 # contention can't pollute the numbers. Results land in target/soak/.
 set -euo pipefail
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
-QUERIES="${SOAK_QUERIES:-dedup_groups_cc,cooc_sampled_llr,dedup_minhash_lsh,dedup_simhash,stream_stream_join,stream_session_agg,approx_topk_cms,ann_ivf_sound,bpe_encode,graph_triangles}"
+QUERIES="${SOAK_QUERIES:-dedup_groups_cc,cooc_sampled_llr,dedup_minhash_lsh,dedup_simhash,stream_stream_join,stream_session_agg,approx_topk_cms,ann_ivf_sound,bpe_encode,graph_triangles,dedup_keep_best,stream_simhash_dedup,knn_classify_eval,join_bucketed,graph_pagerank}"
 REPS="${SOAK_REPS:-5}"
 mkdir -p "$REPO/target/soak"
 for q in ${QUERIES//,/ }; do
