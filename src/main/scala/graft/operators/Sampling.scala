@@ -93,6 +93,17 @@ object Sampling {
       * pending delta at each flush
       * (ItemRowRescorerTwoInputStreamOperator.java:60,169). */
     val rescoredItems = sc.longAccumulator("ItemRowRescorerRescoredItems")
+    /** Net row-sum mass of the materialized matrix at each rescorer
+      * flush (RowSumAggregator.java:50,67 — the aggregator's net
+      * accumulated mass). Collected in the same instrumented-mode job
+      * as rescoredItems. */
+    val rowSumMass = sc.longAccumulator("RowSumProcessWindowRowSum")
+    /** Input splits forwarded by the file monitor
+      * (ContinuousFileMonitoringFunction.java:277). Under the
+      * maxFilesPerTrigger=1 + never-split contract each data microbatch
+      * ingests exactly one file, so the streaming shell counts one split
+      * per non-empty batch. */
+    val numSplits = sc.longAccumulator("SplitReaderNumSplits")
   }
 
   /** splitmix64 finalizer: java.util.Random's seed scrambler is weak —

@@ -64,7 +64,12 @@ object StreamingCooc {
             max(col("ts")).as("mx"))
           .head()
         if (!row.isNullAt(0)) m.itemLateElements.add(row.getLong(0))
-        if (!row.isNullAt(1)) st.watermarkMs = math.max(wm, row.getLong(1))
+        if (!row.isNullAt(1)) {
+          st.watermarkMs = math.max(wm, row.getLong(1))
+          // non-empty batch = exactly one forwarded file under the
+          // maxFilesPerTrigger=1 contract (see PipelineMetrics.numSplits)
+          m.numSplits.add(1)
+        }
         batch.filter(col("ts") > wm)
     }
     val (d, is, us) =
@@ -94,10 +99,16 @@ object StreamingCooc {
       .agg(sum(col("inc")).as("cnt"))
       .where(col("cnt") > 0)
     // harness parity: one rescored-item-row per item with a pending delta
-    // at this flush (ItemRowRescorerTwoInputStreamOperator.java:60,169) —
-    // an instrumented-mode-only job, like the DEV reconcile below
-    metrics.foreach(_.rescoredItems.add(
-      counts.select(col("item")).distinct().count()))
+    // at this flush (ItemRowRescorerTwoInputStreamOperator.java:60,169)
+    // plus the net row-sum mass (RowSumAggregator.java:50,67) — ONE
+    // instrumented-mode-only job for both, like the DEV reconcile below
+    metrics.foreach { m =>
+      val r = counts.agg(
+        count_distinct(col("item")).as("n_items"),
+        sum(col("cnt")).as("mass")).head()
+      if (!r.isNullAt(0)) m.rescoredItems.add(r.getLong(0))
+      if (!r.isNullAt(1)) m.rowSumMass.add(r.getLong(1))
+    }
     if (devReconcile) {
       val fromDeltas = st.deltas.groupBy(col("item")).agg(sum(col("inc")).as("delta_sum"))
       val fromMatrix = counts.groupBy(col("item")).agg(sum(col("cnt")).as("matrix_sum"))

@@ -82,6 +82,11 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val items = res.select(col("item")).distinct().collect().map(_.getInt(0)).toSet
     assert(items == Set(10, 20, 30), s"matrix items $items")
     assert(m.rescoredItems.value == 3L, s"rescored ${m.rescoredItems.value}")
+    // one forwarded split per non-empty batch (maxFilesPerTrigger=1 contract)
+    assert(m.numSplits.value == 3L, s"splits ${m.numSplits.value}")
+    // net row-sum mass: items 10/20/30 each co-occur with the other two
+    // once -> 6 ordered-pair cells of cnt 1
+    assert(m.rowSumMass.value == 6L, s"row-sum mass ${m.rowSumMass.value}")
   }
 
   test("transformWithState reservoir across 3 MemoryStream batches == batch C matrix (kMax >= n)") {
