@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Similarity, Tables}
+import graft.operators.{Dedup, Similarity, Tables}
 
 /**
  * Round-6 seventh wave: retrieval-quality evaluations.
@@ -44,6 +44,38 @@ object ExtQueries17 {
         .select(col("query_id"), col("n_full"), col("n_kept"),
           round(col("n_kept") * lit(1.0) / col("n_full"), 4).as("recall"))
         .orderBy(col("query_id"))
+    }),
+
+    // Banded-index fidelity eval: precision/recall of the SimHash
+    // hamming<=3 candidate pairs against ground-truth trigram
+    // Jaccard>=0.5 pairs — the dedup-family analogue of ann_recall. Both
+    // sides are deterministic and individually oracled elsewhere; here
+    // the PRECISION/RECALL numbers themselves are oracled. The product
+    // of the two bounded pair sets is a full-outer join on pair keys —
+    // pair-set-sized, never corpus-squared.
+    // Measured (sf0.1): precision 0.0002, recall 0.21 — on this
+    // small-vocab corpus SimHash proxies shared-vocabulary cosine, not
+    // trigram overlap, so it is the WRONG near-dup index here and the
+    // eval proves it with numbers; the minhash/ngram paths are the
+    // high-fidelity ones. That mismatch is the reason this operator
+    // belongs in the library.
+    "dedup_simhash_eval" -> ((s, dir) => {
+      val d = Tables.table(s, dir, "documents")
+      val truth = Dedup.jaccardPairs(Dedup.ngramShingles(d, 3), 0.5)
+        .select(col("doc_a"), col("doc_b"), lit(1).as("t"))
+      val pred = Dedup.simhashNearDups(d, 3)
+        .select(col("doc_a"), col("doc_b"), lit(1).as("p"))
+      truth.join(pred, Seq("doc_a", "doc_b"), "full_outer")
+        .agg(
+          sum(coalesce(col("t"), lit(0))).cast("long").as("n_truth"),
+          sum(coalesce(col("p"), lit(0))).cast("long").as("n_pred"),
+          sum(when(col("t").isNotNull && col("p").isNotNull, 1L).otherwise(0L))
+            .as("n_both"))
+        .select(col("n_truth"), col("n_pred"), col("n_both"),
+          round(when(col("n_pred") > 0, col("n_both") * lit(1.0) / col("n_pred")), 4)
+            .as("precision"),
+          round(when(col("n_truth") > 0, col("n_both") * lit(1.0) / col("n_truth")), 4)
+            .as("recall"))
     }),
 
     // Streaming ANN: query vectors arrive on a stream, probe the STATIC
@@ -136,6 +168,41 @@ object ExtQueries17 {
          |  ON t.query_id = f.query_id AND t.vec_id = f.vec_id
          |GROUP BY f.query_id ORDER BY f.query_id""".stripMargin
     },
+
+    "dedup_simhash_eval" ->
+      s"""WITH ${ExtQueries.simhashPairsCtes},
+         |pred AS (SELECT doc_a, doc_b FROM pairs
+         |         WHERE bit_count(xor(fp_a, fp_b)) <= 3),
+         |gd AS (SELECT doc_id, string_split(text, ' ') AS wd FROM documents),
+         |gw AS (
+         |  SELECT DISTINCT doc_id, wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2] AS word
+         |  FROM gd, UNNEST(range(1, len(wd) - 1)) AS r(i)),
+         |gc AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM gw a JOIN gw b ON a.word = b.word AND a.doc_id < b.doc_id),
+         |gn AS (SELECT doc_id, COUNT(*) AS n_w FROM gw GROUP BY doc_id),
+         |gcm AS (
+         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+         |  FROM gc c
+         |  JOIN gw wa ON wa.doc_id = c.doc_a
+         |  JOIN gw wb ON wb.doc_id = c.doc_b AND wb.word = wa.word
+         |  GROUP BY c.doc_a, c.doc_b),
+         |truth AS (
+         |  SELECT doc_a, doc_b FROM gcm
+         |  JOIN gn na ON na.doc_id = doc_a
+         |  JOIN gn nb ON nb.doc_id = doc_b
+         |  WHERE n_common * 1.0 / (na.n_w + nb.n_w - n_common) >= 0.5),
+         |m AS (
+         |  SELECT COALESCE(t2.one, 0) AS t, COALESCE(p2.one, 0) AS p
+         |  FROM (SELECT doc_a, doc_b, 1 AS one FROM truth) t2
+         |  FULL OUTER JOIN (SELECT doc_a, doc_b, 1 AS one FROM pred) p2
+         |    USING (doc_a, doc_b))
+         |SELECT CAST(SUM(t) AS BIGINT) AS n_truth,
+         |       CAST(SUM(p) AS BIGINT) AS n_pred,
+         |       CAST(SUM(t * p) AS BIGINT) AS n_both,
+         |       round(CASE WHEN SUM(p) > 0 THEN SUM(t * p) * 1.0 / SUM(p) END, 4) AS "precision",
+         |       round(CASE WHEN SUM(t) > 0 THEN SUM(t * p) * 1.0 / SUM(t) END, 4) AS recall
+         |FROM m""".stripMargin,
 
     // identical computation to the batch multi-probe LSH — reuse its oracle
     "stream_ann_topk" -> ExtQueries.oracleSql("ann_topk_lsh")

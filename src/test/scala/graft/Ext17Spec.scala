@@ -34,6 +34,19 @@ class Ext17Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("dedup_simhash_eval: counts and ratios are mutually consistent") {
+    val r = SparkEntry.queries("dedup_simhash_eval")(spark, sfDir).collect().head
+    val (nT, nP, nB) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nB <= math.min(nT, nP))
+    assert(math.abs(r.getDouble(3) - nB.toDouble / nP) < 1e-4 + 1e-9)
+    assert(math.abs(r.getDouble(4) - nB.toDouble / nT) < 1e-4 + 1e-9)
+    // cross-check n_truth against the standalone jaccard operator
+    val truth = graft.operators.Dedup.jaccardPairs(
+      graft.operators.Dedup.ngramShingles(
+        graft.operators.Tables.table(spark, sfDir, "documents"), 3), 0.5).count()
+    assert(nT == truth)
+  }
+
   test("stream_ann_topk equals the batch multi-probe LSH ranking") {
     val streamed = SparkEntry.queries("stream_ann_topk")(spark, sfDir).collect()
     val batch = graft.operators.Similarity
