@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity, Tables}
+import graft.operators.{Dedup, PortableHash, Similarity, Tables}
 
 /**
  * Round-6 seventh wave: retrieval-quality evaluations.
@@ -64,6 +64,34 @@ object ExtQueries17 {
       val truth = Dedup.jaccardPairs(Dedup.ngramShingles(d, 3), 0.5)
         .select(col("doc_a"), col("doc_b"), lit(1).as("t"))
       val pred = Dedup.simhashNearDups(d, 3)
+        .select(col("doc_a"), col("doc_b"), lit(1).as("p"))
+      truth.join(pred, Seq("doc_a", "doc_b"), "full_outer")
+        .agg(
+          sum(coalesce(col("t"), lit(0))).cast("long").as("n_truth"),
+          sum(coalesce(col("p"), lit(0))).cast("long").as("n_pred"),
+          sum(when(col("t").isNotNull && col("p").isNotNull, 1L).otherwise(0L))
+            .as("n_both"))
+        .select(col("n_truth"), col("n_pred"), col("n_both"),
+          round(when(col("n_pred") > 0, col("n_both") * lit(1.0) / col("n_pred")), 4)
+            .as("precision"),
+          round(when(col("n_truth") > 0, col("n_both") * lit(1.0) / col("n_truth")), 4)
+            .as("recall"))
+    }),
+
+    // MinHash-banding recall eval — the companion measurement to
+    // dedup_simhash_eval, on the index that IS matched to word-Jaccard.
+    // Ground truth: exhaustive word-Jaccard >= 0.9 within a bounded doc
+    // sample (inverted-index candidates are provably complete for any
+    // positive threshold: jac >= 0.9 implies a shared word). Prediction:
+    // the production banded-minhash operator on the same sample.
+    // Precision is 1.0 by construction (the operator verifies exact
+    // Jaccard on candidates); recall measures what the 2x8 banding
+    // misses — the number that justifies the band geometry.
+    "dedup_minhash_eval" -> ((s, dir) => {
+      val sample = Tables.table(s, dir, "documents").where(col("doc_id") < 500)
+      val truth = Dedup.jaccardPairs(Dedup.ngramShingles(sample, 1), 0.9)
+        .select(col("doc_a"), col("doc_b"), lit(1).as("t"))
+      val pred = Dedup.minhashNearDups(sample, 0.9)
         .select(col("doc_a"), col("doc_b"), lit(1).as("p"))
       truth.join(pred, Seq("doc_a", "doc_b"), "full_outer")
         .agg(
@@ -203,6 +231,56 @@ object ExtQueries17 {
          |       round(CASE WHEN SUM(p) > 0 THEN SUM(t * p) * 1.0 / SUM(p) END, 4) AS "precision",
          |       round(CASE WHEN SUM(t) > 0 THEN SUM(t * p) * 1.0 / SUM(t) END, 4) AS recall
          |FROM m""".stripMargin,
+
+    "dedup_minhash_eval" -> {
+      import PortableHash.{hModSql, minhashSql, NumHashes, NumBands, BandRows}
+      val mhExprs = (0 until NumHashes)
+        .map(j => s"MIN(${minhashSql(j, "hm")}) AS mh$j").mkString(",\n  ")
+      val bandSelects = (0 until NumBands).map { bnd =>
+        val sig = (bnd * BandRows until (bnd + 1) * BandRows)
+          .map(j => s"CAST(mh$j AS VARCHAR)").mkString(", ")
+        s"SELECT doc_id, $bnd AS band, concat_ws(',', $sig) AS sig FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH sm AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+         |gw AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM sm),
+         |gn AS (SELECT doc_id, COUNT(*) AS n_w FROM gw GROUP BY doc_id),
+         |gc AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |       FROM gw a JOIN gw b ON a.word = b.word AND a.doc_id < b.doc_id),
+         |gcm AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+         |        FROM gc c
+         |        JOIN gw wa ON wa.doc_id = c.doc_a
+         |        JOIN gw wb ON wb.doc_id = c.doc_b AND wb.word = wa.word
+         |        GROUP BY c.doc_a, c.doc_b),
+         |jv AS (SELECT doc_a, doc_b,
+         |              n_common * 1.0 / (na.n_w + nb.n_w - n_common) AS jac
+         |       FROM gcm
+         |       JOIN gn na ON na.doc_id = doc_a
+         |       JOIN gn nb ON nb.doc_id = doc_b),
+         |truth AS (SELECT doc_a, doc_b FROM jv WHERE jac >= 0.9),
+         |hm AS (SELECT doc_id, ${hModSql("word")} AS hm FROM gw),
+         |sig AS (SELECT doc_id, $mhExprs FROM hm GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |predv AS (
+         |  SELECT c.doc_a, c.doc_b FROM cand c
+         |  JOIN jv ON jv.doc_a = c.doc_a AND jv.doc_b = c.doc_b
+         |  WHERE jv.jac >= 0.9),
+         |m AS (
+         |  SELECT COALESCE(t2.one, 0) AS t, COALESCE(p2.one, 0) AS p
+         |  FROM (SELECT doc_a, doc_b, 1 AS one FROM truth) t2
+         |  FULL OUTER JOIN (SELECT doc_a, doc_b, 1 AS one FROM predv) p2
+         |    USING (doc_a, doc_b))
+         |SELECT CAST(SUM(t) AS BIGINT) AS n_truth,
+         |       CAST(SUM(p) AS BIGINT) AS n_pred,
+         |       CAST(SUM(t * p) AS BIGINT) AS n_both,
+         |       round(CASE WHEN SUM(p) > 0 THEN SUM(t * p) * 1.0 / SUM(p) END, 4) AS "precision",
+         |       round(CASE WHEN SUM(t) > 0 THEN SUM(t * p) * 1.0 / SUM(t) END, 4) AS recall
+         |FROM m""".stripMargin
+    },
 
     // identical computation to the batch multi-probe LSH — reuse its oracle
     "stream_ann_topk" -> ExtQueries.oracleSql("ann_topk_lsh")

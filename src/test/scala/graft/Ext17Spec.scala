@@ -47,6 +47,21 @@ class Ext17Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nT == truth)
   }
 
+  test("dedup_minhash_eval: precision exactly 1 (verified candidates), banding recall < 1") {
+    val r = SparkEntry.queries("dedup_minhash_eval")(spark, sfDir).collect().head
+    val (nT, nP, nB) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nB == nP, "every predicted pair must be true (exact verification)")
+    assert(r.getDouble(3) == 1.0)
+    assert(nB <= nT)
+    assert(math.abs(r.getDouble(4) - nB.toDouble / nT) < 1e-4 + 1e-9)
+    // truth must match the uncapped inverted-index word-jaccard operator
+    val truth = graft.operators.Dedup.jaccardPairs(
+      graft.operators.Dedup.ngramShingles(
+        graft.operators.Tables.table(spark, sfDir, "documents")
+          .where(col("doc_id") < 500), 1), 0.9).count()
+    assert(nT == truth)
+  }
+
   test("stream_ann_topk equals the batch multi-probe LSH ranking") {
     val streamed = SparkEntry.queries("stream_ann_topk")(spark, sfDir).collect()
     val batch = graft.operators.Similarity
