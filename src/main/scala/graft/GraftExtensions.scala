@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.LongType
 
-import graft.functions.{LlrExpression, LongArrayDot, SortedIntersectSize}
+import graft.functions.{LlrExpression, LongArrayDot, SimhashFp, SortedIntersectSize}
 
 /**
  * SparkSessionExtensions entry point: exposes the engine's native
@@ -34,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sorted_intersect_size"),
       GraftExtensions.intersectInfo,
       GraftExtensions.intersectBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_fp"),
+      GraftExtensions.simhashInfo,
+      GraftExtensions.simhashBuilder))
   }
 }
 
@@ -70,11 +74,35 @@ object GraftExtensions {
     SortedIntersectSize(args(0), args(1))
   }
 
+  private[graft] val simhashInfo = new ExpressionInfo(
+    classOf[SimhashFp].getName, null, "simhash_fp",
+    "simhash_fp(hashes[, bits]) - SimHash fingerprint of an array<bigint> of element hashes " +
+      "(bit i set iff more elements have bit i set than clear; default 60 bits)",
+    "")
+
+  private[graft] val simhashBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1 || args.length == 2,
+      "simhash_fp(hashes[, bits]) takes 1 or 2 arguments")
+    val bits = if (args.length == 2) args(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => other.eval(null) match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case _ => throw new IllegalArgumentException("simhash_fp: bits must be a literal int")
+      }
+    } else PortableHashBits
+    require(bits >= 1 && bits <= 63, "simhash_fp: bits must be in [1, 63]")
+    SimhashFp(args(0), bits)
+  }
+
+  private val PortableHashBits = graft.operators.PortableHash.SimHashBits
+
   /** Register the function set on an already-built session (idempotent). */
   def register(spark: SparkSession): Unit = {
     val fb = org.apache.spark.sql.graftbridge.FunctionBridge
     fb.registerTempFunction(spark, "llr", llrBuilder)
     fb.registerTempFunction(spark, "long_array_dot", dotBuilder)
     fb.registerTempFunction(spark, "sorted_intersect_size", intersectBuilder)
+    fb.registerTempFunction(spark, "simhash_fp", simhashBuilder)
   }
 }

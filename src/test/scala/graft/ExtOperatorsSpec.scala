@@ -252,6 +252,19 @@ class ExtOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(isz == 2)
   }
 
+  test("GraftExtensions: simhash_fp as a SQL function (majority-bit semantics, default + explicit bits)") {
+    GraftExtensions.register(spark)
+    // elements 3 (0b11), 1 (0b01), 1: bit0 set in all 3 (3>0), bit1 in 1 of 3 (2<=3-1... 2*1<3)
+    val fp = spark.sql("SELECT simhash_fp(array(3L, 1L, 1L), 2) AS fp").head.getLong(0)
+    assert(fp == 1L, s"fp=$fp")
+    // default 60 bits matches the explicit form
+    val a = spark.sql("SELECT simhash_fp(array(7L, 5L, 4L)) AS fp").head.getLong(0)
+    val b = spark.sql("SELECT simhash_fp(array(7L, 5L, 4L), 60) AS fp").head.getLong(0)
+    assert(a == b)
+    val plan = spark.sql("SELECT simhash_fp(array(1L))").queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), plan)
+  }
+
   test("hash-gated sampling: partition-independent selected set, ~pct rate, stratified rates hold") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, sfDir)
