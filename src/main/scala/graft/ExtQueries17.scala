@@ -78,6 +78,41 @@ object ExtQueries17 {
             .as("recall"))
     }),
 
+    // Mixture resampling: ACT on the domain-mixing weights (mix_domains
+    // computes them; this applies them) — per-source acceptance
+    // probability min(1, uniform-token-share / source-share), applied as
+    // a deterministic portable-hash gate per doc (same accept set on any
+    // engine/partitioning, no RNG state). Output: per-source before/after
+    // doc+token counts — the achieved rebalance. Scan-shaped: one pass
+    // for the per-source weights (tiny, broadcast back), one gated pass.
+    "mix_resample" -> ((s, dir) => {
+      import graft.operators.PortableHash
+      val d = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val per = d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_before"), sum(col("n_tok")).as("tok_before"))
+      val tot = per.agg(sum(col("tok_before")).as("t_total"),
+        count(lit(1)).as("n_sources"))
+      val w = per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_before"), col("tok_before"),
+          least(lit(1.0),
+            (col("t_total").cast("double") / col("n_sources")) / col("tok_before"))
+            .as("wt"))
+      val after = d.join(broadcast(w.select(col("source"), col("wt"))), Seq("source"))
+        .where(PortableHash.hMod(col("doc_id").cast("string")) <
+          col("wt") * lit(PortableHash.P.toDouble))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_after"), sum(col("n_tok")).as("tok_after"))
+      w.join(after, Seq("source"), "left")
+        .select(col("source"), col("n_before"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"),
+          col("tok_before"),
+          coalesce(col("tok_after"), lit(0L)).as("tok_after"),
+          round(col("wt"), 6).as("weight"))
+        .orderBy(col("source"))
+    }),
+
     // MinHash-banding recall eval — the companion measurement to
     // dedup_simhash_eval, on the index that IS matched to word-Jaccard.
     // Ground truth: exhaustive word-Jaccard >= 0.9 within a bounded doc
@@ -231,6 +266,35 @@ object ExtQueries17 {
          |       round(CASE WHEN SUM(p) > 0 THEN SUM(t * p) * 1.0 / SUM(p) END, 4) AS "precision",
          |       round(CASE WHEN SUM(t) > 0 THEN SUM(t * p) * 1.0 / SUM(t) END, 4) AS recall
          |FROM m""".stripMargin,
+
+    "mix_resample" -> {
+      import PortableHash.{hModSql, P}
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_before,
+         |               CAST(SUM(n_tok) AS BIGINT) AS tok_before
+         |        FROM d GROUP BY source),
+         |tot AS (SELECT CAST(SUM(tok_before) AS BIGINT) AS t_total,
+         |               CAST(COUNT(*) AS BIGINT) AS n_sources FROM per),
+         |w AS (SELECT source, n_before, tok_before,
+         |             least(1.0, (CAST(t_total AS DOUBLE) / n_sources) / tok_before) AS wt
+         |      FROM per, tot),
+         |kept AS (
+         |  SELECT d.source, d.n_tok FROM d JOIN w ON w.source = d.source
+         |  WHERE ${hModSql("CAST(doc_id AS VARCHAR)")} < wt * $P),
+         |aft AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_after,
+         |               CAST(SUM(n_tok) AS BIGINT) AS tok_after
+         |        FROM kept GROUP BY source)
+         |SELECT w.source, n_before,
+         |       CAST(COALESCE(n_after, 0) AS BIGINT) AS n_after,
+         |       tok_before,
+         |       CAST(COALESCE(tok_after, 0) AS BIGINT) AS tok_after,
+         |       round(wt, 6) AS weight
+         |FROM w LEFT JOIN aft ON aft.source = w.source
+         |ORDER BY w.source""".stripMargin
+    },
 
     "dedup_minhash_eval" -> {
       import PortableHash.{hModSql, minhashSql, NumHashes, NumBands, BandRows}

@@ -47,6 +47,21 @@ class Ext17Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nT == truth)
   }
 
+  test("mix_resample: weight-1 sources keep everything, counts shrink monotonically, totals consistent") {
+    val rows = SparkEntry.queries("mix_resample")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nb, na, tb, ta, w) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(na <= nb && ta <= tb)
+      assert(w > 0.0 && w <= 1.0)
+      if (w == 1.0) assert(na == nb && ta == tb, s"weight-1 source ${r.getString(0)} lost docs")
+    }
+    // docs-before totals must partition the corpus
+    val total = graft.operators.Tables.table(spark, sfDir, "documents").count()
+    assert(rows.map(_.getLong(1)).sum == total)
+  }
+
   test("dedup_minhash_eval: precision exactly 1 (verified candidates), banding recall < 1") {
     val r = SparkEntry.queries("dedup_minhash_eval")(spark, sfDir).collect().head
     val (nT, nP, nB) = (r.getLong(0), r.getLong(1), r.getLong(2))
