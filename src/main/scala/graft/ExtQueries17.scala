@@ -78,6 +78,35 @@ object ExtQueries17 {
             .as("recall"))
     }),
 
+    // Schema-evolution read: two parquet generations of the same table —
+    // v1 without l_discount, v2 with it — read back through ONE
+    // mergeSchema scan; v1 rows surface NULL for the added column. The
+    // lake reality every long-lived pipeline hits: columns get added,
+    // old files stay. The aggregate proves rows from both generations
+    // flow through one scan (count of the new column < count of rows).
+    "schema_evolution" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_schema_evo/" + java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
+      val li = Tables.table(s, dir, "lineitem")
+      li.where(pmod(col("l_orderkey"), lit(2)) === 0)
+        .select(col("l_orderkey"), col("l_quantity"))
+        .write.mode("overwrite").parquet(s"$base/gen=1")
+      li.where(pmod(col("l_orderkey"), lit(2)) === 1)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_discount"))
+        .write.mode("overwrite").parquet(s"$base/gen=2")
+      s.read.option("mergeSchema", "true").parquet(base)
+        .groupBy(pmod(col("l_orderkey"), lit(10)).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(DecimalType(20, 4))).cast("double").as("sum_qty"),
+          count(col("l_discount")).as("n_with_discount"),
+          // all-v1 buckets sum NULL — pin 0.0 (both engines) rather than
+          // engine-dependent NULL/NaN canonicalization
+          coalesce(sum(col("l_discount").cast(DecimalType(20, 4))).cast("double"), lit(0.0))
+            .as("sum_discount"))
+        .orderBy(col("bucket"))
+    }),
+
     // Mixture resampling: ACT on the domain-mixing weights (mix_domains
     // computes them; this applies them) — per-source acceptance
     // probability min(1, uniform-token-share / source-share), applied as
@@ -266,6 +295,18 @@ object ExtQueries17 {
          |       round(CASE WHEN SUM(p) > 0 THEN SUM(t * p) * 1.0 / SUM(p) END, 4) AS "precision",
          |       round(CASE WHEN SUM(t) > 0 THEN SUM(t * p) * 1.0 / SUM(t) END, 4) AS recall
          |FROM m""".stripMargin,
+
+    "schema_evolution" ->
+      """SELECT CAST(l_orderkey % 10 AS BIGINT) AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+        |       CAST(COUNT(CASE WHEN l_orderkey % 2 = 1 THEN 1 END) AS BIGINT)
+        |         AS n_with_discount,
+        |       COALESCE(CAST(SUM(CASE WHEN l_orderkey % 2 = 1
+        |                     THEN CAST(l_discount AS DECIMAL(20,4)) END) AS DOUBLE), 0.0)
+        |         AS sum_discount
+        |FROM lineitem
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "mix_resample" -> {
       import PortableHash.{hModSql, P}

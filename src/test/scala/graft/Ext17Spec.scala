@@ -47,6 +47,19 @@ class Ext17Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nT == truth)
   }
 
+  test("schema_evolution: both generations flow through one mergeSchema scan") {
+    val rows = SparkEntry.queries("schema_evolution")(spark, sfDir).collect()
+    assert(rows.length == 10)
+    val total = graft.operators.Tables.table(spark, sfDir, "lineitem").count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    rows.foreach { r =>
+      val bucket = r.getLong(0); val n = r.getLong(1); val nd = r.getLong(3)
+      // odd orderkeys (gen2) carry the discount column; even (gen1) do not
+      if (bucket % 2 == 1) assert(nd == n, s"gen2 bucket $bucket missing discounts")
+      else assert(nd == 0L, s"gen1 bucket $bucket has phantom discounts")
+    }
+  }
+
   test("mix_resample: weight-1 sources keep everything, counts shrink monotonically, totals consistent") {
     val rows = SparkEntry.queries("mix_resample")(spark, sfDir).collect()
     assert(rows.nonEmpty)
