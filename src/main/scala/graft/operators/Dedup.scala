@@ -256,6 +256,63 @@ object Dedup {
   }
 
   /**
+   * Incremental near-dup check of an incoming shard against the standing
+   * corpus — the ingest-time shape of `minhashNearDups`. Asymmetric by
+   * construction: incoming band signatures equi-join the index side's, so
+   * no incoming×incoming or index×index pair is ever generated and
+   * re-ingesting a shard can't re-verify the standing corpus against
+   * itself. Only band-colliding candidates pay the exact-Jaccard
+   * verification (sorted-merge intersect over word-hash arrays, with the
+   * exactness-preserving size-ratio prefilter).
+   *
+   * Returns one row per incoming doc: (doc_id, is_dup, match_doc) where
+   * match_doc is the lowest verified standing doc id (-1 when clean).
+   *
+   * Scale shape: the standing side is bucketed by (band, signature) — at
+   * a real lakehouse this is the persisted dedup index, scanned not
+   * rebuilt; the shard side is ingest-batch-sized and broadcasts. The
+   * per-band joins reuse the pigeonhole earlier-bands-differ guard so a
+   * pair colliding in k bands is emitted once, not k times.
+   */
+  def incrementalMinhashDedup(docs: DataFrame, isIncoming: Column,
+      threshold: Double): DataFrame = {
+    val words = docWords(docs).persist()
+    try {
+      val sigs = bandedSignatures(minhashSignaturesFromWords(words))
+      val inc = sigs.where(isIncoming).as("a")
+      val idx = sigs.where(!isIncoming).as("b")
+      val cand = (0 until NumBands).map { bnd =>
+        val earlierDiffer = (0 until bnd)
+          .map(p => col(s"a.band$p") =!= col(s"b.band$p"))
+          .foldLeft(lit(true))(_ && _)
+        inc.join(idx, col(s"a.band$bnd") === col(s"b.band$bnd") && earlierDiffer)
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      }.reduce(_ unionAll _)
+      val wordSets = words.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(xxhash64(col("word")))).as("wset"),
+          count(lit(1)).as("n_w"))
+      val setsA = wordSets.select(col("doc_id").as("doc_a"),
+        col("wset").as("wset_a"), col("n_w").as("n_a"))
+      val setsB = wordSets.select(col("doc_id").as("doc_b"),
+        col("wset").as("wset_b"), col("n_w").as("n_b"))
+      val matches = cand
+        .join(setsA, Seq("doc_a")).join(setsB, Seq("doc_b"))
+        .where(least(col("n_a"), col("n_b")) >=
+          lit(threshold) * greatest(col("n_a"), col("n_b")))
+        .withColumn("n_common",
+          graft.functions.SortedIntersect.size(col("wset_a"), col("wset_b")))
+        .where(col("n_common") * lit(1.0) /
+          (col("n_a") + col("n_b") - col("n_common")) >= threshold)
+        .groupBy(col("doc_a")).agg(min(col("doc_b")).as("match_doc"))
+      docs.select(col("doc_id")).where(isIncoming)
+        .join(matches, col("doc_id") === col("doc_a"), "left")
+        .select(col("doc_id"), col("doc_a").isNotNull.as("is_dup"),
+          coalesce(col("match_doc"), lit(-1L)).as("match_doc"))
+        .localCheckpoint(true)
+    } finally words.unpersist()
+  }
+
+  /**
    * SimHash fingerprints: per doc, bit i of the fingerprint is the sign of
    * sum over distinct words of (bit i of H(word) ? +1 : -1). One shuffle,
    * SimHashBits sum() aggregations.
