@@ -60,6 +60,82 @@ object ExtQueries18 {
           col("doc_id") % 5 === 4, 0.9)
         .orderBy(col("doc_id"))),
 
+    // Streaming ingest dedup: the incoming shard arrives as a STREAM and
+    // probes the static standing-corpus band index (stream-static
+    // equi-join on (band, sig)). The minhash signature is computed
+    // PER ROW with array expressions — no streaming shuffle, no state:
+    // the word-hash array is built once, each of the 16 minhashes is an
+    // array_min over it, and the word-set for exact verification rides
+    // along as a sorted hash array. Must equal dedup_incremental exactly
+    // (same oracle SQL).
+    "stream_incremental_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      import graft.operators.PortableHash
+      val isIncoming = col("doc_id") % 5 === 4
+      val standing = Tables.table(s, dir, "documents").where(!isIncoming)
+      val indexSigs = Dedup.lshBands(Dedup.minhashSignatures(standing))
+      val wordSets = Dedup.docWords(standing)
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(xxhash64(col("word")))).as("wset_b"),
+          count(lit(1)).as("n_b"))
+      val index = indexSigs.join(wordSets, "doc_id")
+        .select(col("doc_id").as("doc_b"), col("band"), col("sig"),
+          col("wset_b"), col("n_b"))
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val shard = s.readStream
+        .schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(dir)
+        .where(isIncoming)
+      // per-row signature: distinct word hashes once, 16 array_min's —
+      // stateless and shuffle-free on the stream side
+      val hms = transform(array_distinct(split(col("text"), " ")),
+        w => PortableHash.hMod(w))
+      val mhs = (0 until PortableHash.NumHashes).map { j =>
+        array_min(transform(col("hms"),
+          h => (lit(PortableHash.A(j)) * h + lit(PortableHash.B(j))) % PortableHash.P))
+          .as(s"mh$j")
+      }
+      val sigged = shard.withColumn("hms", hms)
+        .withColumn("wset_a",
+          sort_array(transform(array_distinct(split(col("text"), " ")),
+            w => xxhash64(w))))
+        .withColumn("n_a", size(col("wset_a")).cast("long"))
+        .select(col("doc_id") +: col("wset_a") +: col("n_a") +: mhs: _*)
+      val bandRows = (0 until PortableHash.NumBands).map { bnd =>
+        val sig = concat_ws(",",
+          (bnd * PortableHash.BandRows until (bnd + 1) * PortableHash.BandRows)
+            .map(j => col(s"mh$j").cast("string")): _*)
+        sigged.select(col("doc_id"), col("wset_a"), col("n_a"),
+          lit(bnd).as("band"), sig.as("sig"))
+      }.reduce(_ unionAll _)
+      val verified = bandRows.join(index, Seq("band", "sig"))
+        .where(least(col("n_a"), col("n_b")) >=
+          lit(0.9) * greatest(col("n_a"), col("n_b")))
+        .withColumn("n_common",
+          graft.functions.SortedIntersect.size(col("wset_a"), col("wset_b")))
+        .where(col("n_common") * lit(1.0) /
+          (col("n_a") + col("n_b") - col("n_common")) >= 0.9)
+        .select(col("doc_id"), col("doc_b"))
+      val drained = graft.streaming.StreamingOps.runToMemory(
+        verified, s"sincdedup_${System.nanoTime()}",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      val matches = drained.groupBy(col("doc_id"))
+        .agg(min(col("doc_b")).as("match_doc"))
+      Tables.table(s, dir, "documents").where(isIncoming)
+        .select(col("doc_id"))
+        .join(matches.withColumnRenamed("doc_id", "m_id"),
+          col("doc_id") === col("m_id"), "left")
+        .select(col("doc_id"), col("m_id").isNotNull.as("is_dup"),
+          coalesce(col("match_doc"), lit(-1L)).as("match_doc"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Semantic dedup: LSH-bucketed embedding pairs with cosine >= 0.30;
     // a vector is removed iff a lower-id vector in a shared bucket is
     // that similar (first-id-wins — the deterministic core of SemDeDup's
@@ -139,7 +215,28 @@ object ExtQueries18 {
          |        AND alpha_frac >= 0.8 AND stop_hits >= 2 AND top_frac <= 0.2) AS pass
          |FROM m ORDER BY doc_id""".stripMargin,
 
-    "dedup_incremental" -> {
+    "dedup_incremental" -> incrementalSql,
+
+    // the streaming probe must land on exactly the batch verdict
+    "stream_incremental_dedup" -> incrementalSql,
+
+    "dedup_semantic" ->
+      s"""WITH ${ExtQueries.quantSql},
+         |bk AS (SELECT vec_id, qv, n2, ${ExtQueries.bucketSql(0 until 4)} AS bkt0,
+         |              ${ExtQueries.bucketSql(4 until 8)} AS bkt1 FROM qn),
+         |pairs AS (
+         |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |  FROM bk x JOIN bk y
+         |    ON x.vec_id < y.vec_id AND (x.bkt0 = y.bkt0 OR x.bkt1 = y.bkt1)
+         |  WHERE list_inner_product(x.qv, y.qv) / (sqrt(x.n2) * sqrt(y.n2)) >= 0.30),
+         |rm AS (SELECT vec_b, MIN(vec_a) AS removed_by FROM pairs GROUP BY vec_b)
+         |SELECT e.vec_id, r.vec_b IS NULL AS kept,
+         |       COALESCE(r.removed_by, -1) AS removed_by
+         |FROM embeddings e LEFT JOIN rm r ON e.vec_id = r.vec_b
+         |ORDER BY e.vec_id""".stripMargin
+  )
+
+  private lazy val incrementalSql: String = {
       val mhExprs = (0 until NumHashes)
         .map(j => s"MIN(${minhashSql(j, "hm")}) AS mh$j").mkString(",\n  ")
       val bandSelects = (0 until NumBands).map { bnd =>
@@ -174,21 +271,5 @@ object ExtQueries18 {
          |       COALESCE(v.match_doc, -1) AS match_doc
          |FROM documents d LEFT JOIN ver v ON d.doc_id = v.doc_a
          |WHERE d.doc_id % 5 = 4 ORDER BY d.doc_id""".stripMargin
-    },
-
-    "dedup_semantic" ->
-      s"""WITH ${ExtQueries.quantSql},
-         |bk AS (SELECT vec_id, qv, n2, ${ExtQueries.bucketSql(0 until 4)} AS bkt0,
-         |              ${ExtQueries.bucketSql(4 until 8)} AS bkt1 FROM qn),
-         |pairs AS (
-         |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
-         |  FROM bk x JOIN bk y
-         |    ON x.vec_id < y.vec_id AND (x.bkt0 = y.bkt0 OR x.bkt1 = y.bkt1)
-         |  WHERE list_inner_product(x.qv, y.qv) / (sqrt(x.n2) * sqrt(y.n2)) >= 0.30),
-         |rm AS (SELECT vec_b, MIN(vec_a) AS removed_by FROM pairs GROUP BY vec_b)
-         |SELECT e.vec_id, r.vec_b IS NULL AS kept,
-         |       COALESCE(r.removed_by, -1) AS removed_by
-         |FROM embeddings e LEFT JOIN rm r ON e.vec_id = r.vec_b
-         |ORDER BY e.vec_id""".stripMargin
-  )
+  }
 }

@@ -101,6 +101,15 @@ class Ext18Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(14L) == ((false, -1L)))
   }
 
+  test("streaming ingest dedup equals the batch verdict row-for-row") {
+    val batch = SparkEntry.queries("dedup_incremental")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).sorted
+    val streamed = SparkEntry.queries("stream_incremental_dedup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).sorted
+    assert(streamed.sameElements(batch))
+    assert(batch.nonEmpty)
+  }
+
   test("semantic dedup agrees with the pairwise LSH near-dup relation") {
     val embs = Tables.table(spark, sfDir, "embeddings")
     val ledger = SparkEntry.queries("dedup_semantic")(spark, sfDir).collect()

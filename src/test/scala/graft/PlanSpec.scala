@@ -256,4 +256,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("SelectedBucketsCount"),
       s"scan is not bucket-aware:\n${p.take(3000)}")
   }
+
+  test("dsir selection: 64-row ratio table broadcasts, top-100 is TakeOrdered, no cartesian") {
+    val df = SparkEntry.queries("dsir_select")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 selection must be per-partition heaps + driver merge:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bucket-ratio table must broadcast to the word scan:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"),
+      s"only the 1x1 totals join may nest-loop:\n${p.take(1500)}")
+  }
+
+  test("incremental dedup: candidates come from band equi-joins, never a cross product") {
+    val df = SparkEntry.queries("dedup_incremental")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"shard x corpus candidates must stay band equi-joins:\n${p.take(1500)}")
+  }
 }
