@@ -227,6 +227,35 @@ object StreamingOps {
   }
 
   /**
+   * LEFT OUTER watermarked stream-stream join — same key/time-range
+   * contract as [[streamStreamJoin]], but unmatched left rows emit with
+   * a null right side once the watermark passes their join window
+   * (state eviction IS the null-emission trigger; the no-data final
+   * microbatch flushes everything except lefts whose window straddles
+   * the final watermark — the batch oracle reproduces that cutoff
+   * exactly). Nulls are surfaced as -1 for engine-portable compare.
+   */
+  def streamStreamOuterJoin(spark: SparkSession, dir: String): DataFrame = withStreamWidth(spark, dir) {
+    val l = eventsStream(spark, dir)
+      .where(col("event_type") === "view")
+      .select(col("event_id").as("l_id"), col("user_id").as("l_user"), col("ts").as("l_ts"))
+      .withWatermark("l_ts", "0 seconds")
+    val r = eventsStream(spark, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("r_id"), col("user_id").as("r_user"), col("ts").as("r_ts"))
+      .withWatermark("r_ts", "0 seconds")
+    val joined = l.join(r,
+      col("l_user") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr("INTERVAL 1 HOUR") &&
+        col("l_id") =!= col("r_id"),
+      "leftOuter")
+    runToMemory(joined.select(col("l_id"), coalesce(col("r_id"), lit(-1L)).as("r_id")),
+        s"ssojoin_${System.nanoTime()}", OutputMode.Append())
+      .orderBy(col("l_id"), col("r_id"))
+  }
+
+  /**
    * Observed metrics over a streaming pipeline — the reference's
    * accumulator surface (its per-run counters: elements buffered,
    * observed co-occurrences, late drops — SURVEY §6) in Structured
