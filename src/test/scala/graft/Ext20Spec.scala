@@ -59,6 +59,21 @@ class Ext20Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("histogram join-cardinality prediction is exact on a skewed synthetic join") {
+    val s = spark
+    import s.implicits._
+    val a = Seq(1, 1, 1, 2, 2, 3, 5).toDF("k")     // skewed left
+    val b = Seq(1, 1, 2, 4).toDF("k2")             // partial overlap
+    val pred = a.groupBy(col("k")).agg(count(lit(1)).as("n_a"))
+      .join(b.groupBy(col("k2")).agg(count(lit(1)).as("n_b")), col("k") === col("k2"))
+      .agg(sum(col("n_a") * col("n_b"))).collect().head.getLong(0)
+    val actual = a.join(b, col("k") === col("k2")).count()
+    assert(pred == actual)
+    assert(actual == 3 * 2 + 2 * 1) // key 1: 3x2, key 2: 2x1
+    val r = SparkEntry.queries("join_cardinality")(spark, sfDir).collect().head
+    assert(r.getBoolean(2), "prediction must equal the materialized join count")
+  }
+
   test("repair eliminates every cross-split near-dup pair") {
     val repaired = SparkEntry.queries("split_leakage_repair")(spark, sfDir)
       .select(col("doc_id"), col("new_split"))
