@@ -37,9 +37,11 @@ object ScaleUp {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.ts is TIMESTAMP(NANOS): read as raw long and write back as
-      // plain INT64 — Tables.events applies the same DIV-1000 conversion to
-      // either encoding, so sf1 timestamps round-trip bit-identically
+      // events.ts has shipped as TIMESTAMP(NANOS) in some testdata drops:
+      // the legacy flag surfaces that encoding as raw long (written back as
+      // plain INT64), while timestamp[us] drops read/write as timestamps —
+      // Tables.events is schema-adaptive over both, so sf1 timestamps
+      // round-trip exactly either way
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -55,12 +55,19 @@ object Sampling {
       sample: Boolean, cnt: Int)
   /** User-stage cogroup row: kind 0 = delta, 1 = refund, 2 = new user
     * state, 3 = item-count state passed through from the item stage (the
-    * count rides in `inc`). */
+    * count rides in `inc`), 4/5 = item-cut flag record (sampled /
+    * dropped; emitted only when the step runs with emitFlags — the
+    * reference operator #6's observable `(user, item, sampleFlag)`
+    * output, ItemInteractionCounterTwoInputStreamOperator.java:129-139). */
   case class UserStageRow(kind: Int, item: Int, other: Int, inc: Int,
-      user: Int, total: Int, history: Array[Int])
+      user: Int, total: Int, history: Array[Int], ts: Long = 0L)
 
   case class ItemCount(item: Int, cnt: Int)
   case class UserState(user: Int, total: Int, history: Array[Int])
+
+  /** One item-cut flag record: the sample bit assigned to an interaction
+    * in window `wnd` (refunds from earlier windows already applied). */
+  case class FlagRow(wnd: Long, user: Int, item: Int, tsMs: Long, sample: Boolean)
 
 
   /**
@@ -214,6 +221,51 @@ object Sampling {
       : (Dataset[CoocDelta], Dataset[ItemCount], Dataset[UserState]) = {
     val spark = evW.sparkSession
     import spark.implicits._
+    val (userOut, newItemState, newUserState) =
+      windowStepDs(evW, itemState, userState, fMax, kMax, seed, w, metrics, emitFlags = false)
+
+    // Aggregate the window's deltas lazily over the checkpointed output —
+    // the reference's windowed map-agg (#11, ItemRowAggregator): consumers
+    // only ever see per-window NET deltas (windowStepRdd already netted
+    // per user; this nets across users).
+    val deltas = userOut.filter(_.kind == 0)
+      .select(col("item"), col("other"), col("inc"))
+      .groupBy(col("item"), col("other"))
+      .agg(sum(col("inc")).cast("int").as("inc"))
+      .where(col("inc") =!= 0)
+      .as[CoocDelta]
+
+    (deltas, newItemState, newUserState)
+  }
+
+  /**
+   * processWindow variant exposing the item stage's OBSERVABLE output —
+   * per-interaction sample flags, with refunds from prior windows already
+   * folded into the counts (reference operator #6's output stream,
+   * ItemInteractionCounterTwoInputStreamOperator.java:129-139). Same
+   * single-job window step; only what is read off the checkpoint differs.
+   */
+  def processWindowFlags(evW: Dataset[Interaction], itemState: Dataset[ItemCount],
+      userState: Dataset[UserState], fMax: Int, kMax: Int, seed: Long, w: Long)
+      : (Dataset[FlagRow], Dataset[ItemCount], Dataset[UserState]) = {
+    val spark = evW.sparkSession
+    import spark.implicits._
+    val (userOut, newItemState, newUserState) =
+      windowStepDs(evW, itemState, userState, fMax, kMax, seed, w, None, emitFlags = true)
+    val flags = userOut.filter(r => r.kind == 4 || r.kind == 5)
+      .map(r => FlagRow(w, r.user, r.item, r.ts, r.kind == 4))
+    (flags, newItemState, newUserState)
+  }
+
+  /** Shared Dataset-boundary window step: run windowStepRdd once (the ONE
+    * eager job of the window), return the checkpointed user-stage output
+    * plus the two next-window state tables derived lazily from it. */
+  private def windowStepDs(evW: Dataset[Interaction], itemState: Dataset[ItemCount],
+      userState: Dataset[UserState], fMax: Int, kMax: Int, seed: Long, w: Long,
+      metrics: Option[PipelineMetrics], emitFlags: Boolean)
+      : (Dataset[UserStageRow], Dataset[ItemCount], Dataset[UserState]) = {
+    val spark = evW.sparkSession
+    import spark.implicits._
 
     // Dataset boundary -> the shared RDD window step (windowStepRdd owns
     // fold order, RNG keying, and the tag-bit passthrough routing). At
@@ -226,20 +278,9 @@ object Sampling {
     val itemCnt = itemState.rdd.map(c => (c.item.toLong, c.cnt))
     val userSt = userState.rdd.map(u => (u.user.toLong, (u.total, u.history)))
     val userOutR = windowStepRdd(evByItem, itemCnt, userSt, part,
-      fMax, kMax, seed, w, metrics).localCheckpoint()
+      fMax, kMax, seed, w, metrics, emitFlags).localCheckpoint()
     userOutR.count() // the ONE eager job of the window
     val userOut = spark.createDataset(userOutR.map(_._2))
-
-    // Aggregate the window's deltas lazily over the checkpointed output —
-    // the reference's windowed map-agg (#11, ItemRowAggregator): consumers
-    // only ever see per-window NET deltas (windowStepRdd already netted
-    // per user; this nets across users).
-    val deltas = userOut.filter(_.kind == 0)
-      .select(col("item"), col("other"), col("inc"))
-      .groupBy(col("item"), col("other"))
-      .agg(sum(col("inc")).cast("int").as("inc"))
-      .where(col("inc") =!= 0)
-      .as[CoocDelta]
 
     val newUserState = userOut.filter(_.kind == 2)
       .map(r => UserState(r.user, r.total, r.history))
@@ -256,7 +297,7 @@ object Sampling {
       .reduceGroups((a, b) => ItemCount(a.item, a.cnt + b.cnt))
       .map(_._2)
 
-    (deltas, newItemState, newUserState)
+    (userOut, newItemState, newUserState)
   }
 
   /**
@@ -376,7 +417,8 @@ object Sampling {
       userSt: org.apache.spark.rdd.RDD[(Long, (Int, Array[Int]))],
       part: org.apache.spark.HashPartitioner,
       fMax: Int, kMax: Int, seed: Long, w: Long,
-      metrics: Option[PipelineMetrics])
+      metrics: Option[PipelineMetrics],
+      emitFlags: Boolean = false)
       : org.apache.spark.rdd.RDD[(Long, UserStageRow)] = {
     // --- item stage: flag sample bits against per-item counts ---
     val itemOut = evByItem.cogroup(itemCnt, part).mapPartitions(_.flatMap {
@@ -414,7 +456,14 @@ object Sampling {
           val net = new scala.collection.mutable.LinkedHashMap[(Int, Int), Int]()
           deltas.foreach(d => net.update((d.item, d.other),
             net.getOrElse((d.item, d.other), 0) + d.inc))
-          passthrough ++
+          // flag records re-emit the item stage's observable output (the
+          // reference's (user, item, sampleFlag) stream) — opt-in so the
+          // delta-only pipelines pay nothing for them
+          val flagRows =
+            if (!emitFlags) Iterator.empty
+            else sorted.iterator.map(e =>
+              (key, UserStageRow(if (e.sample) 4 else 5, e.item, 0, 0, e.user, 0, null, e.ts)))
+          passthrough ++ flagRows ++
             net.iterator.filter(_._2 != 0).map { case ((i, o), inc) =>
               (key, UserStageRow(0, i, o, inc, 0, 0, null)) } ++
             refunds.iterator.map(i => (key, UserStageRow(1, i, 0, 0, 0, 0, null))) ++
@@ -518,5 +567,52 @@ object Sampling {
     val inter = Cooccurrence.interactions(spark, dir)
     Cooccurrence.llrTopKFromCounts(
       sampledCoocCounts(inter, fMax, kMax, seed, windowMs), k)
+  }
+
+  /**
+   * Windowed item-cut FLAG stream with the refund cycle live: the full
+   * two-stage machinery (item cut → user reservoir → refunds folded into
+   * item counts before the next window) run window-by-window in event-time
+   * order, emitting the per-interaction sample flags.
+   *
+   * With kMax = 0 the reservoir deterministically REFUNDS every sampled
+   * interaction (history can never hold an entry, so the k < kMax draw
+   * can never win) — the RNG is drawn but cannot influence output, so the
+   * refund path becomes exactly SQL-expressible: each window starts with
+   * every item count restored to 0, i.e. flags = first-fMax per
+   * (item, window). That is the oracle for cooc_item_cut_refunds /
+   * stream_item_cut_refunds; a refund that is dropped, double-applied, or
+   * folded at the wrong boundary shifts flags in later windows and
+   * hash-fails. (reference: FeedbackSource.java:16-69 and the refund
+   * consumption in ItemInteractionCounterTwoInputStreamOperator.java:94-116)
+   */
+  def itemCutFlags(interactions: DataFrame, fMax: Int, kMax: Int, seed: Long,
+      windowMs: Long): DataFrame = {
+    val spark = interactions.sparkSession
+    import spark.implicits._
+    val ds = interactions
+      .select(col("user").cast("int"), col("item").cast("int"),
+        (unix_millis(col("ts")) / windowMs).cast("long").as("wnd"),
+        unix_millis(col("ts")).as("ts"))
+      .as[(Int, Int, Long, Long)]
+      .map { case (u, i, w, t) => (w, Interaction(u, i, t)) }
+      .toDF("wnd", "ev").cache()
+    val bound = 1000000
+    val windows = ds.select($"wnd").distinct().limit(bound + 1).as[Long].collect()
+    require(windows.length <= bound,
+      s"itemCutFlags: more than $bound distinct windows; increase windowMs")
+    var itemState = spark.emptyDataset[ItemCount]
+    var userState = spark.emptyDataset[UserState]
+    val parts = new ArrayBuffer[Dataset[FlagRow]]()
+    for (w <- windows.sorted) {
+      val evW = ds.where($"wnd" === w).select($"ev.*").as[Interaction]
+      val (flags, is, us) = processWindowFlags(evW, itemState, userState, fMax, kMax, seed, w)
+      itemState = is
+      userState = us
+      parts += flags // lazy over that window's checkpoint — no extra job
+    }
+    ds.unpersist()
+    if (parts.isEmpty) spark.emptyDataset[FlagRow].toDF()
+    else parts.reduce(_ union _).toDF()
   }
 }

@@ -19,10 +19,14 @@ import org.apache.spark.sql.types._
  */
 object StreamingOps {
 
-  /** Driver events.parquet schema (ts read as nanos-long, see Tables). */
-  private val eventsSchema = StructType(Seq(
+  // (The events read schema is probed from the files themselves — see
+  // eventsStream; a hard-coded ts type here was the round-6 regression.)
+  // Fallback for a zero-file source, where there is nothing to probe: the
+  // driver's current events layout. No data can flow under it, so only
+  // the column names/count must line up with downstream selects.
+  private val emptyEventsSchema = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // TIMESTAMP(NANOS) surfaced as long
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -99,18 +103,32 @@ object StreamingOps {
     * `maxFilesPerTrigger=1` + `latestFirst=false` reproduces it — each
     * microbatch ingests exactly one file, oldest mod-time first, so the
     * 0-delay watermark advances between files exactly as the reference's
-    * monitor would, and multi-file late-drop behavior is deterministic. */
+    * monitor would, and multi-file late-drop behavior is deterministic.
+    *
+    * A file stream needs an explicit read schema, and `ts` has shipped
+    * under multiple encodings (see [[graft.operators.Tables.events]]) —
+    * so the schema is PROBED from a batch read of the same files, never
+    * hard-coded: a forced `ts: LongType` over `timestamp[us]` files made
+    * micros parse as nanos and compressed every event time 1000×
+    * (round-6 regression). The probe also runs the one-row unit check on
+    * the ambiguous raw-INT64 path. */
   def eventsStream(spark: SparkSession, dir: String,
       glob: String = "events.parquet"): DataFrame = {
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () }
-    spark.readStream
-      .schema(eventsSchema)
+    val probeOpt =
+      try Some(spark.read.option("pathGlobFilter", glob).parquet(dir))
+      catch { case _: org.apache.spark.sql.AnalysisException => None } // zero files
+    val stream = spark.readStream
+      .schema(probeOpt.map(_.schema).getOrElse(emptyEventsSchema))
       .option("pathGlobFilter", glob)
       .option("maxFilesPerTrigger", "1")
       .option("latestFirst", "false")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    probeOpt match {
+      case Some(probe) => graft.operators.Tables.normalizeTs(stream, probe, s"$dir::$glob")
+      case None => stream
+    }
   }
 
   /**
