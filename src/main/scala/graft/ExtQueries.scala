@@ -164,13 +164,21 @@ object ExtQueries {
           round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"))
         .orderBy(col("o_orderpriority"))),
 
-    // HLL++ distinct-count sketch: approximate by design -> rows-only
-    // check; ExtOperatorsSpec asserts relative error vs exact
+    // HLL++ distinct-count sketch. The sketch VALUE is engine-specific
+    // (DuckDB's HLL differs), so the oracle-checkable output is the
+    // sketch's CONTRACT: the exact distinct count, plus a flag asserting
+    // the sketch landed within 5x its configured rsd (0.01 -> 5% bound,
+    // ~5 sigma; ExtOperatorsSpec keeps the tighter statistical check).
+    // One pass computes both — the exact side is itself a real query.
     "approx_distinct" -> ((s, dir) =>
       Tables.table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("exact_orders"), col("n"),
+          when(abs(col("approx_orders") - col("exact_orders"))
+            <= col("exact_orders") * 0.05, 1).otherwise(0).as("within_5pct"))
         .orderBy(col("l_returnflag"))),
 
     // wider string-function surface
@@ -453,6 +461,13 @@ object ExtQueries {
     }.mkString("(", " + ", ")")
 
   def oracleSql: Map[String, String] = Map(
+    // the sketch contract is the oracle: exact distinct counts from SQL,
+    // and the within-bound flag must be 1 for every group
+    "approx_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_orders,
+        |       COUNT(*) AS n, 1 AS within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "ann_topk_lsh" ->
       s"""WITH $quantSql,
          |bk AS (SELECT vec_id, qv, n2, ${bucketSql(0 until 4)} AS bucket FROM qn),

@@ -92,15 +92,26 @@ object ExtQueries3 {
 
     // approximate percentiles (KLL-style sketch, mergeable across
     // partitions — the percentile operator that scales where exact
-    // percentile_agg's full sort-by-key does not). Deterministic for a
-    // given dataset but engine-specific -> rows-only check; accuracy
-    // bound spec'd in ExtOperatorsSpec against the exact percentiles.
+    // percentile_agg's full sort-by-key does not). The sketch VALUE is
+    // engine-specific, so the oracle-checkable output is its CONTRACT:
+    // accuracy=10000 bounds rank error at n/10000, far inside the
+    // ±0.001-quantile band checked here (flags must be 1; the exact
+    // band edges come from the same one-pass aggregation).
+    // ExtOperatorsSpec keeps the direct rank-error check on the values.
     "approx_percentile" -> ((s, dir) =>
       Tables.table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"),
-          percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95"))
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("ap50"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("ap95"),
+          expr("percentile(l_extendedprice, 0.499)").as("lo50"),
+          expr("percentile(l_extendedprice, 0.501)").as("hi50"),
+          expr("percentile(l_extendedprice, 0.949)").as("lo95"),
+          expr("percentile(l_extendedprice, 0.951)").as("hi95"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("n"),
+          when(col("ap50").between(col("lo50"), col("hi50")), 1).otherwise(0).as("p50_in_band"),
+          when(col("ap95").between(col("lo95"), col("hi95")), 1).otherwise(0).as("p95_in_band"))
         .orderBy(col("l_returnflag"))),
 
     // df-capped inverted index — THE n-gram near-dup plan for web-scale
@@ -126,6 +137,12 @@ object ExtQueries3 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // the sketch contract is the oracle: group sizes from SQL, and both
+    // in-band flags must be 1 for every group
+    "approx_percentile" ->
+      """SELECT l_returnflag, COUNT(*) AS n, 1 AS p50_in_band, 1 AS p95_in_band
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "subquery_scalar" ->
       """SELECT c_custkey,
         |  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,

@@ -124,7 +124,12 @@ class ExtOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("approx_percentile sketch: within rank-error bound of the exact percentiles") {
     import org.apache.spark.sql.functions._
     val li = Tables.table(spark, sfDir, "lineitem")
-    val approx = SparkEntry.queries("approx_percentile")(spark, sfDir)
+    // the query itself now emits oracle-checkable in-band flags; the raw
+    // sketch values for the direct rank-error check come from here
+    val approx = li.groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95"))
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     // accuracy=10000 bounds the RANK error at n/10000; translate to a
     // value check by verifying the approx value's true rank is within
