@@ -56,6 +56,9 @@ object ExtQueries22 {
     val inter = Cooccurrence.interactions(s, dir)
       .withColumn("wnd", (unix_millis(col("ts")) / WindowMs).cast("long"))
     val windows = inter.select($"wnd").distinct().as[Long].collect().sorted
+    if (windows.isEmpty) { // empty events table: nothing to stage or drain
+      return flagsOut(s.emptyDataset[Sampling.FlagRow].toDF())
+    }
     val stageDir = Files.createTempDirectory("stream_refunds_").toString
     try {
       windows.zipWithIndex.foreach { case (w, i) =>
@@ -114,7 +117,21 @@ object ExtQueries22 {
         Cooccurrence.interactions(s, dir), FMax, kMax = 0, Seed, WindowMs))),
 
     // streaming foreachBatch: refunds fold between real microbatches
-    "stream_item_cut_refunds" -> ((s, dir) => streamItemCutRefunds(s, dir))
+    "stream_item_cut_refunds" -> ((s, dir) => streamItemCutRefunds(s, dir)),
+
+    // Full sampled pipeline with a BINDING item cut, exactly oracled:
+    // kMax >> any per-user count means the reservoir only ever APPENDS —
+    // no draw, no refund — so the windowed machinery's output is fully
+    // determined by the cut: flags = global first-fMax per item in
+    // (ts, user) fold order, deltas = both-direction pairs of each
+    // user's flagged events in (ts, item) fold order, then the standard
+    // row-sum/LLR/top-K rescore. Complements cooc_sampled_nocuts_llr
+    // (no cut binds) and cooc_sampled_llr (both cuts bind, RNG live,
+    // rows-only): here the ITEM CUT bites (sf0.01: ~40% of events
+    // dropped) and the result is still hash-checked against SQL.
+    "cooc_sampled_itemcut_llr" -> ((s, dir) =>
+      Sampling.llrTopKSampled(s, dir,
+        fMax = 50, kMax = 1000000, seed = 7L, windowMs = WindowMs, k = 10))
   )
 
   /** kMax = 0 refunds every sampled slot before the next window, so the
@@ -136,8 +153,68 @@ object ExtQueries22 {
        |FROM ranked
        |ORDER BY wnd, item, ts_ms, usr, sampled""".stripMargin
 
+  /** Tight-item-cut LLR oracle: first-50-per-item flags -> per-user
+    * ordered-pair counts (append path only, both directions) -> the same
+    * contingency/LLR/top-10 tail as cooc_llr_topk. The strict (ts_ms,
+    * item) pair order mirrors the user-stage fold order; the testdata has
+    * no (user, item, ms) duplicates, so the order is total per user. */
+  private val itemCutLlrOracle =
+    """WITH inter AS (
+      |  SELECT user_id AS usr,
+      |         CAST(json_extract_string(props, 'k') AS INT) AS item,
+      |         epoch_ms(ts) AS ts_ms
+      |  FROM events),
+      |flagged AS (
+      |  SELECT usr, item, ts_ms FROM (
+      |    SELECT usr, item, ts_ms,
+      |           ROW_NUMBER() OVER (PARTITION BY item ORDER BY ts_ms, usr) AS rn
+      |    FROM inter) WHERE rn <= 50),
+      |pairsraw AS (
+      |  SELECT a.item AS ia, b.item AS ib
+      |  FROM flagged a JOIN flagged b
+      |    ON a.usr = b.usr
+      |   AND (a.ts_ms < b.ts_ms OR (a.ts_ms = b.ts_ms AND a.item < b.item))),
+      |pairs AS (
+      |  SELECT item, other, COUNT(*) AS cnt FROM (
+      |    SELECT ia AS item, ib AS other FROM pairsraw
+      |    UNION ALL
+      |    SELECT ib AS item, ia AS other FROM pairsraw)
+      |  GROUP BY item, other),
+      |rs AS (SELECT item, SUM(cnt) AS row_sum FROM pairs GROUP BY item),
+      |tot AS (SELECT SUM(cnt) AS total FROM pairs),
+      |contingency AS (
+      |  SELECT p.item, p.other, p.cnt AS k11,
+      |         ri.row_sum - p.cnt AS k12,
+      |         ro.row_sum - p.cnt AS k21,
+      |         t.total + p.cnt - (ri.row_sum - p.cnt) - (ro.row_sum - p.cnt) AS k22
+      |  FROM pairs p
+      |  JOIN rs ri ON p.item = ri.item
+      |  JOIN rs ro ON p.other = ro.item
+      |  CROSS JOIN tot t),
+      |scored AS (
+      |  SELECT item, other, ROUND(2.0 * GREATEST(0.0,
+      |      ((CASE WHEN k11+k12+k21+k22 = 0 THEN 0 ELSE (k11+k12+k21+k22) * LN(k11+k12+k21+k22) END
+      |        - (CASE WHEN k11+k12 = 0 THEN 0 ELSE (k11+k12) * LN(k11+k12) END)
+      |        - (CASE WHEN k21+k22 = 0 THEN 0 ELSE (k21+k22) * LN(k21+k22) END)) +
+      |       (CASE WHEN k11+k12+k21+k22 = 0 THEN 0 ELSE (k11+k12+k21+k22) * LN(k11+k12+k21+k22) END
+      |        - (CASE WHEN k11+k21 = 0 THEN 0 ELSE (k11+k21) * LN(k11+k21) END)
+      |        - (CASE WHEN k12+k22 = 0 THEN 0 ELSE (k12+k22) * LN(k12+k22) END)) -
+      |       (CASE WHEN k11+k12+k21+k22 = 0 THEN 0 ELSE (k11+k12+k21+k22) * LN(k11+k12+k21+k22) END
+      |        - (CASE WHEN k11 = 0 THEN 0 ELSE k11 * LN(k11) END)
+      |        - (CASE WHEN k12 = 0 THEN 0 ELSE k12 * LN(k12) END)
+      |        - (CASE WHEN k21 = 0 THEN 0 ELSE k21 * LN(k21) END)
+      |        - (CASE WHEN k22 = 0 THEN 0 ELSE k22 * LN(k22) END)))), 4) AS score
+      |  FROM contingency),
+      |ranked AS (
+      |  SELECT item, other, score,
+      |         ROW_NUMBER() OVER (PARTITION BY item ORDER BY score DESC, other) AS rnk
+      |  FROM scored)
+      |SELECT item, rnk, other, score FROM ranked WHERE rnk <= 10
+      |ORDER BY item, rnk""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "cooc_item_cut_refunds" -> refundsOracle,
-    "stream_item_cut_refunds" -> refundsOracle
+    "stream_item_cut_refunds" -> refundsOracle,
+    "cooc_sampled_itemcut_llr" -> itemCutLlrOracle
   )
 }
