@@ -228,15 +228,38 @@ object Dedup {
     // the distinct (doc, word) set feeds the set arrays and the signature
     // hash — cache it so the distinct shuffle runs once per consumer
     val words = docWords(docs).persist()
-    try { // exception-safe: release the cached word table on any failure
-    val wordSets = words.groupBy(col("doc_id"))
+    // --- identical-word-set compression (exact; round-7 soak finding) ---
+    // Jaccard and the minhash signature are functions of the word SET
+    // alone, so docs with equal sets are fully interchangeable: group
+    // them, run banding + candidate join + verification on ONE
+    // representative per distinct set, and expand verified set pairs
+    // back to doc pairs afterwards (plus all within-group pairs, whose
+    // jaccard is exactly 1.0). On a small-vocabulary corpus this is the
+    // difference between a working query and an OOM: the regenerated
+    // testdata packs 1792 of 5000 docs into one band bucket (35% of the
+    // corpus; sum C(n,2) = 2.9M candidate pairs at sf0.1, 26M at sf1),
+    // and attaching two word-hash arrays to every candidate blew the
+    // heap at sf1. Compression cuts the bucket to its ~900 distinct
+    // sets, and — decisively — the expansion pairs carry no arrays.
+    // Set identity keys on the xxhash64 word-hash array: same collision
+    // bound as the verification arrays themselves (documented there).
+    val groups = words
+      .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(xxhash64(col("word")))).as("wset"),
         count(lit(1)).as("n_w"))
-    val setsA = wordSets.select(col("doc_id").as("doc_a"),
+      .groupBy(col("wset"), col("n_w"))
+      .agg(min(col("doc_id")).as("setid"),
+        sort_array(collect_list(col("doc_id"))).as("members"))
+      .persist()
+    try { // exception-safe: release the cached tables on any failure
+    val reps = groups.select(col("setid").as("doc_id"),
+      col("wset"), col("n_w"))
+    val repWords = words.join(reps.select(col("doc_id")), Seq("doc_id"))
+    val setsA = reps.select(col("doc_id").as("doc_a"),
       col("wset").as("wset_a"), col("n_w").as("n_a"))
-    val setsB = wordSets.select(col("doc_id").as("doc_b"),
+    val setsB = reps.select(col("doc_id").as("doc_b"),
       col("wset").as("wset_b"), col("n_w").as("n_b"))
-    lshCandidates(minhashSignaturesFromWords(words))
+    val verified = lshCandidates(minhashSignaturesFromWords(repWords))
       .join(setsA, Seq("doc_a"))
       .join(setsB, Seq("doc_b"))
       // size-ratio prefilter (exactness-preserving): jac(A,B) <=
@@ -249,10 +272,30 @@ object Dedup {
       .withColumn("jaccard",
         col("n_common") * lit(1.0) / (col("n_a") + col("n_b") - col("n_common")))
       .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    // expansion: a rep pair stands for all cross-group member pairs (two
+    // docs collide in a band iff their reps do, and jaccard is constant
+    // across each group), ordered doc_a < doc_b like the direct join
+    val membersOf = groups.select(col("setid"), col("members"))
+    val cross = verified
+      .join(membersOf.select(col("setid").as("doc_a"), col("members").as("ma")), Seq("doc_a"))
+      .join(membersOf.select(col("setid").as("doc_b"), col("members").as("mb")), Seq("doc_b"))
+      .select(explode(col("ma")).as("a"), col("mb"), col("jaccard"))
+      .select(col("a"), explode(col("mb")).as("b"), col("jaccard"))
+      .select(least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"), col("jaccard"))
+    // within-group pairs: identical sets, jaccard exactly 1.0
+    val within = groups
+      .where(size(col("members")) > 1 && lit(1.0) >= threshold)
+      .select(posexplode(col("members")).as(Seq("i", "a")), col("members"))
+      .select(col("a").as("doc_a"),
+        explode(expr("slice(members, i + 2, size(members))")).as("doc_b"),
+        lit(1.0).as("jaccard"))
+    cross.unionAll(within)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
-      // release the cached word table before returning (see jaccardPairs)
+      // release the cached tables before returning (see jaccardPairs)
       .localCheckpoint(true)
-    } finally words.unpersist()
+    } finally { words.unpersist(); groups.unpersist() }
   }
 
   /**
