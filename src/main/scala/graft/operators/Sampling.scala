@@ -129,6 +129,17 @@ object Sampling {
   private def rngFor(seed: Long, user: Int, window: Long): java.util.Random =
     new java.util.Random(mix64(seed ^ mix64(user.toLong ^ mix64(window))))
 
+  /** Width for per-window loop shuffles: sized to per-window volume
+    * (~20k rows/partition, floor 4), capped at the session default — at
+    * real scale rows/window exceeds the cap and this is the default
+    * unchanged; at test scale it strips empty-partition overhead. */
+  private[graft] def windowLoopParts(spark: SparkSession, totalRows: Long,
+      nWindows: Int): Int = {
+    val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val rowsPerWindow = totalRows / math.max(1, nWindows)
+    math.max(4L, math.min(defaultParts.toLong, rowsPerWindow / 20000L + 1)).toInt
+  }
+
   /** RNG for the streaming reservoir (ReservoirProcessor): keyed by
     * (user, total-at-batch-start) — same finalization discipline as
     * rngFor, shared so batch and streaming can't drift apart. */
@@ -246,12 +257,14 @@ object Sampling {
    * single-job window step; only what is read off the checkpoint differs.
    */
   def processWindowFlags(evW: Dataset[Interaction], itemState: Dataset[ItemCount],
-      userState: Dataset[UserState], fMax: Int, kMax: Int, seed: Long, w: Long)
+      userState: Dataset[UserState], fMax: Int, kMax: Int, seed: Long, w: Long,
+      numParts: Int = -1)
       : (Dataset[FlagRow], Dataset[ItemCount], Dataset[UserState]) = {
     val spark = evW.sparkSession
     import spark.implicits._
     val (userOut, newItemState, newUserState) =
-      windowStepDs(evW, itemState, userState, fMax, kMax, seed, w, None, emitFlags = true)
+      windowStepDs(evW, itemState, userState, fMax, kMax, seed, w, None,
+        emitFlags = true, numParts = numParts)
     val flags = userOut.filter(r => r.kind == 4 || r.kind == 5)
       .map(r => FlagRow(w, r.user, r.item, r.ts, r.kind == 4))
     (flags, newItemState, newUserState)
@@ -262,7 +275,8 @@ object Sampling {
     * plus the two next-window state tables derived lazily from it. */
   private def windowStepDs(evW: Dataset[Interaction], itemState: Dataset[ItemCount],
       userState: Dataset[UserState], fMax: Int, kMax: Int, seed: Long, w: Long,
-      metrics: Option[PipelineMetrics], emitFlags: Boolean)
+      metrics: Option[PipelineMetrics], emitFlags: Boolean,
+      numParts: Int = -1)
       : (Dataset[UserStageRow], Dataset[ItemCount], Dataset[UserState]) = {
     val spark = evW.sparkSession
     import spark.implicits._
@@ -271,8 +285,13 @@ object Sampling {
     // fold order, RNG keying, and the tag-bit passthrough routing). At
     // this single-shot boundary the state sides carry no partitioner, so
     // the cogroups shuffle them once — the batch loop is where the
-    // co-partitioning pays off across windows.
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // co-partitioning pays off across windows. numParts lets window-loop
+    // callers size the cogroups to per-window volume (the same
+    // rows-per-partition rule as sampledCoocDeltas) instead of paying
+    // the session default's per-partition overhead on tiny windows.
+    val parts =
+      if (numParts > 0) numParts
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val part = new org.apache.spark.HashPartitioner(parts)
     val evByItem = evW.rdd.map(e => (e.item.toLong, e))
     val itemCnt = itemState.rdd.map(c => (c.item.toLong, c.cnt))
@@ -365,11 +384,8 @@ object Sampling {
     // stages; at real scale rows/window >> targetRowsPerPartition and
     // this keeps the session default). Partitioning is explicit per-RDD
     // — the session's shuffle.partitions is never touched.
-    val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val rowsPerWindow = ds.count() / math.max(1, windowsOpt.map(_.length).getOrElse(1))
-    val targetRowsPerPartition = 20000L
-    val loopParts = math.max(4L, math.min(defaultParts.toLong,
-      rowsPerWindow / targetRowsPerPartition + 1)).toInt
+    val loopParts = windowLoopParts(spark, ds.count(),
+      windowsOpt.map(_.length).getOrElse(1))
     val out = windowsOpt match {
       case Some(ws) if ws.isEmpty => spark.emptyDataset[CoocDelta]
       case _ => sampledLoopRdd(ds, windowsOpt, fMax, kMax, seed, loopParts, metrics)
@@ -601,12 +617,17 @@ object Sampling {
     val windows = ds.select($"wnd").distinct().limit(bound + 1).as[Long].collect()
     require(windows.length <= bound,
       s"itemCutFlags: more than $bound distinct windows; increase windowMs")
+    // size the per-window cogroups to per-window volume (the
+    // sampledCoocDeltas rule): tiny windows gain nothing from the
+    // session default's width and pay its per-partition overhead
+    val loopParts = windowLoopParts(spark, ds.count(), windows.length)
     var itemState = spark.emptyDataset[ItemCount]
     var userState = spark.emptyDataset[UserState]
     val parts = new ArrayBuffer[Dataset[FlagRow]]()
     for (w <- windows.sorted) {
       val evW = ds.where($"wnd" === w).select($"ev.*").as[Interaction]
-      val (flags, is, us) = processWindowFlags(evW, itemState, userState, fMax, kMax, seed, w)
+      val (flags, is, us) =
+        processWindowFlags(evW, itemState, userState, fMax, kMax, seed, w, loopParts)
       itemState = is
       userState = us
       parts += flags // lazy over that window's checkpoint — no extra job
