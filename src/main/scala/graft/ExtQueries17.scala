@@ -182,16 +182,15 @@ object ExtQueries17 {
       val nPlanes = 4
       val corpus = Similarity.quantizedWithNorm(Tables.table(s, dir, "embeddings"))
         .withColumn("bucket", Similarity.lshBucket(col("qv"), 64, nPlanes))
+      // schema PROBED from the file (round-6 lesson: never hard-code a
+      // driver table's encoding); the literal schema is only the
+      // zero-file fallback
       val embSchema = StructType(Seq(
         StructField("vec_id", LongType),
         StructField("embedding", ArrayType(FloatType)),
         StructField("label", IntegerType)))
-      val qStream = s.readStream
-        .schema(embSchema)
-        .option("pathGlobFilter", "embeddings.parquet")
-        .option("maxFilesPerTrigger", "1")
-        .option("latestFirst", "false")
-        .parquet(dir)
+      val qStream = graft.streaming.StreamingOps
+        .tableStream(s, dir, "embeddings.parquet", embSchema)
         .where(col("vec_id").isin(ExtQueries.AnnQueries: _*))
         .select(col("vec_id").as("query_id"),
           Similarity.quantize(col("embedding")).as("qqv"))

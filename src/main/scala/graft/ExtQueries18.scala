@@ -81,16 +81,14 @@ object ExtQueries18 {
       val index = indexSigs.join(wordSets, "doc_id")
         .select(col("doc_id").as("doc_b"), col("band"), col("sig"),
           col("wset_b"), col("n_b"))
+      // schema probed from the file; literal is the zero-file fallback
+      // (round-6 lesson: never hard-code a driver table's encoding)
       val docSchema = StructType(Seq(
         StructField("doc_id", LongType), StructField("text", StringType),
         StructField("lang", StringType), StructField("source", StringType),
         StructField("n_chars", LongType)))
-      val shard = s.readStream
-        .schema(docSchema)
-        .option("pathGlobFilter", "documents.parquet")
-        .option("maxFilesPerTrigger", "1")
-        .option("latestFirst", "false")
-        .parquet(dir)
+      val shard = graft.streaming.StreamingOps
+        .tableStream(s, dir, "documents.parquet", docSchema)
         .where(isIncoming)
       // per-row signature: distinct word hashes once, 16 array_min's —
       // stateless and shuffle-free on the stream side

@@ -94,12 +94,9 @@ object SimhashDedupStream {
       maxHamming: Int = 3): DataFrame = StreamingOps.withStreamWidth(spark, dir) {
     import spark.implicits._
     StreamingOps.withTransformWithStateConf(spark) {
-      val docs = spark.readStream
-        .schema(docsSchema)
-        .option("pathGlobFilter", "documents.parquet")
-        .option("maxFilesPerTrigger", "1")
-        .option("latestFirst", "false")
-        .parquet(dir)
+      // schema probed from the file; docsSchema is the zero-file
+      // fallback (round-6 lesson: never hard-code a table's encoding)
+      val docs = StreamingOps.tableStream(spark, dir, "documents.parquet", docsSchema)
       val withFp = docs.select(col("doc_id"), simhashFpExpr(col("text")).as("fp"))
       // one row per (doc, band): band key packs (chunk index, chunk value)
       val banded = withFp.select(col("doc_id"), col("fp"), explode(array(

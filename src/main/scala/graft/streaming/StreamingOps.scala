@@ -132,6 +132,27 @@ object StreamingOps {
   }
 
   /**
+   * Probed-schema one-file-per-microbatch stream over a driver table —
+   * the same probe-don't-assume contract as [[eventsStream]] (the
+   * round-6 regression class: a hard-coded read schema silently
+   * reinterprets values when the driver re-encodes a column), for
+   * tables that need no ts normalization. `fallback` is used only when
+   * zero files match (nothing to probe, nothing to mis-read).
+   */
+  def tableStream(spark: SparkSession, dir: String, fileName: String,
+      fallback: StructType): DataFrame = {
+    val probed =
+      try Some(spark.read.option("pathGlobFilter", fileName).parquet(dir).schema)
+      catch { case _: org.apache.spark.sql.AnalysisException => None } // zero files
+    spark.readStream
+      .schema(probed.getOrElse(fallback))
+      .option("pathGlobFilter", fileName)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(dir)
+  }
+
+  /**
    * Tumbling event-time window aggregation with a 0-delay watermark
    * (ascending-timestamp contract, reference #5/#10): per (day-window,
    * event_type) count + decimal-exact value sum.
