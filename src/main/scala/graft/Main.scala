@@ -25,7 +25,8 @@ final case class Config(
     topK: Int = 10,
     windowSize: Long = -1L,
     windowUnit: TimeUnit = TimeUnit.MILLISECONDS,
-    seed: Long = System.nanoTime()) {
+    seed: Long = System.nanoTime(),
+    streaming: Boolean = false) {
   def windowMs: Long = windowUnit.toMillis(windowSize)
 }
 
@@ -54,6 +55,10 @@ object Config {
       // trigger interval plays this latency/throughput role in Spark.
       case ("-bt" | "--buffer-timeout") :: v :: t =>
         v.toLong; go(t, c)
+      // execution-mode parity: the reference IS a streaming job (its
+      // batch behavior is just a drained file-monitor run) — this flag
+      // runs the same pipeline through Structured Streaming
+      case ("-st" | "--streaming") :: t => go(t, c.copy(streaming = true))
       case ("-h" | "--help") :: _ => Left(usage)
       case other :: _ => Left(s"unknown argument: $other\n$usage")
     }
@@ -75,8 +80,10 @@ object Config {
   val usage: String =
     """usage: graft.Main -i <path> [-o <path>] [-sc] [-ic N] [-uc N] [-k N]
       |       -ws N [-wu MILLISECONDS|SECONDS|MINUTES|HOURS|DAYS] [-s seed|0xhex]
-      |       [-bt millis]
-      |input: CSV lines `user,item,timestampMillis` (file or directory)""".stripMargin
+      |       [-bt millis] [-st]
+      |input: CSV lines `user,item,timestampMillis` (file or directory)
+      |-st/--streaming: drive the job through Structured Streaming (file
+      |monitor, one file per microbatch) instead of the batch planner""".stripMargin
 }
 
 /**
@@ -109,6 +116,49 @@ object Main {
     Cooccurrence.llrTopKFromCounts(counts, c.topK)
   }
 
+  /**
+   * Streaming execution of the same job — the reference's actual shape
+   * (FlinkCooccurrences is a streaming program; its batch behavior is a
+   * drained PROCESS_ONCE file-monitor run, FlinkCooccurrences.java:36-66).
+   * CSV files stream in mod-time order one per microbatch; each
+   * microbatch runs the batch-proven window step (item cut, user
+   * reservoir, refunds folded synchronously — StreamingCooc.processBatch),
+   * and the rescore runs once after the drain. Microbatches play the
+   * role of windows, the repo's established streaming contract
+   * (refund-boundary parity oracle-checked by stream_item_cut_refunds).
+   * With cuts >= data size this equals the batch result exactly.
+   */
+  def runStreaming(spark: SparkSession, c: Config): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    // the file monitor watches a DIRECTORY; accept a single-file input
+    // (same CLI contract as batch) by watching its parent with a name glob
+    val p = new org.apache.hadoop.fs.Path(c.input)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val reader = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+    val lines =
+      if (fs.getFileStatus(p).isDirectory) reader.text(c.input)
+      else reader.option("pathGlobFilter", p.getName).text(p.getParent.toString)
+    val inter = parseCsvLines(lines)
+      .select(col("user"), col("item"), unix_millis(col("ts")).as("ts"))
+    val st = new graft.streaming.StreamingCooc.State(spark)
+    val (fMax, kMax) =
+      if (c.skipCuts) (Int.MaxValue, Int.MaxValue) else (c.itemCut, c.userCut)
+    val q = inter.writeStream
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        graft.streaming.StreamingCooc.processBatch(st,
+          b.as[Sampling.Interaction], id, fMax, kMax, c.seed)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    graft.streaming.StreamingCooc.rescore(st, c.topK)
+  }
+
   def main(args: Array[String]): Unit = Config.parse(args) match {
     case Left(msg) =>
       System.err.println(msg)
@@ -125,7 +175,7 @@ object Main {
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       val t0 = System.nanoTime()
-      val result = run(spark, c)
+      val result = if (c.streaming) runStreaming(spark, c) else run(spark, c)
       c.output match {
         case Some(out) => result.write.mode("overwrite").parquet(out)
         case None => result.show(20, truncate = false)

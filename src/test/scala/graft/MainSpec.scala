@@ -90,6 +90,24 @@ class MainSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(result.forall(_._4 > 0.0))
   }
 
+  test("streaming mode (-st) equals batch mode with skip-cuts; sampled streaming runs") {
+    val lines = (1 to 30).flatMap(u => (1 to 8).map(i => s"$u,${i % 6},${u * 1000 + i * 10}"))
+    val dir = Files.createTempDirectory("graft_csv_st").toFile
+    val f = new java.io.File(dir, "i.csv")
+    Files.write(f.toPath, lines.mkString("\n").getBytes)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSet
+    val base = Config.parse(Array("-i", f.getAbsolutePath, "-sc", "-ws", "1", "-k", "5"))
+      .toOption.get
+    // streaming drain == batch planner on the same input (nocuts identity)
+    assert(rows(Main.runStreaming(spark, base.copy(streaming = true)))
+      == rows(Main.run(spark, base)))
+    // sampled streaming mode (tight cuts, refunds per microbatch) runs
+    val sampled = Config.parse(Array("-i", f.getAbsolutePath, "-ws", "1", "-wu", "HOURS",
+      "-ic", "10", "-uc", "2", "-s", "42", "--streaming")).toOption.get
+    assert(sampled.streaming && Main.runStreaming(spark, sampled).count() > 0)
+  }
+
   test("sampled mode from CLI runs and respects cuts") {
     val lines = (1 to 50).flatMap(u => (1 to 10).map(i => s"$u,${i % 5},${u * 100 + i}"))
     val dir = Files.createTempDirectory("graft_csv2").toFile
