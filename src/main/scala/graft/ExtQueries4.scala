@@ -429,10 +429,14 @@ object ExtQueries4 {
     // mergeable-sketch counterpart to the Misra-Gries recount: one pass
     // builds a fixed-size sketch (mergeable across partitions, the
     // 100 TB path where even the candidate recount is too wide); the
-    // tiny heavy-hitter set is then probed against it. Deterministic
-    // (fixed seed) but engine-specific -> rows-only check; the
-    // overestimate bound (exact <= est <= exact + eps*N) is spec'd in
-    // ExtOperatorsSpec.
+    // tiny heavy-hitter set is then probed against it. The sketch VALUE
+    // is engine-specific, so the oracle-checkable output is the CMS
+    // CONTRACT (round-6 verdict item 5, same pattern as approx_distinct):
+    // exact counts from the exact side, a no-underestimate flag (a HARD
+    // CMS guarantee), and a bounded-overestimate flag at 5x the sketch's
+    // eps*N (eps=1e-4; the 5x slack makes the probabilistic bound
+    // effectively certain, and the fixed seed makes it deterministic
+    // besides). ExtOperatorsSpec keeps the tight 1x-eps check.
     "approx_topk_cms" -> ((s, dir) => {
       val keys = graft.operators.Tables.events(s, dir)
         .select(get_json_object(col("props"), "$.k").cast("string").as("key"))
@@ -442,16 +446,30 @@ object ExtQueries4 {
         .head().getAs[Array[Byte]](0)
       val cms = org.apache.spark.util.sketch.CountMinSketch
         .readFrom(new java.io.ByteArrayInputStream(bytes))
+      val slack = math.ceil(5 * 0.0001 * cms.totalCount()).toLong
       val hh = graft.operators.HeavyHitters.exact(keys, col("key"), 20).collect()
       import s.implicits._
       hh.toSeq
-        .map(r => (r.getString(0), r.getLong(1), cms.estimateCount(r.getString(0))))
-        .toDF("key", "exact_n", "cms_est")
+        .map { r =>
+          val est = cms.estimateCount(r.getString(0))
+          (r.getString(0), r.getLong(1),
+            if (est >= r.getLong(1)) 1 else 0,
+            if (est <= r.getLong(1) + slack) 1 else 0)
+        }
+        .toDF("key", "exact_n", "no_underestimate", "within_bound")
         .orderBy(col("key"))
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+    // the CMS contract is the oracle: exact heavy-hitter counts from
+    // SQL, and both sketch-bound flags must be 1 for every key
+    "approx_topk_cms" ->
+      """WITH k AS (SELECT json_extract_string(props, 'k') AS key FROM events
+        |           WHERE json_extract_string(props, 'k') IS NOT NULL)
+        |SELECT key, COUNT(*) AS exact_n, 1 AS no_underestimate, 1 AS within_bound
+        |FROM k GROUP BY key HAVING COUNT(*) >= 20 ORDER BY key""".stripMargin,
+
     "agg_stats" ->
       """SELECT l_returnflag,
         |  ROUND(stddev_samp(l_quantity), 4) AS sd_qty,

