@@ -16,36 +16,47 @@ import graft.operators.{Cooccurrence, Tables}
  */
 object ExtQueries14 {
 
+  /** Fixed-point scale for PageRank ranks: 1 rank unit = 1e-12. */
+  private[graft] val PrScale = 1000000000000L
+
   /** PageRank on the vocab-bounded item graph, `iters` rounds, damping
-    * 0.85, DECIMAL(38,18) arithmetic throughout: decimal sums are exact
-    * (no float reassociation), and per-edge contribution r/deg rounds
-    * identically on every partitioning, so the scores are bit-stable
-    * across cluster sizes — the property that lets a spec pin them.
+    * 0.85, FIXED-POINT INT64 arithmetic throughout (1e-12 units):
+    * integer sums are exact (no float reassociation), each per-edge
+    * contribution rounds half-up identically on every partitioning AND
+    * every engine, so the scores are bit-stable across cluster sizes and
+    * exactly reproducible in plain SQL — that is what lets both the spec
+    * and the DuckDB oracle pin them (an earlier DECIMAL(38,18) form was
+    * equally partition-stable but its cross-engine mirror would have
+    * hung on Spark's precision-loss rounding rules; integer ops have no
+    * such rules). Update rule, identical on both engines:
+    *   contrib = (2*r + deg) div (2*deg)          — HALF_UP of r/deg
+    *   r' = 0.15*S + (85*sum(contrib) + 50) div 100 — HALF_UP of 0.85*Σ
+    * Range: ranks are bounded by |V| (mass conservation), so 85*r stays
+    * far inside int64 for any graph whose ranks fit memory at all.
     * Each round is one edge-keyed broadcast join + one hash agg;
     * localCheckpoint bounds lineage (PERF #5). Dangling mass: vertices
     * in the edge list always have out-degree >= 1 by construction
     * (undirected edges traversed both ways), so no sink correction term.
     */
   private[graft] def pagerank(edges: DataFrame, iters: Int): DataFrame = {
-    val dec = DecimalType(38, 18)
     // undirected: each edge contributes both ways
     val directed = edges.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
       .localCheckpoint(true)
     val deg = directed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val adj = directed.join(deg, "src").localCheckpoint(true)
-    var ranks = deg.select(col("src").as("v"), lit(1.0).cast(dec).as("r"))
+    var ranks = deg.select(col("src").as("v"), lit(PrScale).as("r"))
       .localCheckpoint(true)
     var i = 0
     while (i < iters) {
       val contrib = adj.join(broadcast(ranks), adj("src") === ranks("v"))
-        .select(col("dst"), (col("r") / col("deg")).cast(dec).as("c"))
+        .select(col("dst"), expr("(2*r + deg) DIV (2*deg)").as("c"))
         .groupBy(col("dst"))
-        .agg(sum(col("c")).cast(dec).as("in_sum"))
+        .agg(sum(col("c")).as("in_sum"))
       ranks = deg.select(col("src").as("v")).join(contrib, col("v") === col("dst"), "left")
         .select(col("v"),
-          (lit(0.15).cast(dec) + lit(0.85).cast(dec)
-            * coalesce(col("in_sum"), lit(0).cast(dec))).cast(dec).as("r"))
+          (lit(PrScale * 3 / 20) +
+            expr(s"(85 * coalesce(in_sum, 0L) + 50) DIV 100")).as("r"))
         .localCheckpoint(true)
       i += 1
     }
@@ -54,15 +65,17 @@ object ExtQueries14 {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // Top-20 PageRank items (10 rounds). Rows-only at the gate (no SQL
-    // oracle for the iteration); Ext14Spec pins the scores against a
-    // driver-side exact-decimal reference on the same graph.
+    // Top-20 PageRank items (10 rounds), fully oracled: fixed-point
+    // int64 iteration is bit-identical in any engine, so the DuckDB
+    // oracle unrolls the same 10 integer-arithmetic rounds over the same
+    // edge set and the gate hash-matches the scores exactly.
     "graph_pagerank" -> ((s, dir) => {
       val edges = Cooccurrence.coocCounts(Cooccurrence.interactions(s, dir))
         .where(col("item") < col("other") && col("cnt") >= 3)
         .select(col("item").as("u"), col("other").as("v"))
       pagerank(edges, 10)
-        .select(col("v").as("item"), col("r").cast("double").as("rank"))
+        .select(col("v").as("item"),
+          (col("r").cast("double") / lit(PrScale.toDouble)).as("rank"))
         .orderBy(col("rank").desc, col("item")).limit(20)
     }),
 
@@ -132,7 +145,42 @@ object ExtQueries14 {
     })
   )
 
+  /** DuckDB mirror of the fixed-point PageRank: the identical integer
+    * update rule unrolled for 10 rounds over the identical edge set —
+    * bit-exact, so the gate hash-matches the scores. `//` is DuckDB's
+    * floor division; all operands are non-negative, matching Spark's
+    * `DIV`. */
+  private def pagerankOracle: String = {
+    val iters = (1 to 10).map { k =>
+      s"""r$k AS (
+         |  SELECT g.src AS v,
+         |         ${PrScale * 3 / 20} + (85 * COALESCE(s.in_sum, 0) + 50) // 100 AS r
+         |  FROM deg g LEFT JOIN (
+         |    SELECT a.dst, SUM((2 * p.r + a.deg) // (2 * a.deg)) AS in_sum
+         |    FROM adj a JOIN r${k - 1} p ON p.v = a.src
+         |    GROUP BY a.dst) s ON s.dst = g.src)""".stripMargin
+    }.mkString(",\n")
+    SparkEntry.pairsSql +
+      s""", edges AS (
+         |  SELECT item AS u, other AS v FROM pairs WHERE item < other AND cnt >= 3),
+         |directed AS (
+         |  SELECT u AS src, v AS dst FROM edges
+         |  UNION ALL
+         |  SELECT v AS src, u AS dst FROM edges),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM directed GROUP BY src),
+         |adj AS (SELECT d.src, d.dst, g.deg FROM directed d JOIN deg g ON g.src = d.src),
+         |r0 AS (SELECT src AS v, CAST($PrScale AS BIGINT) AS r FROM deg),
+         |$iters
+         |SELECT item, rank FROM (
+         |  SELECT v AS item, CAST(r AS DOUBLE) / $PrScale.0 AS rank,
+         |         ROW_NUMBER() OVER (ORDER BY r DESC, v) AS rn
+         |  FROM r10)
+         |WHERE rn <= 20 ORDER BY rank DESC, item""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+
+    "graph_pagerank" -> pagerankOracle,
 
     "timeseries_fill" ->
       """WITH daily AS (

@@ -23,7 +23,7 @@ class Ext14Spec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
-  test("graph_pagerank: bit-stable across partitionings (decimal exactness) and mass-conserving") {
+  test("graph_pagerank: bit-stable across partitionings (fixed-point exactness) and mass-conserving") {
     def run(): Seq[(Int, Double)] =
       ExtQueries14.queries("graph_pagerank")(spark, sfDir).collect()
         .map(r => (r.getInt(0), r.getDouble(1))).toSeq
@@ -31,15 +31,16 @@ class Ext14Spec extends AnyFunSuite with BeforeAndAfterAll {
     val prior = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "1")
     val single = try run() finally spark.conf.set("spark.sql.shuffle.partitions", prior)
-    assert(base == single, "decimal PageRank must not depend on aggregation order")
+    assert(base == single, "fixed-point PageRank must not depend on aggregation order")
     // mass conservation: with uniform init and no dangling vertices the
-    // total rank stays |V| up to per-division decimal rounding dust
+    // total rank stays |V| up to per-division fixed-point rounding dust
     val edges = graft.operators.Cooccurrence.coocCounts(
         graft.operators.Cooccurrence.interactions(spark, sfDir))
       .where(col("item") < col("other") && col("cnt") >= 3)
       .select(col("item").as("u"), col("other").as("v"))
     val full = ExtQueries14.pagerank(edges, 10)
-      .agg(sum(col("r").cast("double")), count(lit(1))).collect()(0)
+      .agg(sum(col("r").cast("double") / lit(ExtQueries14.PrScale.toDouble)),
+        count(lit(1))).collect()(0)
     val (mass, n) = (full.getDouble(0), full.getLong(1))
     assert(math.abs(mass - n) < 1e-6 * n, s"mass $mass vs |V| $n")
     assert(base.length == math.min(20, n))
