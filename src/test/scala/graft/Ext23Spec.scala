@@ -107,6 +107,55 @@ class Ext23Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q.collect().map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
   }
 
+  test("source-cap quota state survives a checkpointed stop/restart") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val s = spark
+    import s.implicits._
+    val src = Files.createTempDirectory("cap_src").toString
+    val sink = Files.createTempDirectory("cap_sink").toString + "/out"
+    val ckpt = Files.createTempDirectory("cap_ckpt").toString
+    val schema = StructType(Seq(
+      StructField("source", StringType), StructField("doc_id", LongType),
+      StructField("n_chars", LongType)))
+
+    def runOnce(): Unit =
+      graft.streaming.StreamingOps.withTransformWithStateConf(spark) {
+        val admitted = spark.readStream.schema(schema).parquet(src)
+          .as[graft.streaming.SourceCapProcessor.In]
+          .groupByKey(_.source)
+          .transformWithState(new graft.streaming.SourceCapProcessor(3),
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+        val q = admitted.toDF().writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+
+    // run 1: A has 2 docs (under quota), B has 4 (over quota)
+    Seq(("A", 1L, 10L), ("A", 2L, 10L), ("B", 10L, 10L), ("B", 11L, 10L),
+      ("B", 12L, 10L), ("B", 13L, 10L))
+      .toDF("source", "doc_id", "n_chars").coalesce(1)
+      .write.mode("append").parquet(src)
+    runOnce()
+    // run 2, SAME checkpoint: A gets 3 more (only one slot left), B one more
+    Seq(("A", 3L, 10L), ("A", 4L, 10L), ("A", 5L, 10L), ("B", 14L, 10L))
+      .toDF("source", "doc_id", "n_chars").coalesce(1)
+      .write.mode("append").parquet(src)
+    runOnce()
+
+    val out = spark.read.parquet(sink)
+      .groupBy(col("source"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+    // the restored counter admits exactly one more A doc (the smallest
+    // of the new batch) and no more B docs
+    assert(out("A") == List(1L, 2L, 3L))
+    assert(out("B") == List(10L, 11L, 12L))
+  }
+
   test("stream_source_cap admits exactly the first K docs per source") {
     val rows = ExtQueries23.queries("stream_source_cap")(spark, sfDir).collect()
     assert(rows.nonEmpty)
