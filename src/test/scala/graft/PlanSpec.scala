@@ -274,4 +274,35 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"shard x corpus candidates must stay band equi-joins:\n${p.take(1500)}")
   }
+
+  test("source_cap: the hash rank and the report share ONE source shuffle") {
+    val df = SparkEntry.queries("source_cap")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // window partitioned by source, then groupBy(source): the aggregation
+    // reuses the window's hashpartitioning(source) — exactly one exchange
+    // on source in the whole plan (plus no join at all)
+    val exchanges = "Exchange hashpartitioning\\(source".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 source exchange, got $exchanges:\n${p.take(2500)}")
+    assert(!p.contains("Join"), s"cap must be join-free:\n${p.take(1500)}")
+  }
+
+  test("epoch_shuffle: shard assignment is scan-shaped — one shard exchange, no join, pruned read") {
+    val df = SparkEntry.queries("epoch_shuffle")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning\\(shard".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 shard exchange, got $exchanges:\n${p.take(2500)}")
+    assert(!p.contains("Join"), s"epoch shuffle must be join-free:\n${p.take(1500)}")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("text"),
+      s"the document text must be pruned from the scan: $readSchema")
+  }
+
+  test("winsorize_stats: the cut table broadcasts back (no fact re-shuffle for the clip join)") {
+    val df = SparkEntry.queries("winsorize_stats")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-group cuts are 3 rows — they must broadcast:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"the clip join must not shuffle the fact side:\n${p.take(1500)}")
+  }
 }
