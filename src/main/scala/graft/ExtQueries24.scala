@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.Tables
+
+/**
+ * Round-7 wave: operational-analytics shapes — drift/anomaly monitoring,
+ * file-level lineage, and inter-arrival statistics. These are the
+ * queries a pipeline operator runs ON the pipeline (is today's volume
+ * anomalous? which input file produced these rows? how bursty is the
+ * stream?), as opposed to queries on the data itself.
+ *
+ *  - ewma_anomaly: EWMA control chart over daily per-type event counts.
+ *    The recurrence runs in FIXED-POINT int64 (counts scaled by 2^20,
+ *    e' = (3e + x) div 4 — alpha 1/4), the same integer discipline as
+ *    DSIR/pagerank: bit-identical across engines and partitionings, and
+ *    expressible as a DuckDB recursive CTE. The sequential fold runs on
+ *    PRE-AGGREGATED (type, day) rows — bounded by days x types, never by
+ *    raw events — so the non-codegen flatMapGroups is irrelevant at any
+ *    scale.
+ *  - file_provenance: row counts/budgets per physical input file via
+ *    input_file_name() over a staged multi-file layout — the lineage
+ *    primitive behind "quarantine everything file X produced". The
+ *    staged names are deterministic (f<bucket>.parquet), so the oracle
+ *    reproduces the mapping from the bucketing rule alone.
+ *  - gap_stats: per-type inter-arrival gap statistics (count, sum, max,
+ *    and the EXACT rank-based median — integer order statistics, no
+ *    float percentile interpolation).
+ */
+object ExtQueries24 {
+
+  private val Scale = 1048576L // 2^20 fixed-point for the EWMA
+  private val NFiles = 4
+
+  /** Staged provenance layouts, one per source dir per JVM: the staging
+    * is input SETUP (real pipelines read files someone else wrote), so
+    * bench reps re-read the same files instead of re-writing them. */
+  private val stageCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "ewma_anomaly" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.table(s, dir, "events")
+        .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .as[(String, String, Long)]
+      // sequential EWMA per type over day-ordered pre-aggregates; a few
+      // hundred rows regardless of event volume
+      val out = daily.groupByKey(_._1).flatMapGroups { (et, it) =>
+        val xs = it.toArray.sortBy(_._2)
+        var e = 0L
+        xs.zipWithIndex.iterator.map { case ((_, day, n), i) =>
+          val scaled = n * Scale
+          val (dev, flag) =
+            if (i == 0) (0L, false)
+            else (scaled - e, math.abs(scaled - e) * 2 > e)
+          e = if (i == 0) scaled else (3 * e + scaled) / 4
+          (et, day, n, e, dev, flag)
+        }
+      }
+      out.toDF("event_type", "day", "n", "ewma_scaled", "dev_scaled", "is_anomaly")
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    "file_provenance" -> ((s, dir) => {
+      val base = stageCache.computeIfAbsent(dir, { d =>
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft_provenance/" + java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
+        val li = Tables.table(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"))
+        (0 until NFiles).foreach { b =>
+          val tmp = s"$root/_tmp_$b"
+          li.where(pmod(col("l_orderkey"), lit(NFiles)) === b)
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+          Files.move(part.toPath, Paths.get(s"$root/f$b.parquet"),
+            StandardCopyOption.REPLACE_EXISTING)
+        }
+        root
+      })
+      s.read.option("pathGlobFilter", "f*.parquet").parquet(base)
+        .withColumn("fname",
+          regexp_extract(input_file_name(), "([^/]+)\\.parquet", 1))
+        .groupBy(col("fname"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          sum(col("l_quantity").cast(DecimalType(20, 4))).cast("double").as("sum_qty"))
+        .orderBy(col("fname"))
+    }),
+
+    "gap_stats" -> ((s, dir) => {
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_type"), expr("unix_micros(ts)").as("tus"), col("event_id"))
+      val wOrd = Window.partitionBy(col("event_type"))
+        .orderBy(col("tus"), col("event_id"))
+      val gaps = ev
+        .withColumn("gap", col("tus") - lag(col("tus"), 1).over(wOrd))
+        .where(col("gap").isNotNull)
+      val wRank = Window.partitionBy(col("event_type"))
+        .orderBy(col("gap"), col("tus"), col("event_id"))
+      gaps
+        .withColumn("rn", row_number().over(wRank))
+        .withColumn("ng", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("gap")).as("sum_gap_us"),
+          max(col("gap")).as("max_gap_us"),
+          max(when(col("rn") === expr("(ng + 1) DIV 2"), col("gap"))).as("median_gap_us"))
+        .orderBy(col("event_type"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "ewma_anomaly" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+         |  FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')),
+         |o AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn FROM d),
+         |r AS (
+         |  SELECT event_type, day, n, rn, n * ${Scale} AS e
+         |  FROM o WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.event_type, o.day, o.n, o.rn, (r.e * 3 + o.n * ${Scale}) // 4
+         |  FROM r JOIN o ON o.event_type = r.event_type AND o.rn = r.rn + 1),
+         |w AS (SELECT *, LAG(e) OVER (PARTITION BY event_type ORDER BY rn) AS e_prev FROM r)
+         |SELECT event_type, day, n, CAST(e AS BIGINT) AS ewma_scaled,
+         |       CAST(CASE WHEN rn = 1 THEN 0 ELSE n * ${Scale} - e_prev END AS BIGINT) AS dev_scaled,
+         |       CASE WHEN rn = 1 THEN FALSE
+         |            ELSE abs(n * ${Scale} - e_prev) * 2 > e_prev END AS is_anomaly
+         |FROM w ORDER BY event_type, day""".stripMargin,
+
+    "file_provenance" ->
+      s"""SELECT 'f' || CAST(l_orderkey % ${NFiles} AS VARCHAR) AS fname,
+         |       COUNT(*) AS n_rows,
+         |       COUNT(DISTINCT l_orderkey) AS n_orders,
+         |       CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty
+         |FROM lineitem GROUP BY 1 ORDER BY fname""".stripMargin,
+
+    "gap_stats" ->
+      """WITH g AS (
+        |  SELECT event_type, epoch_us(ts) AS tus, event_id,
+        |         epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY event_type
+        |           ORDER BY epoch_us(ts), event_id) AS gap
+        |  FROM events),
+        |gg AS (SELECT * FROM g WHERE gap IS NOT NULL),
+        |r AS (SELECT *,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY gap, tus, event_id) AS rn,
+        |        COUNT(*) OVER (PARTITION BY event_type) AS ng
+        |      FROM gg)
+        |SELECT event_type, COUNT(*) AS n_gaps,
+        |       CAST(SUM(gap) AS BIGINT) AS sum_gap_us,
+        |       MAX(gap) AS max_gap_us,
+        |       MAX(CASE WHEN rn = (ng + 1) // 2 THEN gap END) AS median_gap_us
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}
