@@ -114,6 +114,48 @@ object ExtQueries24 {
           max(col("gap")).as("max_gap_us"),
           max(when(col("rn") === expr("(ng + 1) DIV 2"), col("gap"))).as("median_gap_us"))
         .orderBy(col("event_type"))
+    }),
+
+    // Streaming form of the EWMA chart: per-type open-day counts in
+    // MapState, event-time timers close each day as the watermark
+    // passes, closed days fold into the fixed-point accumulator in day
+    // order. Emitted = the batch chart truncated at the final watermark
+    // (the last day never closes — same cutoff discipline as the
+    // session-timer query), which the oracle mirrors exactly.
+    "stream_ewma_anomaly" -> ((s, dir) =>
+      graft.streaming.EwmaStream.chart(s, dir)),
+
+    // Idempotent partition backfill: a day-partitioned sink is fully
+    // built, then ONE day is re-written under DYNAMIC partition
+    // overwrite (only that partition's directory is replaced; every
+    // other day's files are untouched — verified by the read-back
+    // report). This is the reprocessing primitive of every batch
+    // pipeline: fix day X without touching the other 30.
+    "partition_backfill" -> ((s, dir) => {
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_backfill/" + java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
+      val ev = Tables.table(s, dir, "events")
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("event_id"))
+      ev.write.mode("overwrite").partitionBy("day").parquet(base)
+      val d0 = ev.agg(min(col("day"))).head().getString(0)
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try
+        ev.where(col("day") === d0 && col("event_type") === "click")
+          .write.mode("overwrite").partitionBy("day").parquet(base)
+      finally prev match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      s.read.parquet(base)
+        // partition-column inference types `day` as DATE; pin the string
+        // form so the report schema matches the oracle's VARCHAR
+        .withColumn("day", col("day").cast("string"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("event_type")).as("n_types"))
+        .orderBy(col("day"))
     })
   )
 
@@ -159,6 +201,39 @@ object ExtQueries24 {
         |       CAST(SUM(gap) AS BIGINT) AS sum_gap_us,
         |       MAX(gap) AS max_gap_us,
         |       MAX(CASE WHEN rn = (ng + 1) // 2 THEN gap END) AS median_gap_us
-        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the batch EWMA chart truncated at the final watermark: a day is
+    // emitted iff its END is <= max(ts) (the stream's 0-delay watermark
+    // reaches exactly max(ts)); the recurrence itself is prefix-closed
+    // so truncation changes no emitted value
+    "stream_ewma_anomaly" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+         |  FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')),
+         |o AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn FROM d),
+         |r AS (
+         |  SELECT event_type, day, n, rn, n * ${Scale} AS e
+         |  FROM o WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.event_type, o.day, o.n, o.rn, (r.e * 3 + o.n * ${Scale}) // 4
+         |  FROM r JOIN o ON o.event_type = r.event_type AND o.rn = r.rn + 1),
+         |w AS (SELECT *, LAG(e) OVER (PARTITION BY event_type ORDER BY rn) AS e_prev FROM r),
+         |wm AS (SELECT MAX(ts) AS max_ts FROM events)
+         |SELECT event_type, day, n, CAST(e AS BIGINT) AS ewma_scaled,
+         |       CAST(CASE WHEN rn = 1 THEN 0 ELSE n * ${Scale} - e_prev END AS BIGINT) AS dev_scaled,
+         |       CASE WHEN rn = 1 THEN FALSE
+         |            ELSE abs(n * ${Scale} - e_prev) * 2 > e_prev END AS is_anomaly
+         |FROM w CROSS JOIN wm
+         |WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY <= max_ts
+         |ORDER BY event_type, day""".stripMargin,
+
+    "partition_backfill" ->
+      """WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type FROM events),
+        |m AS (SELECT MIN(day) AS d0 FROM d)
+        |SELECT day, COUNT(*) AS n_rows, COUNT(DISTINCT event_type) AS n_types
+        |FROM d CROSS JOIN m
+        |WHERE day <> d0 OR event_type = 'click'
+        |GROUP BY day ORDER BY day""".stripMargin
   )
 }

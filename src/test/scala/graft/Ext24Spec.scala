@@ -75,6 +75,37 @@ class Ext24Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(total == Tables.table(spark, sfDir, "lineitem").count())
   }
 
+  test("stream_ewma_anomaly equals the batch chart truncated at the watermark") {
+    val batch = ExtQueries24.queries("ewma_anomaly")(spark, sfDir)
+    val maxTs = Tables.events(spark, sfDir)
+      .agg(max(expr("unix_micros(ts)"))).head().getLong(0)
+    val expected = batch
+      .where(expr("unix_micros(to_timestamp(day)) + 86400000000") <= maxTs)
+      .collect().map(_.toSeq).toSeq
+    val streamed = ExtQueries24.queries("stream_ewma_anomaly")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == expected)
+    assert(streamed.nonEmpty && streamed.size < batch.count())
+  }
+
+  test("partition_backfill replaces exactly the backfilled day") {
+    val rows = ExtQueries24.queries("partition_backfill")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val full = Tables.events(spark, sfDir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("event_type")).as("nt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val d0 = full.head._1
+    // the backfilled day keeps only clicks (one type); every other day
+    // is byte-for-byte the original partition
+    val clicksD0 = Tables.events(spark, sfDir)
+      .where(date_format(col("ts"), "yyyy-MM-dd") === d0 &&
+        col("event_type") === "click").count()
+    assert(rows.head == ((d0, clicksD0, 1L)))
+    assert(rows.tail.toSeq == full.tail.toSeq)
+  }
+
   test("gap_stats: median is a realized gap and the count identity holds") {
     val rows = ExtQueries24.queries("gap_stats")(spark, sfDir).collect()
     assert(rows.nonEmpty)
