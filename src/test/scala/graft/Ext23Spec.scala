@@ -49,13 +49,27 @@ class Ext23Spec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("source_cap kept set is partitioning-invariant (hash order, not row order)") {
-    val a = ExtQueries23.queries("source_cap")(spark, sfDir)
-      .collect().map(_.toSeq).toSet
-    // same query against a repartitioned clone of the input path must
-    // produce the identical ledger: the hash rank is data-derived
-    val b = ExtQueries23.queries("source_cap")(spark, sfDir)
-      .collect().map(_.toSeq).toSet
-    assert(a == b)
+    import graft.operators.PortableHash
+    def ledger(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("hv"), col("doc_id"))
+      df.withColumn("hv",
+          PortableHash.hMod(concat(lit("cap|"), col("doc_id").cast("string"))))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 40)
+        .select(col("source"), col("doc_id"))
+        .collect().map(_.toSeq).toSet
+    }
+    val docs = graft.operators.Tables.table(spark, sfDir, "documents")
+    // three materially different physical layouts of the same rows:
+    // the scan order, a random 13-way shuffle, and a reversed sort —
+    // the hash rank must select the identical kept set from each
+    val a = ledger(docs)
+    val b = ledger(docs.repartition(13, col("doc_id")))
+    val c = ledger(docs.orderBy(col("doc_id").desc).repartition(3))
+    assert(a == b && b == c)
+    assert(a.nonEmpty)
   }
 
   test("winsorize_stats: cuts bound the clipped sum between min*n and max*n") {
