@@ -51,8 +51,11 @@ object ExtQueries26 {
           size(words).cast("long").as("nw"),
           when(col("lang") === "en", 1L).otherwise(0L).as("is_en"))
         .select(col("doc_id"), expr("nstop_k DIV nw").as("score_pm"), col("is_en"))
-      val w = Window.orderBy(col("score_pm"), col("doc_id"))
-      scored.withColumn("decile", ntile(10).over(w))
+      // deciles via the distributed two-level-scan NTILE (bit-equal to
+      // the oracle's NTILE window, but never funnels all docs into one
+      // partition — the ranked set is document-cardinality)
+      graft.operators.PrefixScan
+        .ntileDistributed(scored, "score_pm", Seq("doc_id"), 10, "decile")
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n"),
           min(col("score_pm")).as("min_score"),

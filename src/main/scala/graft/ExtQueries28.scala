@@ -31,14 +31,19 @@ object ExtQueries28 {
       val withRec = perUser
         .crossJoin(broadcast(ev.agg(max(expr("unix_micros(ts)")).as("max_us"))))
         .withColumn("rec_days", expr("(max_us - last_us) DIV 86400000000"))
-      val seg = withRec
-        // recency: fewer days since last event = better (ntile 1 = best)
-        .withColumn("r_seg", ntile(5).over(
-          Window.orderBy(col("rec_days"), col("user_id"))))
-        .withColumn("f_seg", ntile(5).over(
-          Window.orderBy(col("freq").desc, col("user_id"))))
-        .withColumn("m_seg", ntile(5).over(
-          Window.orderBy(col("money").desc, col("user_id"))))
+      // Quintiles via the distributed two-level-scan NTILE (bit-equal to
+      // the oracle's NTILE windows but never funnels the user-cardinality
+      // ranked set into one partition). DESC orders become ascending
+      // negated columns; one localCheckpoint bounds the re-scans the
+      // three quantile passes would otherwise trigger on the events agg.
+      val base = withRec
+        .withColumn("__negf", -col("freq"))
+        .withColumn("__negm", negate(col("money")))
+        .localCheckpoint()
+      val seg = Seq(("rec_days", "r_seg"), ("__negf", "f_seg"), ("__negm", "m_seg"))
+        .foldLeft(base) { case (d, (oc, out)) =>
+          graft.operators.PrefixScan.ntileDistributed(d, oc, Seq("user_id"), 5, out)
+        }
       seg.groupBy(col("r_seg"), col("f_seg"), col("m_seg"))
         .agg(count(lit(1)).as("n_users"),
           sum(col("freq")).as("n_events"),

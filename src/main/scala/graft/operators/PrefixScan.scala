@@ -46,7 +46,8 @@ object PrefixScan {
       driverFold: Iterator[org.apache.spark.sql.Row] => Array[org.apache.spark.sql.Row],
       prefixField: org.apache.spark.sql.types.StructField,
       combine: (Column, Column) => Column,
-      valueCol: String, outCol: String): DataFrame = {
+      valueCol: String, outCol: String,
+      tieCols: Seq[String] = Nil): DataFrame = {
     val spark = df.sparkSession
     val nBuckets = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
@@ -75,7 +76,11 @@ object PrefixScan {
     val prefixes = spark.createDataFrame(
       spark.sparkContext.parallelize(prefixRows.toIndexedSeq, 1), prefixSchema)
 
-    val local = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+    // Ties on orderCol never straddle buckets (the bucket id is a pure
+    // function of the VALUE), so a within-bucket tiebreak is enough to
+    // make the scan a total order even when orderCol alone has duplicates.
+    val local = Window.partitionBy(col("__pid"))
+      .orderBy((orderCol +: tieCols).map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
 
     withPid
@@ -119,7 +124,7 @@ object PrefixScan {
    * assignment at corpus scale.
    */
   def runningSumExclusive(df: DataFrame, orderCol: String, valueCol: String,
-      outCol: String): DataFrame = {
+      outCol: String, tieCols: Seq[String] = Nil): DataFrame = {
     val prepared = df.withColumn("__v", col(valueCol).cast("long"))
     twoLevelScan(prepared, orderCol,
       bucketAgg = sum,
@@ -134,7 +139,36 @@ object PrefixScan {
       prefixField = org.apache.spark.sql.types.StructField("__prefix",
         org.apache.spark.sql.types.LongType, nullable = false),
       combine = (local, prefix) => coalesce(local, lit(0L)) + prefix,
-      valueCol = "__v", outCol = outCol)
+      valueCol = "__v", outCol = outCol,
+      tieCols = tieCols)
       .drop("__v")
+  }
+
+  /**
+   * Distributed NTILE(k) over ascending (orderCol, tieCols…) — bit-equal
+   * to SQL `NTILE(k) OVER (ORDER BY orderCol, tieCols…)` on the same
+   * total order, WITHOUT the all-to-one unpartitioned WindowExec (which
+   * moves every row to one partition — a non-starter when the ranked set
+   * is user- or document-cardinality). Row numbers come from the
+   * two-level prefix scan (bucket-parallel); the total count is a 1-row
+   * broadcast; the tile id is the closed-form NTILE bucket function of
+   * (rn, N, k): the first N mod k tiles take ⌈N/k⌉ rows, the rest ⌊N/k⌋.
+   * Adds `outCol` as INT (matching `ntile()`'s type).
+   */
+  def ntileDistributed(df: DataFrame, orderCol: String, tieCols: Seq[String],
+      k: Int, outCol: String): DataFrame = {
+    val rn = runningSumExclusive(
+      df.withColumn("__one", lit(1L)), orderCol, "__one", "__rn0", tieCols)
+      .withColumn("__rn", col("__rn0") + 1)
+    val total = df.groupBy().agg(count(lit(1)).as("__n"))
+    rn.crossJoin(broadcast(total))
+      .withColumn(outCol, expr(
+        s"""CAST(CASE WHEN __rn <= (__n % $k) * ((__n DIV $k) + 1)
+           |     THEN ((__rn - 1) DIV ((__n DIV $k) + 1)) + 1
+           |     ELSE (__n % $k)
+           |          + ((__rn - (__n % $k) * ((__n DIV $k) + 1) - 1)
+           |             DIV greatest(__n DIV $k, 1)) + 1
+           |     END AS INT)""".stripMargin))
+      .drop("__one", "__rn0", "__rn", "__n")
   }
 }

@@ -305,4 +305,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
       s"the clip join must not shuffle the fact side:\n${p.take(1500)}")
   }
+
+  test("distributed NTILE (calibration_bins, rfm_segments): every window is bucket-partitioned, no global funnel") {
+    Seq("calibration_bins", "rfm_segments").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      val p = df.queryExecution.executedPlan.toString
+      val winLines = p.linesIterator.filter(_.contains("Window ")).toList
+      assert(winLines.nonEmpty, s"$q: expected the per-bucket running count:\n${p.take(1500)}")
+      winLines.foreach(l => assert(l.contains("__pid"),
+        s"$q: window must be partitioned by the range bucket, not global:\n$l"))
+      assert(!p.contains("ntile("),
+        s"$q: the tile id must be the closed-form bucket function, not a global ntile window")
+    }
+  }
 }
