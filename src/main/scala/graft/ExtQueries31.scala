@@ -30,27 +30,33 @@ import graft.operators.Tables
  */
 object ExtQueries31 {
 
+  /** Per-(type, day-index) counts — the regression's mergeable input. */
+  private[graft] def dailyCounts(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"),
+      datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("x"))
+      .agg(count(lit(1)).as("y"))
+
+  /** Integer least-squares slope over (x, y) daily rows per type; shared
+    * by the batch query and the streaming merge (they must agree exactly). */
+  private[graft] def slopeFromDaily(daily: DataFrame): DataFrame =
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("num", expr("n * sxy - sx * sy"))
+      .withColumn("den", expr("n * sxx - sx * sx"))
+      .select(col("event_type"), col("n").as("n_days"),
+        expr("""CASE WHEN num >= 0 THEN (num * 1000000) DIV den
+               |     ELSE -((-num * 1000000) DIV den) END""".stripMargin)
+          .as("slope_ppm_per_day"),
+        expr("sy DIV n").as("mean_daily"))
+      .orderBy(col("event_type"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    "trend_slope_by_type" -> ((s, dir) => {
-      val daily = Tables.events(s, dir)
-        .groupBy(col("event_type"),
-          datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("x"))
-        .agg(count(lit(1)).as("y"))
-      daily.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-          sum(col("x") * col("x")).as("sxx"),
-          sum(col("x") * col("y")).as("sxy"))
-        .withColumn("num", expr("n * sxy - sx * sy"))
-        .withColumn("den", expr("n * sxx - sx * sx"))
-        .select(col("event_type"), col("n").as("n_days"),
-          expr("""CASE WHEN num >= 0 THEN (num * 1000000) DIV den
-                 |     ELSE -((-num * 1000000) DIV den) END""".stripMargin)
-            .as("slope_ppm_per_day"),
-          expr("sy DIV n").as("mean_daily"))
-        .orderBy(col("event_type"))
-    }),
+    "trend_slope_by_type" -> ((s, dir) =>
+      slopeFromDaily(dailyCounts(Tables.events(s, dir)))),
 
     "dow_profile" -> ((s, dir) => {
       val d = Tables.events(s, dir)
