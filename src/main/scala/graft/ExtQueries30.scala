@@ -47,12 +47,14 @@ object ExtQueries30 {
       val t3 = e.where(col("event_type") === "purchase").join(t2, "user_id")
         .where(col("tus") > col("t2") && col("tus") <= col("t2") + lit(PurchaseWithinUs))
         .groupBy("user_id").agg(min(col("tus")).as("t3"))
+      // greatest(_, 1): an empty upstream stage must yield rate 0, not an
+      // ANSI division-by-zero (the numerator is 0 whenever it fires)
       t1.agg(count(lit(1)).as("viewed"))
         .crossJoin(t2.agg(count(lit(1)).as("clicked_1h")))
         .crossJoin(t3.agg(count(lit(1)).as("purchased_24h")))
         .select(col("viewed"), col("clicked_1h"), col("purchased_24h"),
-          expr("(clicked_1h * 1000000) DIV viewed").as("click_conv_ppm"),
-          expr("(purchased_24h * 1000000) DIV clicked_1h").as("purchase_conv_ppm"))
+          expr("(clicked_1h * 1000000) DIV greatest(viewed, 1)").as("click_conv_ppm"),
+          expr("(purchased_24h * 1000000) DIV greatest(clicked_1h, 1)").as("purchase_conv_ppm"))
     }),
 
     "session_paths" -> ((s, dir) => {
@@ -139,8 +141,11 @@ object ExtQueries30 {
           sum(col("x")).as("sx"), sum(col("y")).as("sy"),
           sum(col("x") * col("x")).as("sxx"),
           sum(col("x") * col("y")).as("sxy"))
+        // greatest(_, 1): a single-rank head has zero x-variance (the
+        // fit is degenerate, numerator is 0 too) — emit 0, not an ANSI
+        // division error
         .withColumn("mag_ppm",
-          expr("((sx * sy - n * sxy) * 1000000) DIV (n * sxx - sx * sx)"))
+          expr("((sx * sy - n * sxy) * 1000000) DIV greatest(n * sxx - sx * sx, 1)"))
         .select(col("n"),
           (-col("mag_ppm")).as("slope_ppm"),
           expr("(sy * 1000000 + mag_ppm * sx) DIV (n * 1000000)").as("intercept_centi"))
@@ -164,8 +169,8 @@ object ExtQueries30 {
          |             (SELECT CAST(COUNT(*) AS BIGINT) FROM t2) AS clicked_1h,
          |             (SELECT CAST(COUNT(*) AS BIGINT) FROM t3) AS purchased_24h)
          |SELECT viewed, clicked_1h, purchased_24h,
-         |       (clicked_1h * 1000000) // viewed AS click_conv_ppm,
-         |       (purchased_24h * 1000000) // clicked_1h AS purchase_conv_ppm
+         |       (clicked_1h * 1000000) // GREATEST(viewed, 1) AS click_conv_ppm,
+         |       (purchased_24h * 1000000) // GREATEST(clicked_1h, 1) AS purchase_conv_ppm
          |FROM c""".stripMargin,
 
     "session_paths" ->
@@ -243,8 +248,8 @@ object ExtQueries30 {
         |             CAST(SUM(y) AS BIGINT) AS sy,
         |             CAST(SUM(x*x) AS BIGINT) AS sxx,
         |             CAST(SUM(x*y) AS BIGINT) AS sxy FROM xy),
-        |m AS (SELECT *, ((sx * sy - n * sxy) * 1000000) // (n * sxx - sx * sx)
-        |                  AS mag_ppm FROM s)
+        |m AS (SELECT *, ((sx * sy - n * sxy) * 1000000)
+        |                  // GREATEST(n * sxx - sx * sx, 1) AS mag_ppm FROM s)
         |SELECT n, -mag_ppm AS slope_ppm,
         |       (sy * 1000000 + mag_ppm * sx) // (n * 1000000) AS intercept_centi
         |FROM m""".stripMargin

@@ -45,7 +45,9 @@ object ExtQueries31 {
         sum(col("x") * col("x")).as("sxx"),
         sum(col("x") * col("y")).as("sxy"))
       .withColumn("num", expr("n * sxy - sx * sy"))
-      .withColumn("den", expr("n * sxx - sx * sx"))
+      // greatest(_, 1): a single-day series has zero x-variance and a
+      // zero numerator — slope 0, not an ANSI division error
+      .withColumn("den", expr("greatest(n * sxx - sx * sx, 1)"))
       .select(col("event_type"), col("n").as("n_days"),
         expr("""CASE WHEN num >= 0 THEN (num * 1000000) DIV den
                |     ELSE -((-num * 1000000) DIV den) END""".stripMargin)
@@ -122,16 +124,19 @@ object ExtQueries31 {
       val wc = Window.orderBy(col("len")).rowsBetween(Window.unboundedPreceding, 0)
       val cum = hist.withColumn("cum", sum(col("cnt")).over(wc))
       val tot = sessLen.agg(count(lit(1)).as("n_sessions"),
-        sum(col("len")).as("total_events"))
+        coalesce(sum(col("len")), lit(0L)).as("total_events"))
       val withTot = cum.crossJoin(broadcast(tot))
       val med = withTot.where(col("cum") * 2 >= col("n_sessions"))
         .agg(min(col("len")).as("median_len"))
       val p90 = withTot.where(col("cum") * 10 >= col("n_sessions") * 9)
         .agg(min(col("len")).as("p90_len"))
+      // greatest(_, 1): an empty event stream yields a 0-session corpus
+      // (total is 0 too) — report 0, not an ANSI division error
       tot.crossJoin(broadcast(med)).crossJoin(broadcast(p90))
         .select(col("n_sessions"), col("total_events"),
           col("median_len"), col("p90_len"),
-          expr("(total_events * 100) DIV n_sessions").as("events_per_session_centi"))
+          expr("(total_events * 100) DIV greatest(n_sessions, 1)")
+            .as("events_per_session_centi"))
     })
   )
 
@@ -148,7 +153,8 @@ object ExtQueries31 {
         |             CAST(SUM(x*x) AS BIGINT) AS sxx,
         |             CAST(SUM(x*y) AS BIGINT) AS sxy
         |      FROM daily GROUP BY 1),
-        |m AS (SELECT *, n * sxy - sx * sy AS num, n * sxx - sx * sx AS den FROM s)
+        |m AS (SELECT *, n * sxy - sx * sy AS num,
+        |              GREATEST(n * sxx - sx * sx, 1) AS den FROM s)
         |SELECT event_type, n AS n_days,
         |       CASE WHEN num >= 0 THEN (num * 1000000) // den
         |            ELSE -((-num * 1000000) // den) END AS slope_ppm_per_day,
@@ -205,14 +211,15 @@ object ExtQueries31 {
         |h AS (SELECT len, COUNT(*) AS cnt FROM sl GROUP BY len),
         |c AS (SELECT len, SUM(cnt) OVER (ORDER BY len
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h),
-        |t AS (SELECT COUNT(*) AS n_sessions, CAST(SUM(len) AS BIGINT) AS total_events
+        |t AS (SELECT COUNT(*) AS n_sessions,
+        |             CAST(COALESCE(SUM(len), 0) AS BIGINT) AS total_events
         |      FROM sl)
         |SELECT n_sessions, total_events,
         |       (SELECT MIN(len) FROM c WHERE cum * 2 >= (SELECT n_sessions FROM t))
         |         AS median_len,
         |       (SELECT MIN(len) FROM c WHERE cum * 10 >= 9 * (SELECT n_sessions FROM t))
         |         AS p90_len,
-        |       (total_events * 100) // n_sessions AS events_per_session_centi
+        |       (total_events * 100) // GREATEST(n_sessions, 1) AS events_per_session_centi
         |FROM t""".stripMargin
   )
 }
