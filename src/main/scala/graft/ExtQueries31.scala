@@ -119,12 +119,17 @@ object ExtQueries31 {
         .groupBy(col("user_id"), col("session_id"))
         .agg(count(lit(1)).as("len"))
       // length HISTOGRAM: the rank scan runs over distinct lengths
-      // (bounded by the max session length), never over raw sessions
+      // (bounded by the max session length), never over raw sessions.
+      // The checkpoint matters: totals, median, and p90 are all derived
+      // from the histogram, so the expensive session windows run ONCE —
+      // the plan has exactly one user-keyed exchange (PlanSpec locks it;
+      // the pre-fix shape recomputed the session subtree five times).
       val hist = sessLen.groupBy(col("len")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
       val wc = Window.orderBy(col("len")).rowsBetween(Window.unboundedPreceding, 0)
       val cum = hist.withColumn("cum", sum(col("cnt")).over(wc))
-      val tot = sessLen.agg(count(lit(1)).as("n_sessions"),
-        coalesce(sum(col("len")), lit(0L)).as("total_events"))
+      val tot = hist.agg(coalesce(sum(col("cnt")), lit(0L)).as("n_sessions"),
+        coalesce(sum(col("len") * col("cnt")), lit(0L)).as("total_events"))
       val withTot = cum.crossJoin(broadcast(tot))
       val med = withTot.where(col("cum") * 2 >= col("n_sessions"))
         .agg(min(col("len")).as("median_len"))

@@ -306,6 +306,40 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the clip join must not shuffle the fact side:\n${p.take(1500)}")
   }
 
+  test("assoc_rules: item counts broadcast, top-100 is TakeOrdered, no cartesian") {
+    val df = SparkEntry.queries("assoc_rules")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the rule limit must be a distributed top-K, not a global sort:\n${p.take(1200)}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"vocab-sized item counts must broadcast:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"), "basket pairs must come from the user equi-join")
+  }
+
+  test("rolling_mau: the (user, day) dedup aggregates BEFORE the 7x window expansion") {
+    val df = SparkEntry.queries("rolling_mau")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // the sliding-window explode must sit above a distinct aggregate,
+    // so expansion touches deduped rows, never raw events
+    val explodeIdx = p.indexOf("Expand")
+    assert(explodeIdx >= 0, s"expected the sliding-window Expand:\n${p.take(1200)}")
+    assert(p.indexOf("HashAggregate", explodeIdx) >= 0,
+      "the dedup aggregate must feed the expansion from below")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("session_paths/session_stats: ONE user-keyed exchange feeds every session window") {
+    Seq("session_paths", "session_stats").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      val p = df.queryExecution.executedPlan.toString
+      val userExchanges = p.linesIterator
+        .filter(l => l.contains("Exchange hashpartitioning(user_id")).toList
+      assert(userExchanges.size <= 1,
+        s"$q: the session windows must reuse one user partitioning, got:\n" +
+          userExchanges.mkString("\n"))
+    }
+  }
+
   test("distributed NTILE (calibration_bins, rfm_segments): every window is bucket-partitioned, no global funnel") {
     Seq("calibration_bins", "rfm_segments").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sfDir)
