@@ -145,11 +145,14 @@ object ExtQueries29 {
         when(col("conv_us").isNotNull, 1).otherwise(0).as("converted"),
         when(col("conv_us").isNotNull, expr("(conv_us - first_us) DIV 86400000000"))
           .otherwise(expr("(last_us - first_us) DIV 86400000000")).as("day"))
+      // checkpoint the day-bounded aggregate: the total and the risk-set
+      // scan both derive from it, so the events scan runs ONCE
       val byDay = spans.groupBy(col("day"))
         .agg(sum(col("converted")).as("n_conv"),
           count(lit(1)).as("n_day"))
         .withColumn("n_censor", col("n_day") - col("n_conv"))
-      val total = spans.agg(count(lit(1)).as("n_total"))
+        .localCheckpoint()
+      val total = byDay.agg(coalesce(sum(col("n_day")), lit(0L)).as("n_total"))
       val w = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, -1)
       byDay.crossJoin(broadcast(total))
         .withColumn("n_at_risk",

@@ -39,11 +39,17 @@ object ExtQueries30 {
     "funnel_timebound" -> ((s, dir) => {
       val e = Tables.events(s, dir)
         .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("tus"))
+      // checkpoint each user-bounded stage: t1 feeds t2 AND the final
+      // count, t2 feeds t3 AND the count — without materialization the
+      // events scan re-runs five times (no exchange reuse across the
+      // differently-filtered subtrees)
       val t1 = e.where(col("event_type") === "view")
         .groupBy("user_id").agg(min(col("tus")).as("t1"))
+        .localCheckpoint()
       val t2 = e.where(col("event_type") === "click").join(t1, "user_id")
         .where(col("tus") > col("t1") && col("tus") <= col("t1") + lit(ClickWithinUs))
         .groupBy("user_id").agg(min(col("tus")).as("t2"))
+        .localCheckpoint()
       val t3 = e.where(col("event_type") === "purchase").join(t2, "user_id")
         .where(col("tus") > col("t2") && col("tus") <= col("t2") + lit(PurchaseWithinUs))
         .groupBy("user_id").agg(min(col("tus")).as("t3"))

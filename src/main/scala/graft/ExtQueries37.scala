@@ -84,12 +84,16 @@ object ExtQueries37 {
         .withColumn("arm",
           when(PortableHash.hMod(concat(lit("ab1|"), col("user_id").cast("string"))) % 2 === 0,
             "A").otherwise("B"))
+      // checkpoints as in funnel_timebound: each user-bounded stage feeds
+      // the next stage AND its arm rollup
       val t1 = e.where(col("event_type") === "view")
         .groupBy(col("arm"), col("user_id")).agg(min(col("tus")).as("t1"))
+        .localCheckpoint()
       val t2 = e.where(col("event_type") === "click")
         .join(t1.drop("arm"), "user_id")
         .where(col("tus") > col("t1") && col("tus") <= col("t1") + lit(ClickWithinUs))
         .groupBy(col("arm"), col("user_id")).agg(min(col("tus")).as("t2"))
+        .localCheckpoint()
       val t3 = e.where(col("event_type") === "purchase")
         .join(t2.drop("arm"), "user_id")
         .where(col("tus") > col("t2") && col("tus") <= col("t2") + lit(PurchaseWithinUs))
