@@ -63,7 +63,15 @@ object ExtQueries22 {
       import s.implicits._
       val inter = Cooccurrence.interactions(s, dir)
         .withColumn("wnd", (unix_millis(col("ts")) / WindowMs).cast("long"))
-      val windows = inter.select($"wnd").distinct().as[Long].collect().sorted
+      // Same 1 M guard as Sampling.sampledCoocDeltas: distinct window ids
+      // are bounded by timeRange/windowMs; enforce the cap in the job that
+      // materializes the ids so a misconfigured 1 ms window fails loudly.
+      val windowBound = 1000000
+      val windows =
+        inter.select($"wnd").distinct().limit(windowBound + 1).as[Long].collect().sorted
+      require(windows.length <= windowBound,
+        s"stream_item_cut_refunds: more than $windowBound distinct windows; " +
+          "increase windowMs so the staged-file count stays bounded")
       val stageDir = Files.createTempDirectory("stream_refunds_").toString
       var nRows = 0L
       windows.zipWithIndex.foreach { case (w, i) =>

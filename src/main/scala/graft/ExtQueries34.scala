@@ -37,9 +37,10 @@ object ExtQueries34 {
 
     "dup_ratio_by_source" -> ((s, dir) => {
       val docs = Tables.table(s, dir, "documents")
-      val members = ConnectedComponents.components(
-        Dedup.simhashNearDups(docs, 3))
-        .select(col("node").as("doc_id")).distinct()
+      // Membership only needs the pair endpoints — the CC labels would be
+      // discarded, so skip the iterative loop entirely (one explode+distinct).
+      val members = Dedup.simhashNearDups(docs, 3)
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
       docs.join(members.withColumn("is_dup", lit(1L)), Seq("doc_id"), "left_outer")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),

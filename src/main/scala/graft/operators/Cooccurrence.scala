@@ -130,10 +130,7 @@ object Cooccurrence {
     * rowSums and the scalar total are broadcast — they are one row per item. */
   def llrScores(cooc: DataFrame): DataFrame = {
     val rs = rowSums(cooc)
-    val total: Column = {
-      // scalar total as a broadcast single-row frame (no driver collect in-plan)
-      col("total")
-    }
+    // scalar total as a broadcast single-row frame (no driver collect in-plan)
     val totalDf = cooc.agg(sum(col("cnt")).as("total"))
     val withSums = cooc
       .join(broadcast(rs.withColumnRenamed("item", "i").withColumnRenamed("row_sum", "row_sum_i")),
@@ -144,7 +141,7 @@ object Cooccurrence {
     val k11 = col("cnt")
     val k12 = col("row_sum_i") - k11
     val k21 = col("row_sum_o") - k11
-    val k22 = total + k11 - k12 - k21 // reference's exact formula (ItemRowRescorer...java:236-239)
+    val k22 = col("total") + k11 - k12 - k21 // reference's exact formula (ItemRowRescorer...java:236-239)
     withSums.select(
       col("item"), col("other"),
       round(llr(k11.cast("long"), k12.cast("long"), k21.cast("long"), k22.cast("long")), 4)

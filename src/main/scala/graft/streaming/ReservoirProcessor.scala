@@ -29,12 +29,15 @@ import graft.operators.Sampling.{CoocDelta, Flagged}
 class ReservoirProcessor(kMax: Int, seed: Long)
     extends StatefulProcessor[Int, Flagged, CoocDelta] {
 
-  @transient private var histState: ValueState[Array[Int]] = _
+  @transient private var histState: ValueState[ReservoirProcessor.Hist] = _
   @transient private var totalState: ValueState[Int] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-    histState = getHandle.getValueState[Array[Int]](
-      "hist", Encoders.javaSerialization[Array[Int]], TTLConfig.NONE)
+    // Product encoder (int-array column), not javaSerialization: state is
+    // read+written once per key per micro-batch, and the SQL encoder avoids
+    // a Java-serialization round-trip against RocksDB on every access.
+    histState = getHandle.getValueState[ReservoirProcessor.Hist](
+      "hist", Encoders.product[ReservoirProcessor.Hist], TTLConfig.NONE)
     totalState = getHandle.getValueState[Int]("total", Encoders.scalaInt, TTLConfig.NONE)
   }
 
@@ -43,7 +46,7 @@ class ReservoirProcessor(kMax: Int, seed: Long)
     val sorted = rows.toSeq.sortBy(e => (e.ts, e.item))
     var total = if (totalState.exists()) totalState.get() else 0
     val history = scala.collection.mutable.ArrayBuffer[Int](
-      (if (histState.exists()) histState.get() else Array.empty[Int]): _*)
+      (if (histState.exists()) histState.get().items else Array.empty[Int]): _*)
     val out = scala.collection.mutable.ArrayBuffer[CoocDelta]()
     // Same splitmix64 finalization as the batch path (Sampling.rngFor):
     // raw xor/multiply seeding leaves adjacent (user, total) seeds
@@ -79,9 +82,14 @@ class ReservoirProcessor(kMax: Int, seed: Long)
       }
     }
     totalState.update(total)
-    histState.update(history.toArray)
+    histState.update(ReservoirProcessor.Hist(history.toArray))
     out.iterator
   }
+}
+
+object ReservoirProcessor {
+  /** SQL-encodable reservoir state: at most kMax item ids per user. */
+  case class Hist(items: Array[Int])
 }
 
 object ReservoirStream {
