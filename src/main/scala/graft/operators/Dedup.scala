@@ -381,34 +381,61 @@ object Dedup {
   def simhashNearDups(docs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming < SimHashChunks, "pigeonhole needs maxHamming < #chunks")
     val fps = simhashFingerprints(docs)
-    // one row per doc: cache so the 60-sum fingerprint aggregation runs
-    // once, not once per chunk-join branch
-    val chunked = fps.select(
-      col("doc_id") +: col("fp") +:
+    // --- identical-fingerprint compression (exact; round-8, same move as
+    // minhashNearDups' identical-word-set compression) --- Hamming distance
+    // is a function of the fingerprint PAIR alone, so docs with equal fps
+    // are fully interchangeable: run the chunk joins over one representative
+    // per distinct fp and expand afterwards (cross-group pairs inherit the
+    // rep pair's hamming; within-group pairs have hamming exactly 0). This
+    // bounds every chunk bucket's quadratic join by the DISTINCT
+    // fingerprints in the bucket — content diversity, not corpus size: on
+    // the small-vocab sf0.1 corpus 5000 docs hold 3812 distinct fps with
+    // one 251-doc group, and at 100 TB boilerplate-heavy feeds produce
+    // far larger identical-fp cohorts.
+    val groups = fps.groupBy(col("fp"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("members"))
+      .persist()
+    try { // exception-safe: release the cached group table on any failure
+    val chunked = groups.select(
+      col("fp") +:
         (0 until SimHashChunks).map(c =>
           shiftright(col("fp"), c * ChunkBits).bitwiseAND(lit((1L << ChunkBits) - 1)).as(s"c$c")): _*)
-      .persist()
-    try { // exception-safe: release the cached chunk table on any failure
-    // Each pair is emitted ONLY by its first matching chunk (join c
+    // Each rep pair is emitted ONLY by its first matching chunk (join c
     // requires all chunks < c to differ), so the union is duplicate-free
-    // by construction — no distinct shuffle over the pair set.
-    val pairs = (0 until SimHashChunks).map { c =>
+    // by construction — no distinct shuffle over the pair set. fp is
+    // unique per row here, so `fp_a < fp_b` is the dedup ordering.
+    val repPairs = (0 until SimHashChunks).map { c =>
       val a = chunked.as("a")
       val b = chunked.as("b")
       val firstMatch = (0 until c)
         .map(p => col(s"a.c$p") =!= col(s"b.c$p"))
         .foldLeft(col(s"a.c$c") === col(s"b.c$c"))(_ && _)
-      a.join(b, firstMatch && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
+      a.join(b, firstMatch && col("a.fp") < col("b.fp"))
+        .select(col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
     }.reduce(_ unionAll _)
-    pairs
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .where(col("hamming") <= maxHamming)
+    // expansion: every member pair across the two fp groups, ordered
+    // doc_a < doc_b like the direct join emitted
+    val cross = repPairs
+      .join(groups.select(col("fp").as("fp_a"), col("members").as("ma")), Seq("fp_a"))
+      .join(groups.select(col("fp").as("fp_b"), col("members").as("mb")), Seq("fp_b"))
+      .select(explode(col("ma")).as("a"), col("mb"), col("hamming"))
+      .select(col("a"), explode(col("mb")).as("b"), col("hamming"))
+      .select(least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"), col("hamming"))
+    // within-group pairs: identical fingerprints, hamming exactly 0
+    val within = groups
+      .where(size(col("members")) > 1)
+      .select(posexplode(col("members")).as(Seq("i", "a")), col("members"))
+      .select(col("a").as("doc_a"),
+        explode(expr("slice(members, i + 2, size(members))")).as("doc_b"),
+        lit(0).as("hamming"))
+    cross.unionAll(within)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
-      // release the cached chunked-fingerprint table (see jaccardPairs)
+      // release the cached group table before returning (see jaccardPairs)
       .localCheckpoint(true)
-    } finally chunked.unpersist()
+    } finally groups.unpersist()
   }
 
   /**
