@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{ConnectedComponents, Dedup, Tables}
+import graft.operators.{Dedup, Tables}
 
 /**
  * Round-7 wave: dedup-structure reporting — the summary views a
@@ -26,8 +26,7 @@ object ExtQueries34 {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "dedup_cluster_stats" -> ((s, dir) => {
-      val comps = ConnectedComponents.components(
-        Dedup.simhashNearDups(Tables.table(s, dir, "documents"), 3))
+      val comps = Dedup.simhashComponents(Tables.table(s, dir, "documents"), 3)
       comps.groupBy(col("comp")).agg(count(lit(1)).as("size"))
         .groupBy(col("size")).agg(count(lit(1)).as("n_clusters"))
         .select(col("size"), col("n_clusters"),

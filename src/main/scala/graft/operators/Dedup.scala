@@ -106,23 +106,42 @@ object Dedup {
       // the vocabulary at web scale) never materializes on the driver.
       val sh = shingles.persist()
       try { // exception-safe: release the cached shingle table on any failure
+      // df computed over the FULL corpus (cap semantics are corpus-level),
+      // before any compression
       val stop = sh.groupBy(col("shingle"))
         .agg(count(lit(1)).as("df")).where(col("df") > maxDf)
         .select(col("shingle"))
-      val index = sh.join(broadcast(stop), Seq("shingle"), "left_anti")
+      // --- identical-shingle-set compression (exact; round-8, same move
+      // as minhashNearDups) --- candidate membership and Jaccard are both
+      // functions of the shingle SET, so docs with equal sets are
+      // interchangeable: run candidate generation + verification on one
+      // representative per distinct set and expand afterwards. Bounds the
+      // per-shingle join fan-out by DISTINCT sets containing the shingle,
+      // not doc count — the same content-diversity bound that fixed the
+      // minhash sf1 OOM. Set identity keys on the xxhash64 arrays (same
+      // collision bound as the verification arrays, documented above).
+      val groups = sh.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(xxhash64(col("shingle")))).as("sset"),
+          count(lit(1)).as("n_sh"))
+        .groupBy(col("sset"), col("n_sh"))
+        .agg(min(col("doc_id")).as("setid"),
+          sort_array(collect_list(col("doc_id"))).as("members"))
+        .persist()
+      try {
+      val reps = groups.select(col("setid").as("doc_id"),
+        col("sset"), col("n_sh"))
+      val index = sh.join(reps.select(col("doc_id")), Seq("doc_id"))
+        .join(broadcast(stop), Seq("shingle"), "left_anti")
       val a = index.as("a")
       val b = index.as("b")
       val cands = a
         .join(b, col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      val sets = sh.groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(xxhash64(col("shingle")))).as("sset"),
-          count(lit(1)).as("n_sh"))
-      cands
-        .join(sets.select(col("doc_id").as("doc_a"),
+      val verified = cands
+        .join(reps.select(col("doc_id").as("doc_a"),
           col("sset").as("sset_a"), col("n_sh").as("n_a")), Seq("doc_a"))
-        .join(sets.select(col("doc_id").as("doc_b"),
+        .join(reps.select(col("doc_id").as("doc_b"),
           col("sset").as("sset_b"), col("n_sh").as("n_b")), Seq("doc_b"))
         // size-ratio prefilter: jac <= min/max of the set sizes
         .where(least(col("n_a"), col("n_b")) >=
@@ -132,11 +151,36 @@ object Dedup {
         .withColumn("jaccard",
           col("n_common") * lit(1.0) / (col("n_a") + col("n_b") - col("n_common")))
         .where(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      // expansion: a rep pair stands for all cross-group member pairs,
+      // ordered doc_a < doc_b like the direct join emitted
+      val membersOf = groups.select(col("setid"), col("members"))
+      val cross = verified
+        .join(membersOf.select(col("setid").as("doc_a"), col("members").as("ma")), Seq("doc_a"))
+        .join(membersOf.select(col("setid").as("doc_b"), col("members").as("mb")), Seq("doc_b"))
+        .select(explode(col("ma")).as("a"), col("mb"), col("jaccard"))
+        .select(col("a"), explode(col("mb")).as("b"), col("jaccard"))
+        .select(least(col("a"), col("b")).as("doc_a"),
+          greatest(col("a"), col("b")).as("doc_b"), col("jaccard"))
+      // within-group pairs: identical sets, jaccard exactly 1.0 — but only
+      // for groups that retain at least one NON-STOP shingle: a group whose
+      // every shingle is df-capped generates no candidate pair in the
+      // uncompressed plan either (this is where the capped path differs
+      // from minhash, whose identical signatures always collide)
+      val indexedGroups = index.select(col("doc_id").as("setid")).distinct()
+      val within = groups.join(indexedGroups, Seq("setid"))
+        .where(size(col("members")) > 1 && lit(1.0) >= threshold)
+        .select(posexplode(col("members")).as(Seq("i", "a")), col("members"))
+        .select(col("a").as("doc_a"),
+          explode(expr("slice(members, i + 2, size(members))")).as("doc_b"),
+          lit(1.0).as("jaccard"))
+      cross.unionAll(within)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
-        // materialize the (small) pair set eagerly so the cached shingle
-        // table can be released before returning — long-lived sessions
-        // must not accumulate storage memory per invocation
+        // materialize the (small) pair set eagerly so the cached tables
+        // can be released before returning — long-lived sessions must
+        // not accumulate storage memory per invocation
         .localCheckpoint(true)
+      } finally groups.unpersist()
       } finally sh.unpersist()
     }
   }
@@ -378,9 +422,39 @@ object Dedup {
    * SimHash near-dup via the pigeonhole banded join: maxHamming must be
    * < SimHashChunks so every qualifying pair shares an exact chunk.
    */
+  /** Distinct-fingerprint groups: one row per distinct simhash fp with the
+    * sorted member doc_id list. The compression substrate for
+    * simhashNearDups/simhashComponents — NOT persisted here; callers own
+    * the cache lifetime. */
+  private def simhashGroups(docs: DataFrame): DataFrame =
+    simhashFingerprints(docs).groupBy(col("fp"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("members"))
+
+  /** Duplicate-free (fp_a, fp_b, hamming) pairs over DISTINCT fingerprints
+    * via the pigeonhole banded join: each pair is emitted ONLY by its first
+    * matching chunk (join c requires all chunks < c to differ), so the
+    * union needs no distinct shuffle. fp is unique per `groups` row, so
+    * `fp_a < fp_b` is the dedup ordering. */
+  private def simhashRepPairs(groups: DataFrame, maxHamming: Int): DataFrame = {
+    val chunked = groups.select(
+      col("fp") +:
+        (0 until SimHashChunks).map(c =>
+          shiftright(col("fp"), c * ChunkBits).bitwiseAND(lit((1L << ChunkBits) - 1)).as(s"c$c")): _*)
+    (0 until SimHashChunks).map { c =>
+      val a = chunked.as("a")
+      val b = chunked.as("b")
+      val firstMatch = (0 until c)
+        .map(p => col(s"a.c$p") =!= col(s"b.c$p"))
+        .foldLeft(col(s"a.c$c") === col(s"b.c$c"))(_ && _)
+      a.join(b, firstMatch && col("a.fp") < col("b.fp"))
+        .select(col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
+    }.reduce(_ unionAll _)
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .where(col("hamming") <= maxHamming)
+  }
+
   def simhashNearDups(docs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming < SimHashChunks, "pigeonhole needs maxHamming < #chunks")
-    val fps = simhashFingerprints(docs)
     // --- identical-fingerprint compression (exact; round-8, same move as
     // minhashNearDups' identical-word-set compression) --- Hamming distance
     // is a function of the fingerprint PAIR alone, so docs with equal fps
@@ -392,29 +466,9 @@ object Dedup {
     // the small-vocab sf0.1 corpus 5000 docs hold 3812 distinct fps with
     // one 251-doc group, and at 100 TB boilerplate-heavy feeds produce
     // far larger identical-fp cohorts.
-    val groups = fps.groupBy(col("fp"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("members"))
-      .persist()
+    val groups = simhashGroups(docs).persist()
     try { // exception-safe: release the cached group table on any failure
-    val chunked = groups.select(
-      col("fp") +:
-        (0 until SimHashChunks).map(c =>
-          shiftright(col("fp"), c * ChunkBits).bitwiseAND(lit((1L << ChunkBits) - 1)).as(s"c$c")): _*)
-    // Each rep pair is emitted ONLY by its first matching chunk (join c
-    // requires all chunks < c to differ), so the union is duplicate-free
-    // by construction — no distinct shuffle over the pair set. fp is
-    // unique per row here, so `fp_a < fp_b` is the dedup ordering.
-    val repPairs = (0 until SimHashChunks).map { c =>
-      val a = chunked.as("a")
-      val b = chunked.as("b")
-      val firstMatch = (0 until c)
-        .map(p => col(s"a.c$p") =!= col(s"b.c$p"))
-        .foldLeft(col(s"a.c$c") === col(s"b.c$c"))(_ && _)
-      a.join(b, firstMatch && col("a.fp") < col("b.fp"))
-        .select(col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
-    }.reduce(_ unionAll _)
-      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
-      .where(col("hamming") <= maxHamming)
+    val repPairs = simhashRepPairs(groups, maxHamming)
     // expansion: every member pair across the two fp groups, ordered
     // doc_a < doc_b like the direct join emitted
     val cross = repPairs
@@ -434,6 +488,47 @@ object Dedup {
     cross.unionAll(within)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       // release the cached group table before returning (see jaccardPairs)
+      .localCheckpoint(true)
+    } finally groups.unpersist()
+  }
+
+  /**
+   * Connected components of the simhash near-dup graph, computed on the
+   * DISTINCT-FINGERPRINT graph and expanded — identical output to
+   * `ConnectedComponents.components(simhashNearDups(docs, maxHamming))`,
+   * proven by the same interchangeability argument as the pair
+   * compression plus two observations:
+   *  - equal-fp docs always land in one component (their within-group
+   *    clique has hamming 0), so contracting each fp group to one node
+   *    preserves the component structure exactly;
+   *  - labels agree: the doc-level label is the min doc_id in the
+   *    component; the rep-level label is the min setid, and setid is by
+   *    construction the min doc_id of its group, so min-over-setids ==
+   *    min-over-docs.
+   * The CC loop's edge list shrinks from the EXPANDED pair set (within-
+   * group cliques contribute C(n,2) edges each — 31k for one 251-doc
+   * cohort at sf0.1) to the rep pair set, and its node set from docs to
+   * distinct fps. Groups with >1 member but no cross edge still emit all
+   * members as one component (their clique made them CC nodes in the
+   * doc-level form); singleton groups with no edges are excluded, exactly
+   * as docs with no pairs are absent from the doc-level output.
+   */
+  def simhashComponents(docs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming < SimHashChunks, "pigeonhole needs maxHamming < #chunks")
+    val groups = simhashGroups(docs).persist()
+    try {
+    val gid = groups.select(col("fp"),
+      element_at(col("members"), 1).cast("long").as("setid"), col("members"))
+    val repEdges = simhashRepPairs(groups, maxHamming)
+      .join(gid.select(col("fp").as("fp_a"), col("setid").as("sa")), Seq("fp_a"))
+      .join(gid.select(col("fp").as("fp_b"), col("setid").as("sb")), Seq("fp_b"))
+      .select(col("sa").as("doc_a"), col("sb").as("doc_b"))
+    val repComps = ConnectedComponents.components(repEdges)
+    gid.join(repComps.withColumnRenamed("node", "setid"), Seq("setid"), "left_outer")
+      .where(size(col("members")) > 1 || col("comp").isNotNull)
+      .select(explode(col("members")).as("m"),
+        coalesce(col("comp"), col("setid")).as("comp"))
+      .select(col("m").cast("long").as("node"), col("comp"))
       .localCheckpoint(true)
     } finally groups.unpersist()
   }
