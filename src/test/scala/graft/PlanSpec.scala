@@ -352,4 +352,38 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$q: the tile id must be the closed-form bucket function, not a global ntile window")
     }
   }
+
+  test("quality_gate_by_source: the percentile window partitions by source, never global") {
+    val df = SparkEntry.queries("quality_gate_by_source")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    val winLines = p.linesIterator.filter(_.contains("Window ")).toList
+    assert(winLines.nonEmpty, p.take(1500))
+    winLines.foreach(l => assert(l.contains("source"),
+      s"window must partition by source (a global percent_rank funnels the corpus " +
+        s"through one task):\n$l"))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("wave-39 dedup reports: no cartesian product anywhere in the composed plans") {
+    Seq("dedup_sample_weights", "token_dedup_savings").foreach { q =>
+      val p = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(1500)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n${p.take(1500)}")
+    }
+  }
+
+  test("simhash compression: near-dup pair generation has no distinct over the pair set") {
+    // the pigeonhole union is duplicate-free by construction (first-matching-
+    // chunk guard) — a Deduplicate/distinct over emitted pairs would be a
+    // full extra shuffle of the candidate set; expansion adds explodes only
+    val df = graft.operators.Dedup.simhashNearDups(
+      graft.operators.Tables.table(spark, sfDir, "documents"), 3)
+    // simhashNearDups returns a localCheckpoint; inspect the pre-checkpoint
+    // logical plan instead via a fresh un-checkpointed construction of the
+    // same shape: the cheap proxy is asserting the OUTPUT is already
+    // duplicate-free, which a distinct would otherwise be hiding
+    val n = df.count()
+    val nd = df.select("doc_a", "doc_b").distinct().count()
+    assert(n == nd, s"pair stream must be duplicate-free by construction: $n vs $nd")
+  }
 }
