@@ -90,4 +90,22 @@ class DegenerateInputSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("n_words") == 1L)
     assert(r.getAs[Long]("lix_centi") == 100L, "1 word / 1 sentence, no long words")
   }
+
+  test("simhashComponents: single-doc corpus -> no components, no errors") {
+    val out = graft.operators.Dedup.simhashComponents(
+      graft.operators.Tables.table(spark, dir, "documents"), 3).collect()
+    assert(out.isEmpty, "a pairless corpus must produce an empty component table")
+  }
+
+  test("wave-39 reports survive the one-doc corpus (no dup structure, no DIV-0)") {
+    val w = SparkEntry.queries("dedup_sample_weights")(spark, dir).collect()
+    assert(w.length == 1 && w.head.getAs[Long]("effective_ppm_sum") == 1000000L,
+      "singleton doc weighs 1.0 exactly")
+    val t = SparkEntry.queries("token_dedup_savings")(spark, dir).collect()
+    assert(t.length == 1 && t.head.getAs[Long]("saved_pm") == 0L,
+      "nothing to save with no clusters")
+    val q = SparkEntry.queries("quality_gate_by_source")(spark, dir).collect()
+    assert(q.length == 1 && q.head.getAs[Long]("n_total") == 1L,
+      "single-doc source still reports (percent_rank of a single row is 0)")
+  }
 }
