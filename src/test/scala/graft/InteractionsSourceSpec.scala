@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/**
+ * Contract tests for the DSv2 interactions source: the properties the
+ * reference's file monitor guarantees and a generic text scan cannot —
+ * per-file line order, (mod-time, name) planning order, unsplittable
+ * files — plus DSv2 column pruning and loud malformed-input failure.
+ */
+class InteractionsSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private var spark: SparkSession = _
+  private var dir: String = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    dir = Files.createTempDirectory("dsv2_src").toString
+    // two files; the LEXICALLY LATER name gets the EARLIER mod-time, so
+    // name order and mod-time order disagree — planning must follow mtime
+    write("b_old.txt", Seq("1,10,1000", "1,11,2000", "2,10,3000"), mtime = 1700000000000L)
+    write("a_new.txt", Seq("3,12,4000", "", "4,12,5000"), mtime = 1700000060000L)
+  }
+
+  private def write(name: String, lines: Seq[String], mtime: Long): Unit = {
+    val p = Paths.get(dir, name)
+    Files.write(p, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    p.toFile.setLastModified(mtime)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def read() = spark.read.format("graft-interactions").load(dir)
+
+  test("schema, row content, blank-line skip") {
+    val rows = read().select(col("user"), col("item"), unix_millis(col("ts")).as("ms"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    assert(rows == Set((1, 10, 1000L), (1, 11, 2000L), (2, 10, 3000L),
+      (3, 12, 4000L), (4, 12, 5000L)))
+  }
+
+  test("one partition per file, planned in (mod-time, name) order; per-file line order kept") {
+    val parts = read()
+      .select(org.apache.spark.sql.functions.spark_partition_id().as("pid"),
+        col("user"), col("item"))
+      .collect().groupBy(_.getInt(0))
+      .view.mapValues(_.map(r => (r.getInt(1), r.getInt(2))).toSeq).toMap
+    assert(parts.keySet == Set(0, 1), s"expected 2 file partitions, got $parts")
+    // partition 0 = the OLDER file (b_old) despite the later name
+    assert(parts(0) == Seq((1, 10), (1, 11), (2, 10)),
+      s"mod-time-first planning + in-file order broken: ${parts(0)}")
+    assert(parts(1) == Seq((3, 12), (4, 12)), s"in-file order broken: ${parts(1)}")
+  }
+
+  test("column pruning reaches the reader (BatchScan output shrinks to the projection)") {
+    val p = read().select(col("user")).queryExecution.executedPlan.toString
+    val scanLine = p.linesIterator.filter(_.contains("BatchScan")).mkString
+    assert(scanLine.contains("[user#") && !scanLine.contains("item#") &&
+      !scanLine.contains("ts#"), s"pruning not pushed: $scanLine")
+  }
+
+  test("count(*) prunes to an empty read schema and still counts lines") {
+    assert(read().count() == 5L)
+  }
+
+  test("malformed line fails loudly, not silently as nulls") {
+    val bad = Files.createTempDirectory("dsv2_bad").toString
+    Files.write(Paths.get(bad, "x.txt"), "1,10,1000\nnot-a-line\n".getBytes)
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("graft-interactions").load(bad).collect()
+    }
+    assert(e.getMessage.contains("malformed") ||
+      Option(e.getCause).exists(_.getMessage.contains("malformed")))
+  }
+
+  test("single-file load works (path = file, not directory)") {
+    val one = spark.read.format("graft-interactions").load(s"$dir/b_old.txt")
+    assert(one.count() == 3L)
+  }
+}
