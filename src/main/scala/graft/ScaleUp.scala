@@ -130,9 +130,17 @@ object ScaleUp {
     val embeddings = read("embeddings")
     val vecSpan = span(embeddings, "vec_id")
     val dims = embeddings.select(size(col("embedding"))).head.getInt(0)
-    val shifted = when(col("rep") === 0, col("embedding")).otherwise(concat(
-      slice(col("embedding"), col("rep") + 1, lit(dims) - col("rep")),
-      slice(col("embedding"), lit(1), col("rep"))))
+    // circular shift by rep MOD dims: a raw `rep` shift passes a negative
+    // slice length once rep >= dims (copies > 64 crashed the sf10 gen).
+    // Caveat for copies > dims: replicas that differ by exactly `dims`
+    // share a permutation, so cross-replica embedding orthogonality only
+    // holds within a dims-sized replica window — fine for the text/CC
+    // soaks run at that scale; embedding-family soaks should stay at
+    // copies <= dims.
+    val sh = pmod(col("rep"), lit(dims))
+    val shifted = when(sh === 0, col("embedding")).otherwise(concat(
+      slice(col("embedding"), sh + 1, lit(dims) - sh),
+      slice(col("embedding"), lit(1), sh)))
     write(fan(embeddings).select(off("vec_id", vecSpan), shifted.as("embedding"),
       col("label")), "embeddings", Seq("vec_id"))
 
