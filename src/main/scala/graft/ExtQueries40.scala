@@ -32,29 +32,36 @@ object ExtQueries40 {
 
   private def stagedCsv(s: SparkSession, dir: String): String =
     stageCache.computeIfAbsent(dir, { _ =>
-      val out = graft.operators.Sinks.dir(
-        "dsv2_interactions/" + java.lang.Integer.toHexString(dir.hashCode))
+      // full-width digest of the dir string, NOT String.hashCode: two
+      // event dirs colliding on a 32-bit hash would silently share (and
+      // clobber) one staging directory
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dir.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+      val out = graft.operators.Sinks.dir("dsv2_interactions/" + digest)
       // a null field would produce a short CSV line (concat_ws skips
       // nulls) — the text format cannot carry nulls, so neither side does
       val lines = Cooccurrence.interactions(s, dir)
         .where(col("user").isNotNull && col("item").isNotNull && col("ts").isNotNull)
         .select(col("user"), col("item"), unix_millis(col("ts")).as("ms"))
         .withColumn("f", pmod(col("user"), lit(3)))
-      (0 until 3).foreach { f =>
-        val tmp = s"$out/_tmp"
-        lines.where(col("f") === f)
-          .orderBy(col("ms"), col("user"), col("item"))
-          .select(concat_ws(",", col("user"), col("item"), col("ms")).as("value"))
-          .coalesce(1).write.mode("overwrite").text(tmp)
-        val d = new java.io.File(tmp)
-        val part = d.listFiles().find(_.getName.endsWith(".txt"))
-          .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
-        val tgt = new java.io.File(out, f"part$f%02d.txt")
-        java.nio.file.Files.move(part.toPath, tgt.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        tgt.setLastModified(1700000000000L + f * 60000L)
-        d.listFiles().foreach(_.delete()); d.delete()
-      }
+        .persist() // one events scan + JSON parse for all three file writes
+      try {
+        (0 until 3).foreach { f =>
+          val tmp = s"$out/_tmp"
+          lines.where(col("f") === f)
+            .orderBy(col("ms"), col("user"), col("item"))
+            .select(concat_ws(",", col("user"), col("item"), col("ms")).as("value"))
+            .coalesce(1).write.mode("overwrite").text(tmp)
+          val d = new java.io.File(tmp)
+          val part = d.listFiles().find(_.getName.endsWith(".txt"))
+            .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+          val tgt = new java.io.File(out, f"part$f%02d.txt")
+          java.nio.file.Files.move(part.toPath, tgt.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          tgt.setLastModified(1700000000000L + f * 60000L)
+          d.listFiles().foreach(_.delete()); d.delete()
+        }
+      } finally lines.unpersist()
       out
     })
 

@@ -64,6 +64,44 @@ object Dedup {
   }
 
   /**
+   * Shared expansion machinery for the identical-content compressions
+   * (minhash word sets, capped-jaccard shingle sets, simhash
+   * fingerprints): verified REPRESENTATIVE pairs stand for all
+   * cross-group member pairs, and each multi-member group is its own
+   * clique. Scale note (accepted posture, same as the round-7 minhash
+   * form): each group row carries its member-id array, so one row is
+   * O(cohort size); a corpus where a single identical-content cohort
+   * approaches a task's memory would need the (setid, member) pair-table
+   * form instead — the expansion joins below would translate directly.
+   */
+
+  /** Cross-group member pairs of `verified` (keyA, keyB, valueCol) rep
+    * pairs, ordered doc_a < doc_b; `groups` supplies (groupKey, members). */
+  private def expandCross(verified: DataFrame, groups: DataFrame,
+      keyA: String, keyB: String, groupKey: String, valueCol: String): DataFrame =
+    verified
+      .join(groups.select(col(groupKey).as(keyA), col("members").as("ma")), Seq(keyA))
+      .join(groups.select(col(groupKey).as(keyB), col("members").as("mb")), Seq(keyB))
+      .select(explode(col("ma")).as("a"), col("mb"), col(valueCol))
+      .select(col("a"), explode(col("mb")).as("b"), col(valueCol))
+      .select(least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"), col(valueCol))
+
+  /** All ordered within-group pairs (doc_a < doc_b via the sorted members
+    * array) of every multi-member group, with the constant `withinValue`
+    * (identical content: jaccard 1.0 / hamming 0). Callers pre-gate
+    * `groups` where the uncompressed plan would not have emitted the
+    * clique (e.g. the df-capped path's non-stop-shingle requirement). */
+  private def withinPairs(groups: DataFrame, withinValue: Column,
+      valueCol: String): DataFrame =
+    groups
+      .where(size(col("members")) > 1)
+      .select(posexplode(col("members")).as(Seq("i", "a")), col("members"))
+      .select(col("a").as("doc_a"),
+        explode(expr("slice(members, i + 2, size(members))")).as("doc_b"),
+        withinValue.as(valueCol))
+
+  /**
    * Jaccard similarity of all pairs sharing >= 1 shingle, thresholded.
    * The shingle equi-join IS the inverted index: fan-out is bounded by
    * shingle document frequency, not by |docs|^2.
@@ -154,26 +192,16 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
       // expansion: a rep pair stands for all cross-group member pairs,
       // ordered doc_a < doc_b like the direct join emitted
-      val membersOf = groups.select(col("setid"), col("members"))
-      val cross = verified
-        .join(membersOf.select(col("setid").as("doc_a"), col("members").as("ma")), Seq("doc_a"))
-        .join(membersOf.select(col("setid").as("doc_b"), col("members").as("mb")), Seq("doc_b"))
-        .select(explode(col("ma")).as("a"), col("mb"), col("jaccard"))
-        .select(col("a"), explode(col("mb")).as("b"), col("jaccard"))
-        .select(least(col("a"), col("b")).as("doc_a"),
-          greatest(col("a"), col("b")).as("doc_b"), col("jaccard"))
+      val cross = expandCross(verified, groups, "doc_a", "doc_b", "setid", "jaccard")
       // within-group pairs: identical sets, jaccard exactly 1.0 — but only
       // for groups that retain at least one NON-STOP shingle: a group whose
       // every shingle is df-capped generates no candidate pair in the
       // uncompressed plan either (this is where the capped path differs
       // from minhash, whose identical signatures always collide)
       val indexedGroups = index.select(col("doc_id").as("setid")).distinct()
-      val within = groups.join(indexedGroups, Seq("setid"))
-        .where(size(col("members")) > 1 && lit(1.0) >= threshold)
-        .select(posexplode(col("members")).as(Seq("i", "a")), col("members"))
-        .select(col("a").as("doc_a"),
-          explode(expr("slice(members, i + 2, size(members))")).as("doc_b"),
-          lit(1.0).as("jaccard"))
+      val within = withinPairs(
+        groups.join(indexedGroups, Seq("setid")).where(lit(1.0) >= threshold),
+        lit(1.0), "jaccard")
       cross.unionAll(within)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
         // materialize the (small) pair set eagerly so the cached tables
@@ -320,21 +348,9 @@ object Dedup {
     // expansion: a rep pair stands for all cross-group member pairs (two
     // docs collide in a band iff their reps do, and jaccard is constant
     // across each group), ordered doc_a < doc_b like the direct join
-    val membersOf = groups.select(col("setid"), col("members"))
-    val cross = verified
-      .join(membersOf.select(col("setid").as("doc_a"), col("members").as("ma")), Seq("doc_a"))
-      .join(membersOf.select(col("setid").as("doc_b"), col("members").as("mb")), Seq("doc_b"))
-      .select(explode(col("ma")).as("a"), col("mb"), col("jaccard"))
-      .select(col("a"), explode(col("mb")).as("b"), col("jaccard"))
-      .select(least(col("a"), col("b")).as("doc_a"),
-        greatest(col("a"), col("b")).as("doc_b"), col("jaccard"))
+    val cross = expandCross(verified, groups, "doc_a", "doc_b", "setid", "jaccard")
     // within-group pairs: identical sets, jaccard exactly 1.0
-    val within = groups
-      .where(size(col("members")) > 1 && lit(1.0) >= threshold)
-      .select(posexplode(col("members")).as(Seq("i", "a")), col("members"))
-      .select(col("a").as("doc_a"),
-        explode(expr("slice(members, i + 2, size(members))")).as("doc_b"),
-        lit(1.0).as("jaccard"))
+    val within = withinPairs(groups.where(lit(1.0) >= threshold), lit(1.0), "jaccard")
     cross.unionAll(within)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
       // release the cached tables before returning (see jaccardPairs)
@@ -471,20 +487,9 @@ object Dedup {
     val repPairs = simhashRepPairs(groups, maxHamming)
     // expansion: every member pair across the two fp groups, ordered
     // doc_a < doc_b like the direct join emitted
-    val cross = repPairs
-      .join(groups.select(col("fp").as("fp_a"), col("members").as("ma")), Seq("fp_a"))
-      .join(groups.select(col("fp").as("fp_b"), col("members").as("mb")), Seq("fp_b"))
-      .select(explode(col("ma")).as("a"), col("mb"), col("hamming"))
-      .select(col("a"), explode(col("mb")).as("b"), col("hamming"))
-      .select(least(col("a"), col("b")).as("doc_a"),
-        greatest(col("a"), col("b")).as("doc_b"), col("hamming"))
+    val cross = expandCross(repPairs, groups, "fp_a", "fp_b", "fp", "hamming")
     // within-group pairs: identical fingerprints, hamming exactly 0
-    val within = groups
-      .where(size(col("members")) > 1)
-      .select(posexplode(col("members")).as(Seq("i", "a")), col("members"))
-      .select(col("a").as("doc_a"),
-        explode(expr("slice(members, i + 2, size(members))")).as("doc_b"),
-        lit(0).as("hamming"))
+    val within = withinPairs(groups, lit(0), "hamming")
     cross.unionAll(within)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       // release the cached group table before returning (see jaccardPairs)

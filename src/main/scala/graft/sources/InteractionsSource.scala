@@ -119,30 +119,44 @@ private[sources] class InteractionsScan(path: String, required: StructType)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new InteractionsReaderFactory(required.fieldNames)
+    new InteractionsReaderFactory(required.fieldNames,
+      new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration))
 }
 
-private[sources] class InteractionsReaderFactory(fieldNames: Array[String])
-    extends PartitionReaderFactory {
+/** Java-serializable carrier for the DRIVER's Hadoop configuration, so
+  * executors open files with the session's fs.* settings and pay the
+  * XML-resource parse once per deserialized factory — not once per file
+  * (Spark's own SerializableConfiguration is private[spark]). */
+private[sources] class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
+private[sources] class InteractionsReaderFactory(fieldNames: Array[String],
+    conf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new InteractionsReader(
-      partition.asInstanceOf[InteractionFilePartition].file, fieldNames)
+      partition.asInstanceOf[InteractionFilePartition].file, fieldNames, conf.value)
 }
 
-/** Streams one file's lines in order; parses only the required fields.
-  * Executor-side file open uses a fresh Hadoop Configuration (default
-  * resources) — correct for file:// and default-configured filesystems;
-  * a cluster with non-default FS settings would thread a serialized conf
-  * through the factory instead. */
-private[sources] class InteractionsReader(file: String, fieldNames: Array[String])
-    extends PartitionReader[InternalRow] {
+/** Streams one file's lines in order; parses only the required fields. */
+private[sources] class InteractionsReader(file: String, fieldNames: Array[String],
+    conf: Configuration) extends PartitionReader[InternalRow] {
 
   private val needUser = fieldNames.contains("user")
   private val needItem = fieldNames.contains("item")
   private val needTs = fieldNames.contains("ts")
 
   private val path = new Path(java.net.URI.create(file))
-  private val in = path.getFileSystem(new Configuration()).open(path)
+  private val in = path.getFileSystem(conf).open(path)
   private val reader = new BufferedReader(
     new InputStreamReader(in, StandardCharsets.UTF_8), 64 * 1024)
   private var line: String = _
