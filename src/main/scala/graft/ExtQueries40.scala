@@ -75,6 +75,18 @@ object ExtQueries40 {
           countDistinct(col("item")).as("n_items"),
           max(unix_millis(col("ts"))).as("last_ms"))
         .orderBy(col("user"))
+    }),
+
+    // the PRUNED read path through the oracle gate: only `item` survives
+    // column pruning (PlanSpec-style lock in InteractionsSourceSpec; here
+    // the numbers themselves are oracle-checked), so the reader never
+    // parses user or ts for this plan
+    "source_dsv2_pruned" -> ((s, dir) => {
+      val staged = stagedCsv(s, dir)
+      s.read.format("graft-interactions").load(staged)
+        .groupBy(col("item"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(col("item"))
     })
   )
 
@@ -87,6 +99,13 @@ object ExtQueries40 {
          |       MAX(epoch_ms(ts)) AS last_ms
          |FROM inter
          |WHERE usr IS NOT NULL AND item IS NOT NULL AND ts IS NOT NULL
-         |GROUP BY usr ORDER BY "user"""".stripMargin
+         |GROUP BY usr ORDER BY "user"""".stripMargin,
+
+    "source_dsv2_pruned" ->
+      s"""WITH inter AS (${SparkEntry.interSql})
+         |SELECT item, COUNT(*) AS n_events
+         |FROM inter
+         |WHERE usr IS NOT NULL AND item IS NOT NULL AND ts IS NOT NULL
+         |GROUP BY item ORDER BY item""".stripMargin
   )
 }
