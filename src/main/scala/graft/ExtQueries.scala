@@ -37,8 +37,16 @@ object ExtQueries {
       Dedup.simhashNearDups(docs(s, dir), 3)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // Embedding near-dup, HIGH-RECALL banded configuration (4 bands of 4
+    // planes vs dedup_embedding_lsh's 2): candidates come from banded
+    // sign-random-projection buckets — an equi-join on (band, bucket), so
+    // corpus² never materializes. The oracle mirrors the banding from the
+    // same literal sign constants. The exact quadratic verifier
+    // (Dedup.embeddingNearDups) is test-side only (ExtOperatorsSpec
+    // recall measurement), never on the query surface: an exact cosine
+    // join at threshold 0.30 is Ω(N²) and has no 100 TB plan.
     "dedup_embedding" -> ((s, dir) =>
-      Dedup.embeddingNearDups(embs(s, dir), 0.30)
+      Dedup.embeddingNearDupsLsh(embs(s, dir), 0.30, nBands = 4)
         .orderBy(col("vec_a"), col("vec_b"))),
 
     "ann_topk_exact" -> ((s, dir) =>
@@ -665,14 +673,23 @@ object ExtQueries {
 
     "dedup_simhash" -> simhashSql,
 
+    // Mirrors the 4-band SRP banding from the same literal plane signs;
+    // the OR-of-band-equalities join emits each pair once (set semantics),
+    // matching the Spark side's first-colliding-band canonicalization.
     "dedup_embedding" ->
       s"""WITH $quantSql,
-         |p AS (
-         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |         list_inner_product(a.qv, b.qv) / (sqrt(a.n2) * sqrt(b.n2)) AS cos
-         |  FROM qn a JOIN qn b ON a.vec_id < b.vec_id)
-         |SELECT vec_a, vec_b, ROUND(cos, 4) AS cos FROM p
-         |WHERE cos >= 0.30 ORDER BY vec_a, vec_b""".stripMargin,
+         |bk AS (SELECT vec_id, qv, n2, ${bucketSql(0 until 4)} AS bkt0,
+         |              ${bucketSql(4 until 8)} AS bkt1,
+         |              ${bucketSql(8 until 12)} AS bkt2,
+         |              ${bucketSql(12 until 16)} AS bkt3 FROM qn),
+         |pairs AS (
+         |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |         list_inner_product(x.qv, y.qv) / (sqrt(x.n2) * sqrt(y.n2)) AS cosr
+         |  FROM bk x JOIN bk y
+         |    ON x.vec_id < y.vec_id AND (x.bkt0 = y.bkt0 OR x.bkt1 = y.bkt1
+         |                                OR x.bkt2 = y.bkt2 OR x.bkt3 = y.bkt3))
+         |SELECT vec_a, vec_b, ROUND(cosr, 4) AS cos FROM pairs
+         |WHERE cosr >= 0.30 ORDER BY vec_a, vec_b""".stripMargin,
 
     "ann_topk_exact" ->
       s"""WITH $quantSql,

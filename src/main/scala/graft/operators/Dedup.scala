@@ -582,8 +582,13 @@ object Dedup {
 
   /**
    * Embedding-cosine near-dup over quantized vectors (exact integer dot
-   * products — engine-portable, see Similarity.quantize). Quadratic
-   * verifier; at scale gate with Similarity.lshBuckets candidates.
+   * products — engine-portable, see Similarity.quantize).
+   *
+   * TEST-SIDE RECALL VERIFIER ONLY — this is the Ω(N²) exhaustive form
+   * (a theta-join over corpus²) and is deliberately NOT on the query
+   * surface; `dedup_embedding` routes through [[embeddingNearDupsLsh]]
+   * (banded equi-join, pair-once). ExtOperatorsSpec uses this form to
+   * measure the banded path's recall on small corpora.
    */
   def embeddingNearDups(embeddings: DataFrame, threshold: Double): DataFrame = {
     val q = Similarity.quantizedWithNorm(embeddings)

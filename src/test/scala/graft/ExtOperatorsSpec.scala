@@ -83,6 +83,16 @@ class ExtOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val recall = tight.count(got.contains).toDouble / tight.size
       assert(recall >= 0.8, s"near-dup recall $recall too low (${tight.size} tight pairs)")
     }
+    // the query-surface config (dedup_embedding, 4 bands) must be sound
+    // against the exact verifier AND dominate the 2-band recall — more
+    // independent bands can only add colliding pairs
+    val hi = Dedup.embeddingNearDupsLsh(embs, 0.30, nBands = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(hi.length == hi.toMap.size, "4-band: each pair emitted exactly once")
+    hi.foreach { case (k, s) =>
+      assert(exactPairs.get(k).contains(s), s"4-band pair $k not exact") }
+    assert(lsh1.map(_._1).toSet.subsetOf(hi.map(_._1).toSet),
+      "4-band candidate set must contain the 2-band set (bands 0-1 are shared)")
   }
 
   test("SimHash banded join finds EVERY pair within hamming <= 3 (pigeonhole)") {

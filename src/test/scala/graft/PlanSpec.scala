@@ -297,6 +297,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the document text must be pruned from the scan: $readSchema")
   }
 
+  test("dedup_embedding: banded equi-join on (band, bucket) — no theta product over corpus²") {
+    val df = SparkEntry.queries("dedup_embedding")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"embedding near-dup must never plan an N² product:\n${p.take(1500)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      s"candidates must come from the (band, bucket) equi-join:\n${p.take(1500)}")
+  }
+
   test("winsorize_stats: the cut table broadcasts back (no fact re-shuffle for the clip join)") {
     val df = SparkEntry.queries("winsorize_stats")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
