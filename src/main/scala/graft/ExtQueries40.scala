@@ -58,7 +58,10 @@ object ExtQueries40 {
           val tgt = new java.io.File(out, f"part$f%02d.txt")
           java.nio.file.Files.move(part.toPath, tgt.toPath,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          tgt.setLastModified(1700000000000L + f * 60000L)
+          // mod-time IS the planning contract under test — a silently
+          // failed setLastModified would degrade ordering to name order
+          require(tgt.setLastModified(1700000000000L + f * 60000L),
+            s"setLastModified failed for $tgt — mod-time planning contract cannot be staged")
           d.listFiles().foreach(_.delete()); d.delete()
         }
       } finally lines.unpersist()
@@ -87,6 +90,25 @@ object ExtQueries40 {
         .groupBy(col("item"))
         .agg(count(lit(1)).as("n_events"))
         .orderBy(col("item"))
+    }),
+
+    // the format's MICRO_BATCH_READ path (reference monitor at the
+    // planning layer: one file per trigger, (mod-time, name) admission
+    // order, offset = mod-time watermark) driven through the SAME
+    // aggregate and oracle as the batch read — streaming and batch must
+    // agree on the corpus. Per-trigger admission + checkpoint resume are
+    // pinned in InteractionsSourceSpec.
+    "stream_dsv2_interactions" -> ((s, dir) => {
+      val staged = stagedCsv(s, dir)
+      val agg = s.readStream.format("graft-interactions").load(staged)
+        .groupBy(col("user"))
+        .agg(count(lit(1)).as("n_events"),
+          // streaming forbids countDistinct; a per-user item set is
+          // bounded by the catalog, so the set-size form is safe state
+          size(array_distinct(collect_list(col("item")))).cast("long").as("n_items"),
+          max(unix_millis(col("ts"))).as("last_ms"))
+      graft.streaming.StreamingOps.runToMemory(agg, s"dsv2s_${System.nanoTime()}")
+        .orderBy(col("user"))
     })
   )
 
@@ -106,6 +128,17 @@ object ExtQueries40 {
          |SELECT item, COUNT(*) AS n_events
          |FROM inter
          |WHERE usr IS NOT NULL AND item IS NOT NULL AND ts IS NOT NULL
-         |GROUP BY item ORDER BY item""".stripMargin
+         |GROUP BY item ORDER BY item""".stripMargin,
+
+    // streaming ≡ batch on the same staged corpus: same oracle as
+    // source_dsv2_interactions
+    "stream_dsv2_interactions" ->
+      s"""WITH inter AS (${SparkEntry.interSql})
+         |SELECT usr AS "user", COUNT(*) AS n_events,
+         |       COUNT(DISTINCT item) AS n_items,
+         |       MAX(epoch_ms(ts)) AS last_ms
+         |FROM inter
+         |WHERE usr IS NOT NULL AND item IS NOT NULL AND ts IS NOT NULL
+         |GROUP BY usr ORDER BY "user"""".stripMargin
   )
 }

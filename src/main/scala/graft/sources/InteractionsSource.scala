@@ -14,6 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{IntegerType, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -58,6 +59,12 @@ class InteractionsSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
+    // the format's schema is FIXED — a caller-supplied divergent schema
+    // would otherwise be silently ignored and produce confusing
+    // downstream analysis errors
+    require(schema == null || schema == InteractionsSource.Schema,
+      s"graft-interactions has a fixed schema ${InteractionsSource.Schema.simpleString}; " +
+        s"got ${schema.simpleString} — drop the .schema(...) call")
     val path = properties.get("path")
     require(path != null && path.nonEmpty,
       "graft-interactions requires a single load(path)")
@@ -70,40 +77,14 @@ object InteractionsSource {
     .add("user", IntegerType)
     .add("item", IntegerType)
     .add("ts", TimestampType)
-}
 
-private[sources] class InteractionsTable(path: String) extends Table with SupportsRead {
-  override def name(): String = s"graft-interactions(`$path`)"
-  override def schema(): StructType = InteractionsSource.Schema
-  override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new InteractionsScanBuilder(path)
-}
-
-private[sources] class InteractionsScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
-  private var required: StructType = InteractionsSource.Schema
-
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    // preserve the source's field order; Spark projects afterwards
-    required = new StructType(InteractionsSource.Schema.fields
-      .filter(f => requiredSchema.fieldNames.contains(f.name)))
-
-  override def build(): Scan = new InteractionsScan(path, required)
-}
-
-private[sources] case class InteractionFilePartition(file: String) extends InputPartition
-
-private[sources] class InteractionsScan(path: String, required: StructType)
-    extends Scan with Batch {
-  override def readSchema(): StructType = required
-  override def toBatch: Batch = this
-
-  /** One partition per file, in the reference monitor's (mod-time, name)
-    * order. Listing runs on the driver with the session's Hadoop conf. */
-  override def planInputPartitions(): Array[InputPartition] = {
-    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+  /** Data files under `path` (or `path` itself) in the reference
+    * monitor's deterministic (modification-time, name) order, hidden
+    * files skipped. Listing runs on the driver with the CAPTURED session
+    * Hadoop conf — never resolved via SparkSession.active inside a
+    * planning callback, which in a multi-session JVM can pick up the
+    * wrong session's fs.* settings. */
+  private[sources] def listDataFiles(conf: Configuration, path: String): Array[FileStatus] = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val files: Array[FileStatus] =
@@ -115,12 +96,170 @@ private[sources] class InteractionsScan(path: String, required: StructType)
         !n.startsWith("_") && !n.startsWith(".")
       })
       .sortBy(st => (st.getModificationTime, st.getPath.getName))
+  }
+}
+
+private[sources] class InteractionsTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-interactions(`$path`)"
+  override def schema(): StructType = InteractionsSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    // capture the calling session's Hadoop conf HERE (driver, planning
+    // thread) — execution-time callbacks must not depend on which
+    // session is "active" on the thread that happens to invoke them
+    new InteractionsScanBuilder(path,
+      new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration))
+}
+
+private[sources] class InteractionsScanBuilder(path: String, conf: SerializableHadoopConf)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = InteractionsSource.Schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve the source's field order; Spark projects afterwards
+    required = new StructType(InteractionsSource.Schema.fields
+      .filter(f => requiredSchema.fieldNames.contains(f.name)))
+
+  override def build(): Scan = new InteractionsScan(path, required, conf)
+}
+
+private[sources] case class InteractionFilePartition(file: String) extends InputPartition
+
+private[sources] class InteractionsScan(path: String, required: StructType,
+    conf: SerializableHadoopConf) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  /** One partition per file, in the reference monitor's (mod-time, name)
+    * order. */
+  override def planInputPartitions(): Array[InputPartition] =
+    InteractionsSource.listDataFiles(conf.value, path)
+      .map(st => InteractionFilePartition(st.getPath.toUri.toString): InputPartition)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new InteractionsReaderFactory(required.fieldNames, conf)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new InteractionsMicroBatchStream(path, required.fieldNames, conf)
+}
+
+/**
+ * Streaming offset for the interactions monitor: the (modification-time,
+ * name) watermark of the LAST file fully ingested. Files are immutable
+ * and planned in (mod-time, name) order, so a single watermark pair —
+ * not a seen-file set — identifies exactly which prefix of the corpus a
+ * restarted query has consumed; files that appear later with a key at or
+ * below the watermark are ignored, the reference monitor's own contract
+ * (`ContinuousFileMonitoringFunction.java:219-294` tracks a global
+ * modification-time watermark the same way).
+ */
+private[sources] case class InteractionsOffset(modTime: Long, name: String) extends Offset {
+  override def json(): String = {
+    val esc = name.replace("\\", "\\\\").replace("\"", "\\\"")
+    s"""{"modTime":$modTime,"name":"$esc"}"""
+  }
+}
+
+private[sources] object InteractionsOffset {
+  val Start: InteractionsOffset = InteractionsOffset(Long.MinValue, "")
+
+  private val Shape = """\{"modTime":(-?\d+),"name":"(.*)"\}""".r
+
+  def fromJson(json: String): InteractionsOffset = json match {
+    case Shape(mt, esc) =>
+      val sb = new StringBuilder
+      var i = 0
+      while (i < esc.length) {
+        if (esc.charAt(i) == '\\' && i + 1 < esc.length) { sb.append(esc.charAt(i + 1)); i += 2 }
+        else { sb.append(esc.charAt(i)); i += 1 }
+      }
+      InteractionsOffset(mt.toLong, sb.toString)
+    case _ => throw new IllegalArgumentException(s"bad interactions offset: $json")
+  }
+}
+
+/**
+ * Micro-batch planning of the reference's PROCESS_ONCE file monitor
+ * (`ContinuousFileMonitoringFunction.java:219-294`): files are admitted
+ * in (mod-time, name) order, ONE file per trigger by default
+ * (`ReadLimit.maxFiles(1)` — the planning-layer form of the
+ * `maxFilesPerTrigger=1` staging the generic file source needs), each
+ * file unsplittable so per-file line order survives into its single
+ * partition. Offsets are (mod-time, name) watermarks, so a restart from
+ * checkpoint resumes after the last fully-ingested file without
+ * re-reading or skipping anything.
+ */
+private[sources] class InteractionsMicroBatchStream(path: String,
+    fieldNames: Array[String], conf: SerializableHadoopConf)
+    extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  private def key(st: FileStatus): (Long, String) =
+    (st.getModificationTime, st.getPath.getName)
+
+  // PROCESS_ONCE snapshot for Trigger.AvailableNow: implemented HERE
+  // (not via Spark's AvailableNowDataStreamWrapper, whose
+  // latestOffset(start, limit) discards the read limit and would collapse
+  // the run into one giant batch) so per-trigger file admission survives
+  // available-now runs.
+  @volatile private var availableNowCap: Option[(Long, String)] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val all = InteractionsSource.listDataFiles(conf.value, path)
+    availableNowCap = Some(
+      if (all.isEmpty) (Long.MinValue, "") else key(all.last))
+  }
+
+  private def after(off: InteractionsOffset): Array[FileStatus] = {
+    val listed = InteractionsSource.listDataFiles(conf.value, path)
+      .filter(st => Ordering[(Long, String)].gt(key(st), (off.modTime, off.name)))
+    availableNowCap match {
+      case Some(cap) => listed.filter(st => Ordering[(Long, String)].lteq(key(st), cap))
+      case None => listed
+    }
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxFiles(1)
+
+  override def initialOffset(): Offset = InteractionsOffset.Start
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used via SupportsAdmissionControl")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val pending = after(start.asInstanceOf[InteractionsOffset])
+    val admitted = limit match {
+      case mf: ReadMaxFiles => pending.take(mf.maxFiles())
+      case _ => pending // allAvailable (and any row/byte limit: files are the unit here)
+    }
+    if (admitted.isEmpty) start
+    else {
+      val last = admitted.last
+      InteractionsOffset(last.getModificationTime, last.getPath.getName)
+    }
+  }
+
+  override def reportLatestOffset(): Offset = {
+    val all = InteractionsSource.listDataFiles(conf.value, path)
+    if (all.isEmpty) InteractionsOffset.Start
+    else InteractionsOffset(all.last.getModificationTime, all.last.getPath.getName)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val endKey = { val e = end.asInstanceOf[InteractionsOffset]; (e.modTime, e.name) }
+    after(start.asInstanceOf[InteractionsOffset])
+      .filter(st => Ordering[(Long, String)].lteq(key(st), endKey))
       .map(st => InteractionFilePartition(st.getPath.toUri.toString): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new InteractionsReaderFactory(required.fieldNames,
-      new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration))
+    new InteractionsReaderFactory(fieldNames, conf)
+
+  override def deserializeOffset(json: String): Offset = InteractionsOffset.fromJson(json)
+
+  override def commit(end: Offset): Unit = () // files are immutable; nothing to release
+  override def stop(): Unit = ()
 }
 
 /** Java-serializable carrier for the DRIVER's Hadoop configuration, so

@@ -89,4 +89,61 @@ class InteractionsSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val one = spark.read.format("graft-interactions").load(s"$dir/b_old.txt")
     assert(one.count() == 3L)
   }
+
+  test("a caller-supplied divergent schema fails loudly (the format's schema is fixed)") {
+    val wrong = new org.apache.spark.sql.types.StructType()
+      .add("a", org.apache.spark.sql.types.StringType)
+    val e = intercept[Exception] {
+      spark.read.schema(wrong).format("graft-interactions").load(dir).collect()
+    }
+    assert(e.getMessage.contains("fixed schema") || e.getMessage.toLowerCase.contains("schema"),
+      s"unexpected: ${e.getMessage}")
+  }
+
+  private def runAvailableNow(path: String, ckpt: Option[String] = None)
+      : Seq[(Long, Seq[(Int, Int)])] = {
+    val batches = scala.collection.mutable.ArrayBuffer[(Long, Seq[(Int, Int)])]()
+    val w = spark.readStream.format("graft-interactions").load(path)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        val rows = df.select(col("user"), col("item")).collect()
+          .map(r => (r.getInt(0), r.getInt(1))).toSeq
+        batches.synchronized { batches += id -> rows }
+        ()
+      }
+    ckpt.foreach(c => w.option("checkpointLocation", c))
+    val q = w.start()
+    q.awaitTermination()
+    batches.toSeq.sortBy(_._1)
+  }
+
+  test("MICRO_BATCH_READ: one file per trigger, (mod-time, name) admission order, streaming == batch") {
+    val batches = runAvailableNow(dir).filter(_._2.nonEmpty)
+    assert(batches.map(_._2) == Seq(
+      Seq((1, 10), (1, 11), (2, 10)), // b_old first: earlier mod-time wins over name order
+      Seq((3, 12), (4, 12))),
+      s"expected one mod-time-ordered file per trigger, got $batches")
+  }
+
+  test("streaming offset watermark: restart from checkpoint ingests only files past the watermark") {
+    val d2 = Files.createTempDirectory("dsv2_stream").toString
+    val ckpt = Files.createTempDirectory("dsv2_ckpt").toString
+    def put(name: String, lines: Seq[String], mtime: Long): Unit = {
+      val p = Paths.get(d2, name)
+      Files.write(p, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      assert(p.toFile.setLastModified(mtime))
+    }
+    put("one.txt", Seq("1,10,1000"), 1700000000000L)
+    put("two.txt", Seq("2,11,2000"), 1700000060000L)
+    val first = runAvailableNow(d2, Some(ckpt))
+    assert(first.flatMap(_._2) == Seq((1, 10), (2, 11)))
+    // a file at the already-committed watermark must be ignored; one past
+    // it must be the ONLY thing the resumed query reads
+    put("zero_late.txt", Seq("9, 9, 1"), 1700000000000L)
+    put("three.txt", Seq("3,12,3000"), 1700000120000L)
+    val resumed = runAvailableNow(d2, Some(ckpt))
+    assert(resumed.flatMap(_._2) == Seq((3, 12)),
+      s"resume must skip committed files and mod-time-stale arrivals: $resumed")
+  }
 }
