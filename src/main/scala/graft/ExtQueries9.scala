@@ -66,6 +66,23 @@ object ExtQueries9 {
       .join(o.as("e3"), col("e3.a") === col("y") && col("e3.b") === col("z"))
       .select(col("x"), col("y"), col("z"))
 
+  /** Distinct item vocabulary for negative_sample's broadcast, guarded:
+    * the broadcast-vocab design is only valid while the item catalog is
+    * small (items ≪ events). The bound is enforced in the SAME job that
+    * materializes it — limit(bound+1) caps what ever reaches the driver,
+    * and the require turns a 10⁹-item catalog into a loud config error
+    * instead of a driver OOM. (Same pattern as Sampling's window guard.) */
+  private[graft] def boundedVocab(s: SparkSession, inter: DataFrame,
+      bound: Int = 10000000): Array[Int] = {
+    import s.implicits._
+    val vocab = inter.select(col("item")).distinct()
+      .limit(bound + 1).as[Int].collect().sorted
+    require(vocab.length <= bound,
+      s"negative_sample: item vocabulary exceeds $bound — the broadcast-vocab " +
+        "strategy no longer fits the driver; use hash-based candidate generation instead")
+    vocab
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // triangle count on the item graph, DEGREE-oriented (r6): each
@@ -291,7 +308,7 @@ object ExtQueries9 {
       val inter = Cooccurrence.interactions(s, dir)
         .where(col("user").isNotNull && col("item").isNotNull)
         .select(col("user"), col("item")).distinct()
-      val vocab = inter.select(col("item")).distinct().as[Int].collect().sorted
+      val vocab = boundedVocab(s, inter)
       val bc = s.sparkContext.broadcast(vocab)
       val ord = Ordering.Tuple2[Long, Int]
       inter.as[(Int, Int)]

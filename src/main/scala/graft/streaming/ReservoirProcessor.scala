@@ -36,8 +36,14 @@ class ReservoirProcessor(kMax: Int, seed: Long)
     // Product encoder (int-array column), not javaSerialization: state is
     // read+written once per key per micro-batch, and the SQL encoder avoids
     // a Java-serialization round-trip against RocksDB on every access.
+    // State name is "histV2", not "hist": the V1 state (pre-encoder-switch)
+    // was javaSerialization[Array[Int]] — a checkpoint written under that
+    // schema is NOT compatible, and reusing the name would fail
+    // state-schema validation (or misdeserialize) on restart. The bump
+    // makes the incompatibility explicit: old checkpoints are invalidated;
+    // restart such a query from a fresh checkpoint.
     histState = getHandle.getValueState[ReservoirProcessor.Hist](
-      "hist", Encoders.product[ReservoirProcessor.Hist], TTLConfig.NONE)
+      "histV2", Encoders.product[ReservoirProcessor.Hist], TTLConfig.NONE)
     totalState = getHandle.getValueState[Int]("total", Encoders.scalaInt, TTLConfig.NONE)
   }
 

@@ -76,6 +76,17 @@ class Ext9Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s1.nonEmpty)
   }
 
+  test("negative_sample vocab guard: over-bound catalog fails loudly, never OOMs the driver") {
+    val inter = spark.createDataFrame(Seq((1, 10), (1, 11), (2, 12), (2, 13)))
+      .toDF("user", "item")
+    val e = intercept[IllegalArgumentException] {
+      ExtQueries9.boundedVocab(spark, inter, bound = 3)
+    }
+    assert(e.getMessage.contains("vocabulary exceeds 3"), e.getMessage)
+    // at/below the bound the full sorted vocab comes back
+    assert(ExtQueries9.boundedVocab(spark, inter, bound = 4).toSeq == Seq(10, 11, 12, 13))
+  }
+
   test("degree orientation bounds wedge fan-out on a hub graph") {
     // star: hub 0 with leaves 1..20, plus one leaf-leaf edge (1,2). The
     // naive center-based wedge enumeration fans out deg(hub)^2 — here

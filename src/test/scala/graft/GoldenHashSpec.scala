@@ -15,7 +15,9 @@ import org.scalatest.BeforeAndAfterAll
  * `cooc_sampled_llr` (seeded-RNG reservoir sampling). Each already has
  * semantic specs (recall bounds, reference-loop equality, property tests);
  * this spec adds CROSS-ROUND drift detection: the exact output bytes at
- * sf0.001 and sf0.01 are canonicalized the same way the driver's oracle
+ * sf0.001, sf0.01 and sf0.1 (the bench scale factor — drift that only
+ * manifests at bench scale must not be invisible to `sbt test`) are
+ * canonicalized the same way the driver's oracle
  * compare does (columns sorted by name, values rendered to strings, rows
  * sorted) and hashed; a code change that shifts any value fails here
  * loudly instead of silently passing the rows-only gate.
@@ -75,9 +77,12 @@ class GoldenHashSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val regen = sys.env.contains("GRAFT_PIN_REGEN")
 
-  /** name -> (input table, sfDir -> (pinned input fp, pinned output hash)) */
+  /** name -> (input table, sfDir -> (pinned input fp, pinned output hash)).
+    * sf0.1 is pinned too: it is the BENCH scale factor, and drift that only
+    * manifests at bench scale (e.g. a sampling path that only activates
+    * above a row-count threshold) would be invisible to the small-SF pins. */
   private case class Pin(query: String, table: String,
-      sf0001: (String, String), sf001: (String, String))
+      sf0001: (String, String), sf001: (String, String), sf01: (String, String))
 
   // format: (input-file sha256 prefix, canonical output sha256)
   private val pins = Seq(
@@ -85,22 +90,30 @@ class GoldenHashSpec extends AnyFunSuite with BeforeAndAfterAll {
       sf0001 = ("a3177c59491c14cc",
         "fed7b9aca1e84c9ea3e84929f9778aba55f47637614c471373a783832550e344"),
       sf001 = ("5bd2b0f09265a066",
-        "a92407f4d8fe89e4a272d8348407c146b68987389362a4c690ad231ea319b63d")),
+        "a92407f4d8fe89e4a272d8348407c146b68987389362a4c690ad231ea319b63d"),
+      sf01 = ("f5a6fe8c86ce8719",
+        "1f91327296d482f5cc0f135e8252104fade561ee5b4a627f6f1fe469f5cc707c")),
     Pin("bpe_merges", "documents",
       sf0001 = ("dae477afb99976de",
         "171d327883a0ce4f1722f5e0378e7a6f16813e7443cb87777a1add68235ae870"),
       sf001 = ("3882fed1c345efc5",
-        "ab72e18e5f1a559a0e48ed23fa9149d4981889d146cd0b46bbab52497cae7a6a")),
+        "ab72e18e5f1a559a0e48ed23fa9149d4981889d146cd0b46bbab52497cae7a6a"),
+      sf01 = ("d10b0da67e5aceb4",
+        "67558b2db72f37e92a7601eb2bbffc9d522ef7e1f056c192f1ed12efd273ebdb")),
     Pin("bpe_tokenize", "documents",
       sf0001 = ("dae477afb99976de",
         "5cf86b5b33b0758653df922a29f8d0671b0669f231096edde848f0744f582cb2"),
       sf001 = ("3882fed1c345efc5",
-        "2e6fd33d4778ad57276dad8c2f17527e4d6425376db187f2709f60ebbadcff48")),
+        "2e6fd33d4778ad57276dad8c2f17527e4d6425376db187f2709f60ebbadcff48"),
+      sf01 = ("d10b0da67e5aceb4",
+        "4b32310aa0f9bd2effcba501e5af7d4d5cad98d32eac3fc9160e56ab0df81e46")),
     Pin("cooc_sampled_llr", "events",
       sf0001 = ("7fd4b9d6277e78d4",
         "76945202ae3091c521ee99dc22249c4762e9f192e0b661bd6c06608fd0ea237d"),
       sf001 = ("bb5b2c28f8905d98",
-        "ef59d6e12fae504e9be4709f9487b2cf8b9880e842e744307513ae3f09aeb0b6"))
+        "ef59d6e12fae504e9be4709f9487b2cf8b9880e842e744307513ae3f09aeb0b6"),
+      sf01 = ("1d18f4489b6c943b",
+        "407c9eccfe4a17faa1bb2e3387b26dc47a3885d5bb87c87b9a52b33aea4ceae8"))
   )
 
   private def check(p: Pin, sfDir: String, pinned: (String, String)): Unit = {
@@ -128,6 +141,9 @@ class GoldenHashSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     test(s"${p.query} @ sf0.01 matches pinned golden hash") {
       check(p, "/root/testdata/sf0.01", p.sf001)
+    }
+    test(s"${p.query} @ sf0.1 (bench scale) matches pinned golden hash") {
+      check(p, "/root/testdata/sf0.1", p.sf01)
     }
   }
 }
