@@ -26,7 +26,8 @@ final case class Config(
     windowSize: Long = -1L,
     windowUnit: TimeUnit = TimeUnit.MILLISECONDS,
     seed: Long = System.nanoTime(),
-    streaming: Boolean = false) {
+    streaming: Boolean = false,
+    checkpoint: Option[String] = None) {
   def windowMs: Long = windowUnit.toMillis(windowSize)
 }
 
@@ -59,6 +60,10 @@ object Config {
       // batch behavior is just a drained file-monitor run) — this flag
       // runs the same pipeline through Structured Streaming
       case ("-st" | "--streaming") :: t => go(t, c.copy(streaming = true))
+      // durable restart point: Spark's streaming checkpoint (source
+      // offsets) + the pipeline's own cross-batch state snapshots
+      // (StreamingCooc.persistBatch) both live under this directory
+      case ("-cp" | "--checkpoint") :: v :: t => go(t, c.copy(checkpoint = Some(v)))
       case ("-h" | "--help") :: _ => Left(usage)
       case other :: _ => Left(s"unknown argument: $other\n$usage")
     }
@@ -80,10 +85,14 @@ object Config {
   val usage: String =
     """usage: graft.Main -i <path> [-o <path>] [-sc] [-ic N] [-uc N] [-k N]
       |       -ws N [-wu MILLISECONDS|SECONDS|MINUTES|HOURS|DAYS] [-s seed|0xhex]
-      |       [-bt millis] [-st]
+      |       [-bt millis] [-st] [-cp <checkpoint-dir>]
       |input: CSV lines `user,item,timestampMillis` (file or directory)
       |-st/--streaming: drive the job through Structured Streaming (file
-      |monitor, one file per microbatch) instead of the batch planner""".stripMargin
+      |monitor, one file per microbatch) instead of the batch planner
+      |-cp/--checkpoint: with -st, a killed run restarted with the same
+      |checkpoint dir resumes after the last fully-ingested file (exactly
+      |once: offsets via Spark's checkpoint, pipeline state via per-batch
+      |snapshots with commit markers)""".stripMargin
 }
 
 /**
@@ -128,7 +137,8 @@ object Main {
    * (refund-boundary parity oracle-checked by stream_item_cut_refunds).
    * With cuts >= data size this equals the batch result exactly.
    */
-  def runStreaming(spark: SparkSession, c: Config): DataFrame = {
+  def runStreaming(spark: SparkSession, c: Config,
+      onBatch: (Long, Boolean) => Unit = (_, _) => ()): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     // the file monitor watches a DIRECTORY; accept a single-file input
@@ -144,17 +154,30 @@ object Main {
     val inter = parseCsvLines(lines)
       .select(col("user"), col("item"), unix_millis(col("ts")).as("ts"))
     val st = new graft.streaming.StreamingCooc.State(spark)
+    // -cp: resume the pipeline state to the newest committed batch; ids at
+    // or below `resumedTo` are foreachBatch REPLAYS of work already folded
+    // into the restored state (Spark commits offsets after foreachBatch,
+    // so a kill in that window re-delivers the batch) and must be skipped
+    val resumedTo: Option[Long] = c.checkpoint.flatMap(cp =>
+      graft.streaming.StreamingCooc.restoreState(spark, st, cp))
     val (fMax, kMax) =
       if (c.skipCuts) (Int.MaxValue, Int.MaxValue) else (c.itemCut, c.userCut)
-    val q = inter.writeStream
+    val writer = inter.writeStream
       .outputMode(OutputMode.Update())
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (b: DataFrame, id: Long) =>
-        graft.streaming.StreamingCooc.processBatch(st,
-          b.as[Sampling.Interaction], id, fMax, kMax, c.seed)
+        if (resumedTo.exists(id <= _)) onBatch(id, false)
+        else {
+          val d = graft.streaming.StreamingCooc.processBatch(st,
+            b.as[Sampling.Interaction], id, fMax, kMax, c.seed)
+          c.checkpoint.foreach(cp =>
+            graft.streaming.StreamingCooc.persistBatch(st, d, cp, id))
+          onBatch(id, true)
+        }
         ()
       }
-      .start()
+    c.checkpoint.foreach(cp => writer.option("checkpointLocation", cp))
+    val q = writer.start()
     q.awaitTermination()
     graft.streaming.StreamingCooc.rescore(st, c.topK)
   }

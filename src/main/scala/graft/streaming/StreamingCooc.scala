@@ -52,7 +52,7 @@ object StreamingCooc {
    */
   def processBatch(st: State, batch: Dataset[Interaction], batchId: Long,
       fMax: Int, kMax: Int, seed: Long,
-      metrics: Option[Sampling.PipelineMetrics] = None): Unit = {
+      metrics: Option[Sampling.PipelineMetrics] = None): Dataset[CoocDelta] = {
     val admitted = metrics match {
       case None => batch
       case Some(m) =>
@@ -81,6 +81,88 @@ object StreamingCooc {
     // carried stats estimates across batches (see StatsBridge scaladoc)
     st.deltas = org.apache.spark.sql.graftbridge.StatsBridge
       .dropCarriedStats(st.deltas.union(d).localCheckpoint(true))
+    // this batch's NET delta increment — a lazy agg over the (already
+    // checkpointed) window-step output, so persisting it is one small
+    // extra job, not a recompute of the window step
+    d
+  }
+
+  // ---------------------------------------------------------------------
+  // Durable cross-restart state (checkpointed CLI runs, Main -st -cp).
+  //
+  // Spark's streaming checkpoint persists SOURCE offsets; the pipeline's
+  // cross-batch state (item counts, user reservoirs, accumulated delta
+  // matrix) lives in `State`, so a killed run would otherwise resume the
+  // file monitor against empty state. Layout under <ckpt>/graft-state:
+  //
+  //   delta/id=<b>/   this batch's NET delta increment (O(batch), not
+  //                   O(accumulated matrix) — the matrix is reconstructed
+  //                   on restore as the union of all committed increments)
+  //   items/<b>/      post-batch item-count state (bounded by #items)
+  //   users/<b>/      post-batch user-reservoir state (bounded by #users)
+  //   meta/<b>        COMMIT MARKER, written last: a batch is restorable
+  //                   iff its meta file exists; partial writes from a
+  //                   crash are overwritten on replay (mode=overwrite)
+  //
+  // Exactly-once under foreachBatch replay: Spark commits source offsets
+  // AFTER foreachBatch returns, so a crash can leave batch b persisted
+  // here but uncommitted there. On restart the caller restores to the
+  // newest meta and SKIPS replayed batch ids <= that watermark — the
+  // standard idempotent-foreachBatch protocol, expressed at the CLI
+  // layer the reference's checkpointable monitor exposes
+  // (ContinuousFileMonitoringFunction.java snapshotState/restoreState).
+  // ---------------------------------------------------------------------
+
+  private def stateRoot(checkpoint: String) = s"$checkpoint/graft-state"
+
+  /** Persist batch `id`'s delta increment + post-batch state tables,
+    * then the commit marker (watermark inside). Overwrite mode makes a
+    * replayed half-written batch self-healing. */
+  def persistBatch(st: State, d: Dataset[CoocDelta], checkpoint: String, id: Long): Unit = {
+    val root = stateRoot(checkpoint)
+    d.write.mode("overwrite").parquet(s"$root/delta/id=$id")
+    st.itemState.write.mode("overwrite").parquet(s"$root/items/$id")
+    st.userState.write.mode("overwrite").parquet(s"$root/users/$id")
+    val spark = st.itemState.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = new org.apache.hadoop.fs.Path(s"$root/meta/$id")
+    val out = fs.create(meta, true)
+    try out.write(s"""{"watermarkMs":${st.watermarkMs}}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Restore `st` to the newest committed batch under `checkpoint`.
+    * Returns that batch id (the replay watermark: the caller must skip
+    * foreachBatch invocations with id <= it), or None for a fresh start. */
+  def restoreState(spark: SparkSession, st: State, checkpoint: String): Option[Long] = {
+    import spark.implicits._
+    val root = stateRoot(checkpoint)
+    val metaDir = new org.apache.hadoop.fs.Path(s"$root/meta")
+    val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(metaDir)) return None
+    val committed = fs.listStatus(metaDir).toSeq
+      .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+    if (committed.isEmpty) return None
+    val last = committed.max
+    val metaJson = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(s"$root/meta/$last"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    st.watermarkMs = """"watermarkMs":(-?\d+)""".r.findFirstMatchIn(metaJson)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalStateException(s"corrupt state meta: $metaJson"))
+    st.itemState = spark.read.parquet(s"$root/items/$last").as[ItemCount]
+    st.userState = spark.read.parquet(s"$root/users/$last").as[UserState]
+    // partition discovery over delta/id=N gives the id column back; only
+    // COMMITTED increments participate (a crash can leave id dirs past
+    // the newest meta — they will be overwritten on replay)
+    st.deltas = spark.read.parquet(s"$root/delta")
+      .where(col("id") <= last)
+      .select(col("item").cast("int"), col("other").cast("int"), col("inc").cast("int"))
+      .as[CoocDelta]
+      .localCheckpoint(true)
+    Some(last)
   }
 
   /** Rescore the accumulated matrix: row sums first, then LLR top-K.
@@ -142,6 +224,7 @@ object StreamingCooc {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batchDf: DataFrame, batchId: Long) =>
         processBatch(st, batchDf.as[Interaction], batchId, fMax, kMax, seed)
+        ()
       }
       .start()
     q.awaitTermination()

@@ -108,6 +108,49 @@ class MainSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sampled.streaming && Main.runStreaming(spark, sampled).count() > 0)
   }
 
+  test("-st -cp: a run KILLED mid-stream resumes from checkpoint to the uninterrupted result, exactly once") {
+    // 4 files with distinct mod-times -> 4 deterministic microbatches
+    // under maxFilesPerTrigger=1; tight cuts + fixed seed so the sampled
+    // (stateful, RNG-keyed) path is what must survive the kill
+    val lines = (1 to 24).flatMap(u => (1 to 6).map(i => s"$u,${i % 4},${u * 1000 + i * 10}"))
+    val dir = Files.createTempDirectory("graft_resume").toFile
+    lines.grouped(lines.size / 4 + 1).zipWithIndex.foreach { case (chunk, idx) =>
+      val f = new java.io.File(dir, f"part$idx%02d.csv")
+      Files.write(f.toPath, chunk.mkString("\n").getBytes)
+      assert(f.setLastModified(1700000000000L + idx * 60000L))
+    }
+    def cfg(ckpt: String) = Config.parse(Array(
+      "-i", dir.getAbsolutePath, "-st", "-cp", ckpt,
+      "-ws", "1", "-wu", "HOURS", "-ic", "12", "-uc", "2", "-s", "42")).toOption.get
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSet
+
+    // reference run: same config, fresh checkpoint, never interrupted
+    val expected = rows(Main.runStreaming(spark,
+      cfg(Files.createTempDirectory("graft_ckpt_ref").toString)))
+
+    // interrupted run: crash AFTER batch 1's state snapshot commits but
+    // BEFORE Spark commits its offsets — the exactly-once window
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val killed = intercept[Exception] {
+      Main.runStreaming(spark, cfg(ckpt), onBatch = (id, _) =>
+        if (id == 1) throw new RuntimeException("injected kill after batch 1"))
+    }
+    assert(killed.getMessage.contains("injected kill")
+      || Option(killed.getCause).exists(_.getMessage.contains("injected kill")))
+
+    // resume with the SAME checkpoint: batch 1 is re-delivered (offsets
+    // were never committed) but must be SKIPPED (its effects are already
+    // in the restored state); 2..3 process fresh
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Boolean)]()
+    val resumed = rows(Main.runStreaming(spark, cfg(ckpt),
+      onBatch = (id, processed) => seen.synchronized { seen += id -> processed; () }))
+    assert(seen.toList == List(1L -> false, 2L -> true, 3L -> true),
+      s"resume must replay-skip batch 1 and process only 2..3: $seen")
+    assert(resumed == expected,
+      "kill+resume must equal the uninterrupted run (sampled path, same seed)")
+  }
+
   test("sampled mode from CLI runs and respects cuts") {
     val lines = (1 to 50).flatMap(u => (1 to 10).map(i => s"$u,${i % 5},${u * 100 + i}"))
     val dir = Files.createTempDirectory("graft_csv2").toFile
