@@ -30,7 +30,7 @@ object ExtQueries40 {
     * re-read the same files. */
   private val stageCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def stagedCsv(s: SparkSession, dir: String): String =
+  private[graft] def stagedCsv(s: SparkSession, dir: String): String =
     stageCache.computeIfAbsent(dir, { _ =>
       // full-width digest of the dir string, NOT String.hashCode: two
       // event dirs colliding on a 32-bit hash would silently share (and
