@@ -384,25 +384,35 @@ object ExtQueries {
   private val wordsSql =
     "SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM documents"
 
+  /** CTE chain `n, common, j` computing exact jaccard (`j(doc_a, doc_b,
+    * jac)`) over candidate pairs (cand: doc_a, doc_b) and the word table
+    * `w`. */
+  private val jaccardJoinCtes: String =
+    """n AS (SELECT doc_id, COUNT(*) AS n_w FROM w GROUP BY doc_id),
+      |common AS (
+      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      |  FROM cand c
+      |  JOIN w wa ON wa.doc_id = c.doc_a
+      |  JOIN w wb ON wb.doc_id = c.doc_b AND wb.word = wa.word
+      |  GROUP BY c.doc_a, c.doc_b),
+      |j AS (
+      |  SELECT doc_a, doc_b,
+      |         n_common * 1.0 / (na.n_w + nb.n_w - n_common) AS jac
+      |  FROM common
+      |  JOIN n na ON na.doc_id = doc_a
+      |  JOIN n nb ON nb.doc_id = doc_b)""".stripMargin
+
   /** Exact-jaccard verification over candidate pairs (cand: doc_a, doc_b). */
   private def jaccardVerifySql(threshold: Double): String =
-    s"""n AS (SELECT doc_id, COUNT(*) AS n_w FROM w GROUP BY doc_id),
-       |common AS (
-       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
-       |  FROM cand c
-       |  JOIN w wa ON wa.doc_id = c.doc_a
-       |  JOIN w wb ON wb.doc_id = c.doc_b AND wb.word = wa.word
-       |  GROUP BY c.doc_a, c.doc_b),
-       |j AS (
-       |  SELECT doc_a, doc_b,
-       |         n_common * 1.0 / (na.n_w + nb.n_w - n_common) AS jac
-       |  FROM common
-       |  JOIN n na ON na.doc_id = doc_a
-       |  JOIN n nb ON nb.doc_id = doc_b)
+    s"""$jaccardJoinCtes
        |SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard FROM j
        |WHERE jac >= $threshold ORDER BY doc_a, doc_b""".stripMargin
 
-  private val minhashLshSql: String = {
+  /** CTE chain ending in `j(doc_a, doc_b, jac)` — the doc-grain
+    * MinHash-LSH candidate + exact-jaccard pipeline, shared by the
+    * near-dup oracle and the minhash connected-components oracle
+    * (ExtQueries42). */
+  private[graft] val minhashJoinCtes: String = {
     val mhExprs = (0 until NumHashes)
       .map(j => s"MIN(${minhashSql(j, "hm")}) AS mh$j").mkString(",\n  ")
     val bandSelects = (0 until NumBands).map { bnd =>
@@ -410,7 +420,7 @@ object ExtQueries {
         .map(j => s"CAST(mh$j AS VARCHAR)").mkString(", ")
       s"SELECT doc_id, $bnd AS band, concat_ws(',', $sig) AS sig FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH w AS ($wordsSql),
+    s"""w AS ($wordsSql),
        |hm AS (SELECT doc_id, ${hModSql("word")} AS hm FROM w),
        |sig AS (SELECT doc_id, $mhExprs FROM hm GROUP BY doc_id),
        |bands AS (
@@ -419,8 +429,13 @@ object ExtQueries {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-       |${jaccardVerifySql(0.9)}""".stripMargin
+       |$jaccardJoinCtes""".stripMargin
   }
+
+  private val minhashLshSql: String =
+    s"""WITH $minhashJoinCtes
+       |SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard FROM j
+       |WHERE jac >= 0.9 ORDER BY doc_a, doc_b""".stripMargin
 
   /** CTE chain ending in `pairs(doc_a, doc_b, fp_a, fp_b)` — shared by
     * the simhash near-dup oracle and the connected-components oracle

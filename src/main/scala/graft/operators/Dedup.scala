@@ -280,6 +280,83 @@ object Dedup {
     }.reduce(_ unionAll _)
   }
 
+  /** Identical-word-set groups over the distinct (doc_id, word) set: one
+    * row per DISTINCT word set with its sorted hash array (`wset`), size
+    * (`n_w`), representative (`setid` = min member doc_id) and sorted
+    * `members`. Jaccard and the minhash signature are functions of the
+    * word set alone, so all banding/verification downstream runs at this
+    * compressed grain (see minhashNearDups' compression note). */
+  private def wordSetGroups(words: DataFrame): DataFrame =
+    words
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(xxhash64(col("word")))).as("wset"),
+        count(lit(1)).as("n_w"))
+      .groupBy(col("wset"), col("n_w"))
+      .agg(min(col("doc_id")).as("setid"),
+        sort_array(collect_list(col("doc_id"))).as("members"))
+
+  /** Verified near-dup pairs between word-set REPRESENTATIVES: banded
+    * LSH candidates (pair-once), exactness-preserving size-ratio
+    * prefilter, then exact Jaccard via the native sorted-merge intersect.
+    * Both endpoints are `setid`s from `groups`. */
+  private def repVerifiedPairs(words: DataFrame, groups: DataFrame,
+      threshold: Double): DataFrame = {
+    val reps = groups.select(col("setid").as("doc_id"),
+      col("wset"), col("n_w"))
+    val repWords = words.join(reps.select(col("doc_id")), Seq("doc_id"))
+    val setsA = reps.select(col("doc_id").as("doc_a"),
+      col("wset").as("wset_a"), col("n_w").as("n_a"))
+    val setsB = reps.select(col("doc_id").as("doc_b"),
+      col("wset").as("wset_b"), col("n_w").as("n_b"))
+    lshCandidates(minhashSignaturesFromWords(repWords))
+      .join(setsA, Seq("doc_a"))
+      .join(setsB, Seq("doc_b"))
+      // size-ratio prefilter (exactness-preserving): jac(A,B) <=
+      // min(|A|,|B|)/max(|A|,|B|), so mismatched-size candidates can't
+      // reach the threshold — skip their merge loop entirely
+      .where(least(col("n_a"), col("n_b")) >=
+        lit(threshold) * greatest(col("n_a"), col("n_b")))
+      .withColumn("n_common",
+        graft.functions.SortedIntersect.size(col("wset_a"), col("wset_b")))
+      .withColumn("jaccard",
+        col("n_common") * lit(1.0) / (col("n_a") + col("n_b") - col("n_common")))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /**
+   * Connected components over MinHash near-dup pairs (unigram Jaccard >=
+   * threshold) — the MinHash twin of `simhashComponents`, with the same
+   * rep-graph contraction: members of a multi-doc identical-word-set
+   * group are pairwise jaccard-1.0 duplicates, so each group contracts to
+   * ONE CC node (its setid) and the label propagation only ever moves
+   * over verified rep pairs — never the within-group cliques the
+   * doc-grain edge list would carry (C(n,2) edges per duplicate cohort).
+   * Output (node, comp): every doc in a >=2-doc component, comp = min
+   * reachable doc_id. Labels agree with the doc-grain CC because setid is
+   * by construction the min doc_id of its group, so min-over-setids ==
+   * min-over-docs.
+   */
+  def minhashComponents(docs: DataFrame, threshold: Double): DataFrame = {
+    val words = docWords(docs).persist()
+    val groups = wordSetGroups(words).persist()
+    try {
+      val repEdges = repVerifiedPairs(words, groups, threshold)
+        .select(col("doc_a"), col("doc_b"))
+      val repComps = ConnectedComponents.components(repEdges)
+      // multi-member groups are components even with no cross edge
+      // (their within-group jaccard is exactly 1.0 >= any threshold);
+      // singleton groups with no edges are excluded, exactly as docs
+      // with no pairs are absent from the doc-grain output
+      groups.join(repComps.withColumnRenamed("node", "setid"), Seq("setid"), "left_outer")
+        .where(size(col("members")) > 1 || col("comp").isNotNull)
+        .select(explode(col("members")).as("m"),
+          coalesce(col("comp"), col("setid")).as("comp"))
+        .select(col("m").cast("long").as("node"), col("comp"))
+        .localCheckpoint(true)
+    } finally { words.unpersist(); groups.unpersist() }
+  }
+
   /**
    * MinHash+LSH near-dup: LSH candidates verified with unigram Jaccard
    * >= threshold over per-doc xxhash64(word) arrays — exact modulo
@@ -315,36 +392,9 @@ object Dedup {
     // sets, and — decisively — the expansion pairs carry no arrays.
     // Set identity keys on the xxhash64 word-hash array: same collision
     // bound as the verification arrays themselves (documented there).
-    val groups = words
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(xxhash64(col("word")))).as("wset"),
-        count(lit(1)).as("n_w"))
-      .groupBy(col("wset"), col("n_w"))
-      .agg(min(col("doc_id")).as("setid"),
-        sort_array(collect_list(col("doc_id"))).as("members"))
-      .persist()
+    val groups = wordSetGroups(words).persist()
     try { // exception-safe: release the cached tables on any failure
-    val reps = groups.select(col("setid").as("doc_id"),
-      col("wset"), col("n_w"))
-    val repWords = words.join(reps.select(col("doc_id")), Seq("doc_id"))
-    val setsA = reps.select(col("doc_id").as("doc_a"),
-      col("wset").as("wset_a"), col("n_w").as("n_a"))
-    val setsB = reps.select(col("doc_id").as("doc_b"),
-      col("wset").as("wset_b"), col("n_w").as("n_b"))
-    val verified = lshCandidates(minhashSignaturesFromWords(repWords))
-      .join(setsA, Seq("doc_a"))
-      .join(setsB, Seq("doc_b"))
-      // size-ratio prefilter (exactness-preserving): jac(A,B) <=
-      // min(|A|,|B|)/max(|A|,|B|), so mismatched-size candidates can't
-      // reach the threshold — skip their merge loop entirely
-      .where(least(col("n_a"), col("n_b")) >=
-        lit(threshold) * greatest(col("n_a"), col("n_b")))
-      .withColumn("n_common",
-        graft.functions.SortedIntersect.size(col("wset_a"), col("wset_b")))
-      .withColumn("jaccard",
-        col("n_common") * lit(1.0) / (col("n_a") + col("n_b") - col("n_common")))
-      .where(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val verified = repVerifiedPairs(words, groups, threshold)
     // expansion: a rep pair stands for all cross-group member pairs (two
     // docs collide in a band iff their reps do, and jaccard is constant
     // across each group), ordered doc_a < doc_b like the direct join
