@@ -99,8 +99,13 @@ object ExtQueries42 {
 
     "stream_dsv2_pruned" -> ((s, dir) => {
       val staged = ExtQueries40.stagedCsv(s, dir)
-      val agg = s.readStream.format("graft-interactions").load(staged)
-        .select(col("item"))
+      // the `columns` option shrinks the TABLE schema: Spark's
+      // micro-batch planner never runs V2 scan pushdown for streaming
+      // relations, so this is the only way the streaming reader can
+      // skip parsing the dropped fields (InteractionsSourceSpec pins
+      // both behaviors)
+      val agg = s.readStream.format("graft-interactions")
+        .option("columns", "item").load(staged)
         .groupBy(col("item")).agg(count(lit(1)).as("n_events"))
       graft.streaming.StreamingOps.runToMemory(agg, s"dsv2spr_${System.nanoTime()}")
         .orderBy(col("item"))

@@ -38,10 +38,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  *
  * Column pruning is pushed into the reader
  * (SupportsPushDownRequiredColumns): a `groupBy(user).count()` plan
- * materializes one-field rows, never parses what it drops. Filters are
- * NOT pushed — with three fixed columns the line must be split either
- * way, so a filter pushdown would only duplicate Catalyst's own
- * codegen'd filter.
+ * materializes one-field rows, never parses what it drops. STREAMING
+ * reads can't benefit from that path — Spark's micro-batch planner does
+ * not run V2 scan pushdown for streaming relations — so the format also
+ * accepts a `columns` option (comma-separated subset) that shrinks the
+ * TABLE schema itself; a `readStream.option("columns", "item")` scan
+ * then never parses the dropped fields. Filters are NOT pushed — with
+ * three fixed columns the line must be split either way, so a filter
+ * pushdown would only duplicate Catalyst's own codegen'd filter.
  *
  * Scale posture: parallelism = file count (the format's inherent
  * limit — the reference has the same property); a 100 TB corpus in this
@@ -55,20 +59,21 @@ class InteractionsSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-interactions"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    InteractionsSource.Schema
+    InteractionsSource.schemaFor(options.get("columns"))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    // the format's schema is FIXED — a caller-supplied divergent schema
-    // would otherwise be silently ignored and produce confusing
-    // downstream analysis errors
-    require(schema == null || schema == InteractionsSource.Schema,
-      s"graft-interactions has a fixed schema ${InteractionsSource.Schema.simpleString}; " +
+    val expected = InteractionsSource.schemaFor(properties.get("columns"))
+    // the format's schema is FIXED (modulo the `columns` projection
+    // option) — a caller-supplied divergent schema would otherwise be
+    // silently ignored and produce confusing downstream analysis errors
+    require(schema == null || schema == expected,
+      s"graft-interactions has a fixed schema ${expected.simpleString}; " +
         s"got ${schema.simpleString} — drop the .schema(...) call")
     val path = properties.get("path")
     require(path != null && path.nonEmpty,
       "graft-interactions requires a single load(path)")
-    new InteractionsTable(path)
+    new InteractionsTable(path, expected)
   }
 }
 
@@ -77,6 +82,25 @@ object InteractionsSource {
     .add("user", IntegerType)
     .add("item", IntegerType)
     .add("ts", TimestampType)
+
+  /** Table schema for an optional `columns` projection option
+    * (comma-separated subset in any order; served in source field
+    * order). The option exists because Spark's micro-batch planner does
+    * NOT run V2 scan pushdown for streaming relations — a batch read
+    * prunes through SupportsPushDownRequiredColumns automatically, but a
+    * `readStream` scan is planned with the full table schema, so the
+    * only way a streaming reader can skip parsing dropped fields is to
+    * shrink the TABLE schema itself. Unknown names fail loudly. */
+  private[sources] def schemaFor(columnsOpt: String): StructType = {
+    if (columnsOpt == null || columnsOpt.trim.isEmpty) return Schema
+    val want = columnsOpt.split(",").map(_.trim).filter(_.nonEmpty)
+    val unknown = want.filterNot(Schema.fieldNames.contains)
+    require(unknown.isEmpty,
+      s"graft-interactions: unknown columns ${unknown.mkString(", ")} " +
+        s"(valid: ${Schema.fieldNames.mkString(", ")})")
+    require(want.nonEmpty, "graft-interactions: columns option is empty")
+    new StructType(Schema.fields.filter(f => want.contains(f.name)))
+  }
 
   /** Data files under `path` (or `path` itself) in the reference
     * monitor's deterministic (modification-time, name) order, hidden
@@ -99,26 +123,28 @@ object InteractionsSource {
   }
 }
 
-private[sources] class InteractionsTable(path: String) extends Table with SupportsRead {
+private[sources] class InteractionsTable(path: String, tableSchema: StructType)
+    extends Table with SupportsRead {
   override def name(): String = s"graft-interactions(`$path`)"
-  override def schema(): StructType = InteractionsSource.Schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     // capture the calling session's Hadoop conf HERE (driver, planning
     // thread) — execution-time callbacks must not depend on which
     // session is "active" on the thread that happens to invoke them
-    new InteractionsScanBuilder(path,
+    new InteractionsScanBuilder(path, tableSchema,
       new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration))
 }
 
-private[sources] class InteractionsScanBuilder(path: String, conf: SerializableHadoopConf)
+private[sources] class InteractionsScanBuilder(path: String,
+    tableSchema: StructType, conf: SerializableHadoopConf)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
-  private var required: StructType = InteractionsSource.Schema
+  private var required: StructType = tableSchema
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve the source's field order; Spark projects afterwards
-    required = new StructType(InteractionsSource.Schema.fields
+    required = new StructType(tableSchema.fields
       .filter(f => requiredSchema.fieldNames.contains(f.name)))
 
   override def build(): Scan = new InteractionsScan(path, required, conf)

@@ -126,6 +126,48 @@ class InteractionsSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected one mod-time-ordered file per trigger, got $batches")
   }
 
+  /** Last micro-batch's physical plan through the public explain(). */
+  private def streamingPlan(pruned: Boolean): String = {
+    val reader = spark.readStream.format("graft-interactions")
+    val src = (if (pruned) reader.option("columns", "item") else reader).load(dir)
+    val q = src.select(col("item"))
+      .writeStream.format("noop")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val baos = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(baos)) { q.explain() }
+    baos.toString
+  }
+
+  test("the `columns` option prunes the STREAMING reader; without it Spark plans the full schema") {
+    // Spark's micro-batch planner does NOT run V2 scan pushdown for
+    // streaming relations: a plain readStream scans all three fields
+    // even under a one-column projection...
+    val unpruned = streamingPlan(pruned = false)
+      .linesIterator.filter(_.contains("MicroBatchScan")).mkString
+    assert(unpruned.contains("user#") && unpruned.contains("item#") && unpruned.contains("ts#"),
+      s"expected the full-schema streaming scan (planner behavior changed?): $unpruned")
+    // ...so the source offers a table-schema projection option, which
+    // must reach the streaming scan (the reader then never parses the
+    // dropped fields)
+    val prunedScan = streamingPlan(pruned = true)
+      .linesIterator.filter(_.contains("MicroBatchScan")).mkString
+    assert(prunedScan.nonEmpty && prunedScan.contains("item#") &&
+      !prunedScan.contains("user#") && !prunedScan.contains("ts#"),
+      s"columns option did not prune the streaming scan: $prunedScan")
+  }
+
+  test("columns option: unknown names fail loudly; batch read honors the projection") {
+    val e = intercept[Exception] {
+      spark.read.format("graft-interactions").option("columns", "item,bogus").load(dir).collect()
+    }
+    assert(e.getMessage.contains("unknown columns"), e.getMessage)
+    val rows = spark.read.format("graft-interactions").option("columns", "user,item")
+      .load(dir).collect()
+    assert(rows.forall(_.length == 2) && rows.length == 5)
+  }
+
   test("streaming offset watermark: restart from checkpoint ingests only files past the watermark") {
     val d2 = Files.createTempDirectory("dsv2_stream").toString
     val ckpt = Files.createTempDirectory("dsv2_ckpt").toString
