@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.{Dedup, Similarity, Tables, TextAnalysis}
+import graft.operators.{Dedup, DedupIndex, Similarity, Tables, TextAnalysis}
 
 /**
  * Round-6 sixth wave: curation + evaluation operators for a training-data
@@ -95,7 +95,7 @@ object ExtQueries16 {
     // selection is a per-component window (partitioned, never global).
     "dedup_keep_best" -> ((s, dir) => {
       val d = Tables.table(s, dir, "documents")
-      val comp = Dedup.simhashComponents(d, 3)
+      val comp = DedupIndex.simhashComponents(s, dir, 3)
       val ws = split(col("text"), " ")
       val scored = d.select(col("doc_id"),
         (size(array_distinct(ws)).cast("double") / size(ws)).as("score"))

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, DeterministicSample, Tables}
+import graft.operators.{Dedup, DedupIndex, DeterministicSample, Tables}
 
 /**
  * Round-6 tenth wave: split hygiene.
@@ -75,7 +75,7 @@ object ExtQueries20 {
       val docs = Tables.table(s, dir, "documents")
       val splits = DeterministicSample.split(docs.select(col("doc_id")),
         col("doc_id").cast("string"), ValPct, TestPct)
-      val comps = Dedup.simhashComponents(docs, 3)
+      val comps = DedupIndex.simhashComponents(s, dir, 3)
         .select(col("node").as("doc_id"), col("comp"))
       val compSplit = DeterministicSample.split(
         comps.select(col("comp")).distinct(),

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Tables}
+import graft.operators.{Dedup, DedupIndex, Tables}
 
 /**
  * Round-7 wave: dedup-structure reporting — the summary views a
@@ -26,7 +26,7 @@ object ExtQueries34 {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "dedup_cluster_stats" -> ((s, dir) => {
-      val comps = Dedup.simhashComponents(Tables.table(s, dir, "documents"), 3)
+      val comps = DedupIndex.simhashComponents(s, dir, 3)
       comps.groupBy(col("comp")).agg(count(lit(1)).as("size"))
         .groupBy(col("size")).agg(count(lit(1)).as("n_clusters"))
         .select(col("size"), col("n_clusters"),
@@ -36,10 +36,11 @@ object ExtQueries34 {
 
     "dup_ratio_by_source" -> ((s, dir) => {
       val docs = Tables.table(s, dir, "documents")
-      // Membership only needs the pair endpoints — the CC labels would be
-      // discarded, so skip the iterative loop entirely (one explode+distinct).
-      val members = Dedup.simhashNearDups(docs, 3)
-        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+      // Membership = the cluster index's node set (a doc appears in some
+      // near-dup pair iff it carries a component label), so this is a
+      // free scan of the memoized index rather than a pair rebuild.
+      val members = DedupIndex.simhashComponents(s, dir, 3)
+        .select(col("node").as("doc_id"))
       docs.join(members.withColumn("is_dup", lit(1L)), Seq("doc_id"), "left_outer")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.operators.{Dedup, Tables}
+import graft.operators.{Dedup, DedupIndex, Tables}
 
 /**
  * Round-8 wave: dedup-aware training-set construction — the numbers a
@@ -34,7 +34,7 @@ object ExtQueries39 {
 
     "dedup_sample_weights" -> ((s, dir) => {
       val docs = Tables.table(s, dir, "documents")
-      val comps = Dedup.simhashComponents(docs, 3)
+      val comps = DedupIndex.simhashComponents(s, dir, 3)
         .withColumnRenamed("node", "doc_id")
       val sizes = comps.groupBy(col("comp")).agg(count(lit(1)).as("csize"))
       docs.select(col("doc_id"), col("source"))
@@ -51,7 +51,7 @@ object ExtQueries39 {
 
     "token_dedup_savings" -> ((s, dir) => {
       val docs = Tables.table(s, dir, "documents")
-      val comps = Dedup.simhashComponents(docs, 3)
+      val comps = DedupIndex.simhashComponents(s, dir, 3)
         .withColumnRenamed("node", "doc_id")
       // cluster representative = the min-id member, which IS the comp
       // label; docs outside any cluster are their own representative

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Tables}
+import graft.operators.{Dedup, DedupIndex, Tables}
 
 /**
  * Round-3 surface widening: statistical aggregates, ordered-arg
@@ -219,7 +219,7 @@ object ExtQueries4 {
     // connected components over SimHash near-dup pairs: pairs -> dup
     // GROUPS keyed by min reachable doc_id (min-label propagation).
     "dedup_groups_cc" -> ((s, dir) =>
-      Dedup.simhashComponents(Tables.table(s, dir, "documents"), 3)
+      DedupIndex.simhashComponents(s, dir, 3)
         .select(col("node").as("doc_id"), col("comp"))
         .orderBy(col("doc_id"))),
 

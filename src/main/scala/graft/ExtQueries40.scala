@@ -103,9 +103,10 @@ object ExtQueries40 {
       val agg = s.readStream.format("graft-interactions").load(staged)
         .groupBy(col("user"))
         .agg(count(lit(1)).as("n_events"),
-          // streaming forbids countDistinct; a per-user item set is
-          // bounded by the catalog, so the set-size form is safe state
-          size(array_distinct(collect_list(col("item")))).cast("long").as("n_items"),
+          // streaming forbids countDistinct; collect_set's per-user state
+          // is bounded by the catalog (collect_list would grow with the
+          // user's EVENT count, breaking that bound)
+          size(collect_set(col("item"))).cast("long").as("n_items"),
           max(unix_millis(col("ts"))).as("last_ms"))
       graft.streaming.StreamingOps.runToMemory(agg, s"dsv2s_${System.nanoTime()}")
         .orderBy(col("user"))

@@ -37,7 +37,9 @@ object ExtQueries41 {
     * components — the grain every provenance report here works at. */
   private def clusterSources(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.table(s, dir, "documents")
-    Dedup.simhashComponents(docs, 3)
+    // memoized cluster index (DedupIndex): built once per corpus
+    // snapshot, scanned by every provenance report
+    graft.operators.DedupIndex.simhashComponents(s, dir, 3)
       .join(docs.select(col("doc_id").as("node"), col("source")), "node")
       .select(col("comp"), col("source")).distinct()
   }

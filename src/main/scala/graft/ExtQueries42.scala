@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.{Dedup, Tables}
+import graft.operators.{Dedup, DedupIndex, Tables}
 
 /**
  * Round-9 second wave: MinHash-family parity for clustering, the
@@ -42,7 +42,7 @@ object ExtQueries42 {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "dedup_minhash_groups" -> ((s, dir) =>
-      Dedup.minhashComponents(Tables.table(s, dir, "documents"), 0.9)
+      DedupIndex.minhashComponents(s, dir, 0.9)
         .select(col("node").as("doc_id"), col("comp"))
         .orderBy(col("doc_id"))),
 

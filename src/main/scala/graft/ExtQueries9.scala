@@ -66,22 +66,12 @@ object ExtQueries9 {
       .join(o.as("e3"), col("e3.a") === col("y") && col("e3.b") === col("z"))
       .select(col("x"), col("y"), col("z"))
 
-  /** Distinct item vocabulary for negative_sample's broadcast, guarded:
-    * the broadcast-vocab design is only valid while the item catalog is
-    * small (items ≪ events). The bound is enforced in the SAME job that
-    * materializes it — limit(bound+1) caps what ever reaches the driver,
-    * and the require turns a 10⁹-item catalog into a loud config error
-    * instead of a driver OOM. (Same pattern as Sampling's window guard.) */
-  private[graft] def boundedVocab(s: SparkSession, inter: DataFrame,
-      bound: Int = 10000000): Array[Int] = {
-    import s.implicits._
-    val vocab = inter.select(col("item")).distinct()
-      .limit(bound + 1).as[Int].collect().sorted
-    require(vocab.length <= bound,
-      s"negative_sample: item vocabulary exceeds $bound — the broadcast-vocab " +
-        "strategy no longer fits the driver; use hash-based candidate generation instead")
-    vocab
-  }
+  /** negative_sample's fixed probe-sequence length: how many hash-derived
+    * candidate ids each user tries before settling for fewer than 5
+    * negatives. 128 probes for 5 keeps leaves enormous margin on any
+    * near-dense catalog (see the query's doc); shared with the SQL mirror
+    * so the two engines replay the identical sequence. */
+  private[graft] val NegProbes = 128
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -295,43 +285,44 @@ object ExtQueries9 {
         .orderBy(col("c_nationkey"))
     }),
 
-    // deterministic in-batch negative sampling: 5 non-interacted items
-    // per user, chosen by portable-hash rank — the same sample on any
-    // partitioning, cluster size, or engine. r6 rewrite (r5 verdict #1):
-    // the item vocabulary broadcasts (bounded) and each user keeps a
-    // 5-element heap over it inside flatMapGroups — exactly 5 rows per
-    // user ever exist; the U x V candidate set is never materialized,
-    // anti-joined, or window-sorted. One shuffle total (groupByKey on
-    // user); per-user positives are group-local.
+    // deterministic in-batch negative sampling: up to 5 non-interacted
+    // catalog items per user, drawn by a fixed PROBE SEQUENCE — the same
+    // sample on any partitioning, cluster size, or engine. r9 rewrite
+    // (r9 verdict #6): the item vocabulary never reaches the driver and
+    // the per-user work is O(NegProbes), not O(|vocab|):
+    //   probe j of user u proposes item H(u#j) mod (maxItem+1); probes
+    //   that hit a real catalog item (distributed semi-join against the
+    //   vocab) and are not a positive (distributed anti-join against the
+    //   user's interactions) survive; each user keeps the first 5
+    //   DISTINCT surviving items in probe order.
+    // Every join key is (user) or (item) hash-partitionable; the probe
+    // table is U x NegProbes rows — linear in users with a constant
+    // factor, vs the old broadcast-vocab loop's U x V hash evaluations
+    // (10^15 at 100M users x 10M items). The window rank runs over at
+    // most NegProbes rows per user. maxItem is a 1-row aggregate (a
+    // scalar, not the vocabulary). Acceptance per probe is
+    // |vocab|/(maxItem+1) x P(non-positive) — catalogs are near-dense in
+    // id space, so 128 probes for 5 keeps leave enormous margin.
     "negative_sample" -> ((s, dir) => {
-      import s.implicits._
       val inter = Cooccurrence.interactions(s, dir)
         .where(col("user").isNotNull && col("item").isNotNull)
         .select(col("user"), col("item")).distinct()
-      val vocab = boundedVocab(s, inter)
-      val bc = s.sparkContext.broadcast(vocab)
-      val ord = Ordering.Tuple2[Long, Int]
-      inter.as[(Int, Int)]
-        .groupByKey(_._1)
-        .flatMapGroups { (user: Int, rows: Iterator[(Int, Int)]) =>
-          val pos = rows.map(_._2).toSet
-          val md = java.security.MessageDigest.getInstance("MD5")
-          val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Int)](ord)
-          val items = bc.value
-          var i = 0
-          while (i < items.length) {
-            val item = items(i)
-            if (!pos.contains(item)) {
-              val cand = (PortableHash.hJvm(md, user.toString + ":" + item.toString), item)
-              if (heap.size < 5) heap.enqueue(cand)
-              else if (ord.lt(cand, heap.head)) { heap.dequeue(); heap.enqueue(cand) }
-            }
-            i += 1
-          }
-          heap.dequeueAll.sorted(ord).iterator.zipWithIndex
-            .map { case ((_, item), idx) => (user, idx + 1, item) }
-        }
-        .toDF("user", "rnk", "item")
+        .localCheckpoint(true) // scanned 3x: users, vocab, anti-join
+      val vocab = inter.select(col("item")).distinct()
+      val domain = vocab.agg(max(col("item"))).head.getInt(0) + 1L
+      val probes = inter.select(col("user")).distinct()
+        .select(col("user"), explode(sequence(lit(1), lit(NegProbes))).as("j"))
+        .withColumn("item",
+          (PortableHash.h(concat(col("user").cast("string"), lit("#"),
+            col("j").cast("string"))) % domain).cast("int"))
+      val first = probes
+        .join(vocab, Seq("item"), "left_semi")
+        .join(inter, Seq("user", "item"), "left_anti")
+        .groupBy(col("user"), col("item")).agg(min(col("j")).as("j"))
+      val w = Window.partitionBy(col("user")).orderBy(col("j"))
+      first.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 5)
+        .select(col("user"), col("rnk"), col("item"))
         .orderBy(col("user"), col("rnk"))
     })
   )
@@ -467,21 +458,31 @@ object ExtQueries9 {
         |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
 
     "negative_sample" -> {
-      val hk = PortableHash.hSql("CAST(usr AS VARCHAR) || ':' || CAST(item AS VARCHAR)")
+      val hp = PortableHash.hSql("CAST(u.usr AS VARCHAR) || '#' || CAST(j.j AS VARCHAR)")
       s"""WITH inter AS (
          |  SELECT DISTINCT user_id AS usr,
          |         CAST(json_extract_string(props, 'k') AS INT) AS item
-         |  FROM events),
+         |  FROM events
+         |  WHERE user_id IS NOT NULL
+         |    AND json_extract_string(props, 'k') IS NOT NULL),
          |items AS (SELECT DISTINCT item FROM inter),
          |users AS (SELECT DISTINCT usr FROM inter),
-         |cand AS (
-         |  SELECT u.usr, i.item FROM users u CROSS JOIN items i
-         |  WHERE NOT EXISTS (
-         |    SELECT 1 FROM inter x WHERE x.usr = u.usr AND x.item = i.item)),
+         |dom AS (SELECT MAX(item) + 1 AS m FROM items),
+         |probes AS (
+         |  SELECT u.usr, j.j,
+         |         CAST($hp % (SELECT m FROM dom) AS INT) AS item
+         |  FROM users u CROSS JOIN (SELECT UNNEST(range(1, ${NegProbes + 1})) AS j) j),
+         |first AS (
+         |  SELECT p.usr, p.item, MIN(p.j) AS j
+         |  FROM probes p
+         |  WHERE EXISTS (SELECT 1 FROM items i WHERE i.item = p.item)
+         |    AND NOT EXISTS (
+         |      SELECT 1 FROM inter x WHERE x.usr = p.usr AND x.item = p.item)
+         |  GROUP BY p.usr, p.item),
          |ranked AS (
          |  SELECT usr, item,
-         |         ROW_NUMBER() OVER (PARTITION BY usr ORDER BY $hk, item) AS rnk
-         |  FROM cand)
+         |         ROW_NUMBER() OVER (PARTITION BY usr ORDER BY j) AS rnk
+         |  FROM first)
          |SELECT usr AS "user", rnk, item FROM ranked WHERE rnk <= 5
          |ORDER BY "user", rnk""".stripMargin
     }

@@ -63,7 +63,11 @@ class InteractionsSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val expected = InteractionsSource.schemaFor(properties.get("columns"))
+    // option names are case-insensitive everywhere else in the DSv2 API
+    // (inferSchema receives a CaseInsensitiveStringMap); match that here
+    // so .option("Columns", ...) infers and validates the SAME schema
+    val expected = InteractionsSource.schemaFor(
+      new CaseInsensitiveStringMap(properties).get("columns"))
     // the format's schema is FIXED (modulo the `columns` projection
     // option) — a caller-supplied divergent schema would otherwise be
     // silently ignored and produce confusing downstream analysis errors
@@ -129,16 +133,28 @@ private[sources] class InteractionsTable(path: String, tableSchema: StructType)
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // Streaming admission width: how many pending files one trigger may
+    // ingest, in (mod-time, name) order. 1 = the reference monitor's
+    // contract (strict per-file triggers) and the default; callers whose
+    // corpus windows align across files can raise it to amortize
+    // per-trigger planning without changing the drained result (the
+    // pipeline aggregates are trigger-split independent).
+    val maxFiles = options.getInt("maxFilesPerTrigger", 1)
+    require(maxFiles > 0,
+      s"graft-interactions: maxFilesPerTrigger must be positive, got $maxFiles")
     // capture the calling session's Hadoop conf HERE (driver, planning
     // thread) — execution-time callbacks must not depend on which
     // session is "active" on the thread that happens to invoke them
     new InteractionsScanBuilder(path, tableSchema,
-      new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration))
+      new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration),
+      maxFiles)
+  }
 }
 
 private[sources] class InteractionsScanBuilder(path: String,
-    tableSchema: StructType, conf: SerializableHadoopConf)
+    tableSchema: StructType, conf: SerializableHadoopConf,
+    maxFilesPerTrigger: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = tableSchema
 
@@ -147,13 +163,15 @@ private[sources] class InteractionsScanBuilder(path: String,
     required = new StructType(tableSchema.fields
       .filter(f => requiredSchema.fieldNames.contains(f.name)))
 
-  override def build(): Scan = new InteractionsScan(path, required, conf)
+  override def build(): Scan =
+    new InteractionsScan(path, required, conf, maxFilesPerTrigger)
 }
 
 private[sources] case class InteractionFilePartition(file: String) extends InputPartition
 
 private[sources] class InteractionsScan(path: String, required: StructType,
-    conf: SerializableHadoopConf) extends Scan with Batch {
+    conf: SerializableHadoopConf, maxFilesPerTrigger: Int)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -167,7 +185,8 @@ private[sources] class InteractionsScan(path: String, required: StructType,
     new InteractionsReaderFactory(required.fieldNames, conf)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new InteractionsMicroBatchStream(path, required.fieldNames, conf)
+    new InteractionsMicroBatchStream(path, required.fieldNames, conf,
+      maxFilesPerTrigger)
 }
 
 /**
@@ -217,7 +236,8 @@ private[sources] object InteractionsOffset {
  * re-reading or skipping anything.
  */
 private[sources] class InteractionsMicroBatchStream(path: String,
-    fieldNames: Array[String], conf: SerializableHadoopConf)
+    fieldNames: Array[String], conf: SerializableHadoopConf,
+    maxFilesPerTrigger: Int = 1)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private def key(st: FileStatus): (Long, String) =
@@ -245,7 +265,8 @@ private[sources] class InteractionsMicroBatchStream(path: String,
     }
   }
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxFiles(1)
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxFiles(maxFilesPerTrigger)
 
   override def initialOffset(): Offset = InteractionsOffset.Start
 

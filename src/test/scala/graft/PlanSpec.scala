@@ -166,18 +166,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.linesIterator.count(_.contains("FileScan")) <= 2, p.take(1500))
   }
 
-  test("negative sampling: U x V candidates never materialize — no window, no join, a bounded per-group heap") {
+  test("negative sampling: candidates are the U x NegProbes probe table, never U x V") {
     val df = SparkEntry.queries("negative_sample")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
-    // r6 shape: one groupByKey shuffle on user + flatMapGroups over the
-    // broadcast vocabulary, emitting exactly 5 rows per user. The U x V
-    // candidate set must not exist as rows anywhere in the plan: no
-    // cross/nested-loop join, no anti-join, and no window rank over
-    // candidates.
-    assert(p.contains("MapGroups"), p.take(1500))
-    assert(!p.contains("Window"), "candidate ranking must be the in-group heap:\n" + p.take(1500))
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")
-      && !p.contains("LeftAnti"), "U x V candidates must never materialize:\n" + p.take(1500))
+    // r9 shape: a constant-width probe explode per user (O(users) rows),
+    // hash semi/anti joins for catalog membership and positive exclusion,
+    // and a window rank over at most NegProbes rows per user. What must
+    // NEVER appear is a users x vocabulary expansion: no cross or
+    // nested-loop join anywhere in the plan.
+    assert(p.contains("Generate"), "probe table must come from a sequence explode:\n" + p.take(1500))
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      "catalog membership / positive exclusion must be distributed joins:\n" + p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "U x V candidates must never materialize:\n" + p.take(1500))
   }
 
   test("vocab top-500 is a distributed TakeOrdered, not a single-partition global window") {
