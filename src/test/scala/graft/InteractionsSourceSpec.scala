@@ -100,10 +100,12 @@ class InteractionsSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"unexpected: ${e.getMessage}")
   }
 
-  private def runAvailableNow(path: String, ckpt: Option[String] = None)
-      : Seq[(Long, Seq[(Int, Int)])] = {
+  private def runAvailableNow(path: String, ckpt: Option[String] = None,
+      maxFiles: Option[Int] = None): Seq[(Long, Seq[(Int, Int)])] = {
     val batches = scala.collection.mutable.ArrayBuffer[(Long, Seq[(Int, Int)])]()
-    val w = spark.readStream.format("graft-interactions").load(path)
+    val reader = spark.readStream.format("graft-interactions")
+    maxFiles.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val w = reader.load(path)
       .writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
@@ -124,6 +126,25 @@ class InteractionsSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq((1, 10), (1, 11), (2, 10)), // b_old first: earlier mod-time wins over name order
       Seq((3, 12), (4, 12))),
       s"expected one mod-time-ordered file per trigger, got $batches")
+  }
+
+  test("maxFilesPerTrigger widens admission but keeps (mod-time, name) order; bad values fail loudly") {
+    // both files admitted in ONE trigger, still mod-time-ordered within it
+    // (partitions are planned in admission order, so collect order is the
+    // per-file concatenation)
+    val wide = runAvailableNow(dir, maxFiles = Some(2)).filter(_._2.nonEmpty)
+    assert(wide.map(_._2) == Seq(
+      Seq((1, 10), (1, 11), (2, 10), (3, 12), (4, 12))),
+      s"expected one 2-file batch in admission order, got $wide")
+    // a cap above the pending count drains everything in one trigger too
+    val huge = runAvailableNow(dir, maxFiles = Some(100)).filter(_._2.nonEmpty)
+    assert(huge.map(_._2) == wide.map(_._2),
+      s"expected a single drained batch, got $huge")
+    val e = intercept[Exception] {
+      spark.read.format("graft-interactions")
+        .option("maxFilesPerTrigger", "0").load(dir).collect()
+    }
+    assert(e.getMessage.contains("maxFilesPerTrigger must be positive"), e.getMessage)
   }
 
   /** Last micro-batch's physical plan through the public explain(). */

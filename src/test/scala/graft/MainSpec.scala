@@ -3,6 +3,8 @@ package graft
 import java.nio.file.Files
 import java.util.concurrent.TimeUnit
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
@@ -149,6 +151,40 @@ class MainSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"resume must replay-skip batch 1 and process only 2..3: $seen")
     assert(resumed == expected,
       "kill+resume must equal the uninterrupted run (sampled path, same seed)")
+  }
+
+  test("corrupt newest commit marker: restore falls back to the last parsable commit") {
+    // Build a committed checkpoint (4 files -> batches 0..3, one marker
+    // each), then truncate the NEWEST marker to empty — the shape a kill
+    // leaves behind if the atomic-rename protocol is ever bypassed.
+    // Restore must treat it as uncommitted and fall back to batch 2, not
+    // throw and permanently block resume (r9 advice item 1).
+    val lines = (1 to 12).flatMap(u => (1 to 4).map(i => s"$u,${i % 3},${u * 1000 + i * 10}"))
+    val dir = Files.createTempDirectory("graft_corrupt").toFile
+    lines.grouped(lines.size / 4 + 1).zipWithIndex.foreach { case (chunk, idx) =>
+      val f = new java.io.File(dir, f"part$idx%02d.csv")
+      Files.write(f.toPath, chunk.mkString("\n").getBytes)
+      assert(f.setLastModified(1700000000000L + idx * 60000L))
+    }
+    val ckpt = Files.createTempDirectory("graft_ckpt_corrupt").toString
+    val full = Main.runStreaming(spark, Config.parse(Array(
+      "-i", dir.getAbsolutePath, "-st", "-cp", ckpt,
+      "-ws", "1", "-wu", "HOURS", "-sc", "-k", "5")).toOption.get)
+    assert(full.count() > 0)
+    val metaDir = java.nio.file.Paths.get(ckpt, "graft-state", "meta")
+    val ids = java.nio.file.Files.list(metaDir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.forall(_.isDigit)).map(_.toLong).toSeq.sorted
+    assert(ids == Seq(0L, 1L, 2L, 3L), s"expected markers 0..3, got $ids")
+    Files.write(metaDir.resolve("3"), Array.empty[Byte]) // truncate newest
+    val st = new graft.streaming.StreamingCooc.State(spark)
+    val restored = graft.streaming.StreamingCooc.restoreState(spark, st, ckpt)
+    assert(restored.contains(2L),
+      s"restore must skip the unparsable marker 3 and land on 2, got $restored")
+    // and a checkpoint whose ONLY marker is corrupt restores to fresh-start
+    Seq("0", "1", "2").foreach(id => java.nio.file.Files.delete(metaDir.resolve(id)))
+    val st2 = new graft.streaming.StreamingCooc.State(spark)
+    assert(graft.streaming.StreamingCooc.restoreState(spark, st2, ckpt).isEmpty,
+      "all-corrupt markers must mean fresh start, not a crash")
   }
 
   test("sampled mode from CLI runs and respects cuts") {
