@@ -589,6 +589,81 @@ object Dedup {
   }
 
   /**
+   * Incremental refresh of the simhash cluster index: merge an incoming
+   * shard into a standing `(node, comp)` assignment WITHOUT re-pairing
+   * the standing corpus against itself — the maintenance path of the
+   * persisted dedup index ([[graft.operators.DedupIndex]]): build once,
+   * then each ingest batch runs this refresh.
+   *
+   * Output is IDENTICAL to the full rebuild
+   * `simhashComponents(docs, maxHamming)`, by contraction: every
+   * base-base near-dup pair lies inside one base component (that is what
+   * the base index records), so contracting each base component to its
+   * label preserves the connectivity of the full pair graph — new pairs
+   * always have an incoming endpoint. Labels agree because a base
+   * component's label is already the min doc_id of its members, so the
+   * min over contracted nodes equals the min over docs.
+   *
+   * Scale shape: the banded candidate join is ASYMMETRIC — incoming
+   * against the whole corpus, plus incoming x incoming pair-once; a
+   * base x base pair is never generated. The CC loop runs on the TOUCHED
+   * subgraph only (incoming endpoints + contracted component labels), so
+   * its edge list is bounded by ingest activity, not corpus size;
+   * untouched components keep their labels through a component-count-
+   * sized remap join. (Identical-fingerprint cohort compression, as in
+   * simhashComponents, composes here too if ingest batches grow
+   * boilerplate-heavy; at ingest-batch grain the doc-level join is the
+   * simpler right default.)
+   */
+  def simhashComponentsRefresh(docs: DataFrame, isIncoming: Column,
+      maxHamming: Int, baseComps: DataFrame): DataFrame = {
+    require(maxHamming < SimHashChunks, "pigeonhole needs maxHamming < #chunks")
+    val flagged = docs.select(col("doc_id"), isIncoming.as("inc"))
+    // read twice (two sides of the banded join): materialize once
+    val fps = simhashFingerprints(docs).join(flagged, "doc_id")
+      .localCheckpoint(true)
+    def side(tag: String): DataFrame = fps.select(
+      col("doc_id").as(s"id_$tag") +: col("inc").as(s"inc_$tag") +:
+        col("fp").as(s"fp_$tag") +:
+        (0 until SimHashChunks).map(c =>
+          shiftright(col("fp"), c * ChunkBits)
+            .bitwiseAND(lit((1L << ChunkBits) - 1)).as(s"${tag}c$c")): _*)
+    val a = side("a") // incoming candidates
+    val b = side("b") // the whole corpus
+    val pairs = (0 until SimHashChunks).map { c =>
+      val firstMatch = (0 until c)
+        .map(p => col(s"ac$p") =!= col(s"bc$p"))
+        .foldLeft(col(s"ac$c") === col(s"bc$c"))(_ && _)
+      a.join(b, firstMatch && col("inc_a") &&
+          // pair-once: (inc, base) pairs have a unique orientation;
+          // (inc, inc) pairs order by id
+          (!col("inc_b") || col("id_a") < col("id_b")))
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+    }.reduce(_ unionAll _)
+      .where(col("hamming") <= maxHamming)
+    // contract base endpoints to their standing component label
+    val edges = pairs
+      .join(baseComps.select(col("node").as("id_b"), col("comp").as("comp_b")),
+        Seq("id_b"), "left_outer")
+      .select(col("id_a").as("doc_a"), coalesce(col("comp_b"), col("id_b")).as("doc_b"))
+    val cc = ConnectedComponents.components(edges).localCheckpoint(true)
+    // remap standing labels that merged with the touched subgraph;
+    // untouched components pass through unchanged
+    val remap = baseComps.select(col("comp")).distinct()
+      .join(cc.select(col("node").as("comp"), col("comp").as("merged")),
+        Seq("comp"), "left_outer")
+      .select(col("comp"), coalesce(col("merged"), col("comp")).as("finalc"))
+    val baseOut = baseComps.join(remap, "comp")
+      .select(col("node"), col("finalc").as("comp"))
+    // newly-clustered nodes: incoming docs and previously-unclustered
+    // base docs an incoming pair touched (standing members — including
+    // every component label — already flow through baseOut)
+    val newOut = cc.join(baseComps.select(col("node")), Seq("node"), "left_anti")
+    baseOut.unionByName(newOut).localCheckpoint(true)
+  }
+
+  /**
    * Benchmark decontamination: drop every corpus document whose content
    * hash appears in the eval/benchmark set — the pipeline step that keeps
    * test data out of training corpora. Output is EXACT in both regimes;

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.{Dedup, Tables}
+
+/** Semantic cross-checks for the round-10 wave: incremental cluster-index
+  * refresh must equal the full rebuild, for any base/incoming split. */
+class Ext43Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def comps(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("refresh == full rebuild on real corpus data, several split ratios") {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val full = comps(Dedup.simhashComponents(docs, 3))
+    // different split geometries exercise attach (incoming joins a
+    // standing cluster), fresh clusters (incoming-only pairs), and the
+    // degenerate corners (all-base / heavy-incoming)
+    for (mod <- Seq(2, 3, 5, 10)) {
+      val inc = col("doc_id") % mod === 0
+      val base = Dedup.simhashComponents(docs.where(!inc), 3)
+      val refreshed = comps(Dedup.simhashComponentsRefresh(docs, inc, 3, base))
+      assert(refreshed == full, s"refresh(mod=$mod) diverged from rebuild: " +
+        s"missing=${(full -- refreshed).take(5)} extra=${(refreshed -- full).take(5)}")
+    }
+  }
+
+  test("refresh attaches, creates fresh clusters, and pairs unclustered base docs") {
+    // base: two exact-dup clusters {1,2} and {10,11} (identical text =>
+    // identical fingerprint => hamming 0) plus unpaired 20; incoming: 5
+    // duplicates cluster-1's text (ATTACH), 6+7 are a brand-new dup pair
+    // (FRESH cluster), 8 duplicates 20's text (pairs a previously
+    // UNCLUSTERED base doc)
+    val docs = spark.createDataFrame(Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (10L, "epsilon zeta eta theta"), (11L, "epsilon zeta eta theta"),
+      (20L, "iota kappa lambda mu"),
+      (5L, "alpha beta gamma delta"),
+      (6L, "nu xi omicron pi"), (7L, "nu xi omicron pi"),
+      (8L, "iota kappa lambda mu")
+    )).toDF("doc_id", "text")
+    val inc = col("doc_id").isin(5L, 6L, 7L, 8L)
+    val base = Dedup.simhashComponents(docs.where(!inc), 3)
+    assert(comps(base) == Set((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L)),
+      "base index construction changed")
+    val refreshed = comps(Dedup.simhashComponentsRefresh(docs, inc, 3, base))
+    val full = comps(Dedup.simhashComponents(docs, 3))
+    assert(refreshed == full, s"refresh=$refreshed full=$full")
+    // and the semantic shape: 5 attached to comp 1; {6,7} fresh comp 6;
+    // {8,20} clusters the formerly-unpaired base doc under label 8
+    assert(refreshed == Set((1L, 1L), (2L, 1L), (5L, 1L),
+      (10L, 10L), (11L, 10L), (6L, 6L), (7L, 6L), (8L, 8L), (20L, 8L)))
+  }
+
+  test("empty incoming shard: refresh is the identity on the standing index") {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val base = Dedup.simhashComponents(docs, 3)
+    val refreshed = comps(Dedup.simhashComponentsRefresh(docs, lit(false), 3, base))
+    assert(refreshed == comps(base))
+  }
+}
