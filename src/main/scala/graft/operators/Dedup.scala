@@ -642,11 +642,22 @@ object Dedup {
           bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
     }.reduce(_ unionAll _)
       .where(col("hamming") <= maxHamming)
-    // contract base endpoints to their standing component label
+    refreshAssemble(
+      pairs.select(col("id_a").as("doc_a"), col("id_b").as("doc_b")), baseComps)
+  }
+
+  /**
+   * Shared tail of the index-refresh family: contract corpus-side pair
+   * endpoints to their standing component label, run CC over the touched
+   * subgraph only, remap merged standing labels, and re-emit untouched
+   * members unchanged. `pairs` rows are (doc_a = incoming endpoint,
+   * doc_b = any corpus endpoint); `baseComps` is the standing index.
+   */
+  private def refreshAssemble(pairs: DataFrame, baseComps: DataFrame): DataFrame = {
     val edges = pairs
-      .join(baseComps.select(col("node").as("id_b"), col("comp").as("comp_b")),
-        Seq("id_b"), "left_outer")
-      .select(col("id_a").as("doc_a"), coalesce(col("comp_b"), col("id_b")).as("doc_b"))
+      .join(baseComps.select(col("node").as("doc_b"), col("comp").as("comp_b")),
+        Seq("doc_b"), "left_outer")
+      .select(col("doc_a"), coalesce(col("comp_b"), col("doc_b")).as("doc_b"))
     val cc = ConnectedComponents.components(edges).localCheckpoint(true)
     // remap standing labels that merged with the touched subgraph;
     // untouched components pass through unchanged
@@ -661,6 +672,53 @@ object Dedup {
     // every component label — already flow through baseOut)
     val newOut = cc.join(baseComps.select(col("node")), Seq("node"), "left_anti")
     baseOut.unionByName(newOut).localCheckpoint(true)
+  }
+
+  /**
+   * MinHash twin of [[simhashComponentsRefresh]]: merge an incoming shard
+   * into a standing unigram-Jaccard cluster index. Asymmetric banded LSH
+   * candidates (incoming x corpus, pair-once via the earlier-bands-differ
+   * guard — a base x base candidate is never generated), the
+   * exactness-preserving size-ratio prefilter, exact Jaccard verification
+   * over sorted word-hash arrays, then the shared contracted-CC tail.
+   * Identical output to `minhashComponents(docs, threshold)` by the same
+   * contraction argument: every verified base-base pair lies inside one
+   * standing component, and labels are member minima.
+   */
+  def minhashComponentsRefresh(docs: DataFrame, isIncoming: Column,
+      threshold: Double, baseComps: DataFrame): DataFrame = {
+    val flagged = docs.select(col("doc_id"), isIncoming.as("inc"))
+    val words = docWords(docs).persist()
+    try {
+      val sigs = bandedSignatures(minhashSignaturesFromWords(words))
+        .join(flagged, "doc_id").localCheckpoint(true) // both join sides
+      val a = sigs.as("a")
+      val b = sigs.as("b")
+      val cand = (0 until NumBands).map { bnd =>
+        val first = (0 until bnd)
+          .map(p => col(s"a.band$p") =!= col(s"b.band$p"))
+          .foldLeft(col("a.inc") &&
+            (!col("b.inc") || col("a.doc_id") < col("b.doc_id")))(_ && _)
+        a.join(b, col(s"a.band$bnd") === col(s"b.band$bnd") && first)
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      }.reduce(_ unionAll _)
+      val wordSets = words.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(xxhash64(col("word")))).as("wset"),
+          count(lit(1)).as("n_w"))
+      val verified = cand
+        .join(wordSets.select(col("doc_id").as("doc_a"),
+          col("wset").as("wset_a"), col("n_w").as("n_a")), Seq("doc_a"))
+        .join(wordSets.select(col("doc_id").as("doc_b"),
+          col("wset").as("wset_b"), col("n_w").as("n_b")), Seq("doc_b"))
+        .where(least(col("n_a"), col("n_b")) >=
+          lit(threshold) * greatest(col("n_a"), col("n_b")))
+        .withColumn("n_common",
+          graft.functions.SortedIntersect.size(col("wset_a"), col("wset_b")))
+        .where(col("n_common") * lit(1.0) /
+          (col("n_a") + col("n_b") - col("n_common")) >= lit(threshold))
+        .select(col("doc_a"), col("doc_b"))
+      refreshAssemble(verified, baseComps)
+    } finally words.unpersist()
   }
 
   /**

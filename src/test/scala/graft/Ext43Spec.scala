@@ -71,6 +71,18 @@ class Ext43Spec extends AnyFunSuite with BeforeAndAfterAll {
       (10L, 10L), (11L, 10L), (6L, 6L), (7L, 6L), (8L, 8L), (20L, 8L)))
   }
 
+  test("minhash refresh == full rebuild on real corpus data, several split ratios") {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val full = comps(Dedup.minhashComponents(docs, 0.9))
+    for (mod <- Seq(3, 5)) {
+      val inc = col("doc_id") % mod === 0
+      val base = Dedup.minhashComponents(docs.where(!inc), 0.9)
+      val refreshed = comps(Dedup.minhashComponentsRefresh(docs, inc, 0.9, base))
+      assert(refreshed == full, s"minhash refresh(mod=$mod) diverged: " +
+        s"missing=${(full -- refreshed).take(5)} extra=${(refreshed -- full).take(5)}")
+    }
+  }
+
   test("empty incoming shard: refresh is the identity on the standing index") {
     val docs = Tables.table(spark, sfDir, "documents")
     val base = Dedup.simhashComponents(docs, 3)
