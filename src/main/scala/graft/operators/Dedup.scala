@@ -617,11 +617,26 @@ object Dedup {
    */
   def simhashComponentsRefresh(docs: DataFrame, isIncoming: Column,
       maxHamming: Int, baseComps: DataFrame): DataFrame = {
-    require(maxHamming < SimHashChunks, "pigeonhole needs maxHamming < #chunks")
     val flagged = docs.select(col("doc_id"), isIncoming.as("inc"))
     // read twice (two sides of the banded join): materialize once
     val fps = simhashFingerprints(docs).join(flagged, "doc_id")
       .localCheckpoint(true)
+    simhashComponentsRefreshFromFps(fps, maxHamming, baseComps)
+  }
+
+  /**
+   * Fingerprint-level form of [[simhashComponentsRefresh]] for callers
+   * that PERSIST fingerprints across refreshes — the true incremental
+   * regime: a lakehouse stores `fp` as an indexed column, so each ingest
+   * batch fingerprints only its own docs and the standing corpus is
+   * never re-scanned, let alone re-hashed. `fps` must carry
+   * (doc_id, fp, inc) with `inc` true exactly for the incoming shard.
+   * The streaming maintenance query (stream_index_refresh) folds batches
+   * through this form with an accumulated fp table.
+   */
+  def simhashComponentsRefreshFromFps(fps: DataFrame,
+      maxHamming: Int, baseComps: DataFrame): DataFrame = {
+    require(maxHamming < SimHashChunks, "pigeonhole needs maxHamming < #chunks")
     def side(tag: String): DataFrame = fps.select(
       col("doc_id").as(s"id_$tag") +: col("inc").as(s"inc_$tag") +:
         col("fp").as(s"fp_$tag") +:

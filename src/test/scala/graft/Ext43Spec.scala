@@ -83,6 +83,15 @@ class Ext43Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming index maintenance drains to the full-rebuild index") {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val full = comps(Dedup.simhashComponents(docs, 3))
+    val streamed = ExtQueries43.queries("stream_index_refresh")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == full, s"streamed index diverged: " +
+      s"missing=${(full -- streamed).take(5)} extra=${(streamed -- full).take(5)}")
+  }
+
   test("empty incoming shard: refresh is the identity on the standing index") {
     val docs = Tables.table(spark, sfDir, "documents")
     val base = Dedup.simhashComponents(docs, 3)
