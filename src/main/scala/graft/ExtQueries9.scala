@@ -309,7 +309,13 @@ object ExtQueries9 {
         .select(col("user"), col("item")).distinct()
         .localCheckpoint(true) // scanned 3x: users, vocab, anti-join
       val vocab = inter.select(col("item")).distinct()
-      val domain = vocab.agg(max(col("item"))).head.getInt(0) + 1L
+      // nullable read: an empty catalog short-circuits to an empty frame
+      // instead of NPE-ing on max(NULL) (r10 advice)
+      Option(vocab.agg(max(col("item"))).head.get(0)) match {
+        case None =>
+          inter.select(col("user"), lit(1).as("rnk"), col("item")).limit(0)
+        case Some(maxItem) =>
+      val domain = maxItem.asInstanceOf[Int] + 1L
       val probes = inter.select(col("user")).distinct()
         .select(col("user"), explode(sequence(lit(1), lit(NegProbes))).as("j"))
         .withColumn("item",
@@ -324,6 +330,7 @@ object ExtQueries9 {
         .where(col("rnk") <= 5)
         .select(col("user"), col("rnk"), col("item"))
         .orderBy(col("user"), col("rnk"))
+      }
     })
   )
 

@@ -129,15 +129,17 @@ object StreamingCooc {
     // the marker must APPEAR atomically: a kill mid-create would otherwise
     // leave a partial/empty meta/<id> that a restore could pick as "newest
     // committed". Write to a dot-prefixed temp sibling and rename into
-    // place — atomic on local FS and HDFS; restoreState additionally
-    // ignores unparsable markers as a second line of defence.
+    // place with OVERWRITE — one atomic step even when replaying an
+    // already-committed batch (r10 advice: a separate delete-then-rename
+    // opened a window where the committed marker was briefly absent).
+    // restoreState additionally ignores unparsable markers as a second
+    // line of defence.
     val meta = new org.apache.hadoop.fs.Path(s"$root/meta/$id")
     val tmp = new org.apache.hadoop.fs.Path(s"$root/meta/.$id.tmp")
     val out = fs.create(tmp, true)
     try out.write(s"""{"watermarkMs":${st.watermarkMs}}""".getBytes("UTF-8"))
     finally out.close()
-    fs.delete(meta, false) // replay of a committed batch: replace the marker
-    require(fs.rename(tmp, meta), s"rename $tmp -> $meta failed")
+    CommitMarkers.renameOverwrite(spark, fs, tmp, meta)
   }
 
   /** Restore `st` to the newest committed batch under `checkpoint`.
