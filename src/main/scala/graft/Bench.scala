@@ -39,12 +39,21 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
     val failures = scala.collection.mutable.LinkedHashSet[String]()
+    // Per-query JVM PROCESS CPU seconds alongside wall (round-11 verdict:
+    // a +13% suite-wall drift could not be adjudicated as contention vs
+    // plan regression from wall alone). Wall up + CPU flat = external
+    // contention / IO wait; wall up + CPU up = the query really does more
+    // work. Local mode runs driver + all executor threads in this one
+    // JVM, so process CPU covers the whole query, including GC.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     // a rep that FAILS records None, not its fail-fast wall time — medians
     // are over successful reps only, so a partially-failing query can't
     // report a misleadingly low number (round-5 advice)
-    val runs: Seq[Map[String, Option[Double]]] = (1 to reps).map { _ =>
+    val runs: Seq[Map[String, Option[(Double, Double)]]] = (1 to reps).map { _ =>
       selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
+        val c0 = osBean.getProcessCpuTime
         val ok =
           try { fn(spark, sfDir).count(); true }
           catch { case t: Throwable =>
@@ -52,21 +61,30 @@ object Bench {
               System.err.println(s"[bench] $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
             false
           }
-        name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
+        name -> (if (ok)
+          Some(((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9))
+        else None)
       }
     }
     def median(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
-    val medians = selected.keys.toSeq
-      .map(n => n -> runs.flatMap(_(n)))
-      .collect { case (n, ok) if ok.nonEmpty => n -> median(ok) }
+    val perQuery = selected.keys.toSeq.map(n => n -> runs.flatMap(_(n)))
+    val medians = perQuery
+      .collect { case (n, ok) if ok.nonEmpty => n -> median(ok.map(_._1)) }
+      .toMap
+    val cpuMedians = perQuery
+      .collect { case (n, ok) if ok.nonEmpty => n -> median(ok.map(_._2)) }
       .toMap
     val qs = medians.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val cpus_ = cpuMedians.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
     val fails = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val runWalls = runs.map(_.values.flatten.sum).map(w => f"$w%.1f").mkString("[", ",", "]")
+    val runWalls = runs.map(_.values.flatten.map(_._1).sum).map(w => f"$w%.1f").mkString("[", ",", "]")
     val total = if (medians.nonEmpty) medians.values.sum else 0.0
+    val totalCpu = if (cpuMedians.nonEmpty) cpuMedians.values.sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"run_walls":$runWalls,"queries":$qs,"failures":$fails,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":${f"$totalCpu%.1f"},"reps":$reps,"run_walls":$runWalls,"queries":$qs,"cpu":$cpus_,"failures":$fails,"sf":"$sfDir"}"""
     println(json)
     // the driver captures only the tail of stdout (r5: 116/179 per-query
     // medians lost to truncation) — always persist the full JSON to a file

@@ -314,22 +314,27 @@ object ExtQueries9 {
       Option(vocab.agg(max(col("item"))).head.get(0)) match {
         case None =>
           inter.select(col("user"), lit(1).as("rnk"), col("item")).limit(0)
-        case Some(maxItem) =>
-      val domain = maxItem.asInstanceOf[Int] + 1L
-      val probes = inter.select(col("user")).distinct()
-        .select(col("user"), explode(sequence(lit(1), lit(NegProbes))).as("j"))
-        .withColumn("item",
-          (PortableHash.h(concat(col("user").cast("string"), lit("#"),
-            col("j").cast("string"))) % domain).cast("int"))
-      val first = probes
-        .join(vocab, Seq("item"), "left_semi")
-        .join(inter, Seq("user", "item"), "left_anti")
-        .groupBy(col("user"), col("item")).agg(min(col("j")).as("j"))
-      val w = Window.partitionBy(col("user")).orderBy(col("j"))
-      first.withColumn("rnk", row_number().over(w))
-        .where(col("rnk") <= 5)
-        .select(col("user"), col("rnk"), col("item"))
-        .orderBy(col("user"), col("rnk"))
+        case Some(maxItem: Int) =>
+          val domain = maxItem + 1L
+          val probes = inter.select(col("user")).distinct()
+            .select(col("user"), explode(sequence(lit(1), lit(NegProbes))).as("j"))
+            .withColumn("item",
+              (PortableHash.h(concat(col("user").cast("string"), lit("#"),
+                col("j").cast("string"))) % domain).cast("int"))
+          val first = probes
+            .join(vocab, Seq("item"), "left_semi")
+            .join(inter, Seq("user", "item"), "left_anti")
+            .groupBy(col("user"), col("item")).agg(min(col("j")).as("j"))
+          val w = Window.partitionBy(col("user")).orderBy(col("j"))
+          first.withColumn("rnk", row_number().over(w))
+            .where(col("rnk") <= 5)
+            .select(col("user"), col("rnk"), col("item"))
+            .orderBy(col("user"), col("rnk"))
+        case Some(other) =>
+          throw new IllegalStateException(
+            s"negative_sample expects an int item column, max(item) was $other " +
+              s"(${other.getClass.getName}) — widen the probe-domain arithmetic if " +
+              "the catalog schema changes")
       }
     })
   )

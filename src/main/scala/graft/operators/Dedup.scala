@@ -635,7 +635,21 @@ object Dedup {
    * through this form with an accumulated fp table.
    */
   def simhashComponentsRefreshFromFps(fps: DataFrame,
-      maxHamming: Int, baseComps: DataFrame): DataFrame = {
+      maxHamming: Int, baseComps: DataFrame): DataFrame =
+    refreshAssemble(simhashRefreshPairs(fps, maxHamming), baseComps)
+
+  /** Delta twin of [[simhashComponentsRefreshFromFps]]: same asymmetric
+    * banded candidates, but the output is only the MERGE payload
+    * (see [[refreshDelta]]) — what [[graft.streaming.IndexMaintenance]]
+    * persists per ingest batch. */
+  def simhashComponentsRefreshFromFpsDelta(fps: DataFrame,
+      maxHamming: Int, baseComps: DataFrame): DataFrame =
+    refreshDelta(simhashRefreshPairs(fps, maxHamming), baseComps)
+
+  /** (incoming x corpus) near-dup pairs at fingerprint grain — the shared
+    * candidate stage of the simhash refresh family. `fps` carries
+    * (doc_id, fp, inc); a base x base pair is never generated. */
+  private def simhashRefreshPairs(fps: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming < SimHashChunks, "pigeonhole needs maxHamming < #chunks")
     def side(tag: String): DataFrame = fps.select(
       col("doc_id").as(s"id_$tag") +: col("inc").as(s"inc_$tag") +:
@@ -645,7 +659,7 @@ object Dedup {
             .bitwiseAND(lit((1L << ChunkBits) - 1)).as(s"${tag}c$c")): _*)
     val a = side("a") // incoming candidates
     val b = side("b") // the whole corpus
-    val pairs = (0 until SimHashChunks).map { c =>
+    (0 until SimHashChunks).map { c =>
       val firstMatch = (0 until c)
         .map(p => col(s"ac$p") =!= col(s"bc$p"))
         .foldLeft(col(s"ac$c") === col(s"bc$c"))(_ && _)
@@ -657,8 +671,18 @@ object Dedup {
           bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
     }.reduce(_ unionAll _)
       .where(col("hamming") <= maxHamming)
-    refreshAssemble(
-      pairs.select(col("id_a").as("doc_a"), col("id_b").as("doc_b")), baseComps)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+  }
+
+  /** Document-level delta refresh: fingerprint the docs, then
+    * [[simhashComponentsRefreshFromFpsDelta]]. Output is only the
+    * changed/new `(node, comp)` rows vs `baseComps`. */
+  def simhashComponentsRefreshDelta(docs: DataFrame, isIncoming: Column,
+      maxHamming: Int, baseComps: DataFrame): DataFrame = {
+    val flagged = docs.select(col("doc_id"), isIncoming.as("inc"))
+    val fps = simhashFingerprints(docs).join(flagged, "doc_id")
+      .localCheckpoint(true)
+    simhashComponentsRefreshFromFpsDelta(fps, maxHamming, baseComps)
   }
 
   /**
@@ -669,24 +693,45 @@ object Dedup {
    * doc_b = any corpus endpoint); `baseComps` is the standing index.
    */
   private def refreshAssemble(pairs: DataFrame, baseComps: DataFrame): DataFrame = {
+    val delta = refreshDelta(pairs, baseComps)
+    // untouched standing members pass through unchanged; the delta is
+    // small (ingest-activity-sized) and already materialized, so the
+    // anti-join's build side broadcasts under AQE
+    baseComps.join(delta.select(col("node")), Seq("node"), "left_anti")
+      .unionByName(delta).localCheckpoint(true)
+  }
+
+  /**
+   * Delta form of the refresh tail: ONLY the `(node, comp)` rows a
+   * lakehouse MERGE must write. Two kinds of row come back:
+   *   - UPDATE half: members of a standing component whose label merged
+   *     into a smaller one (every member is rewritten to the new label);
+   *   - INSERT half: nodes newly entering the index — incoming docs that
+   *     clustered, plus previously-unclustered standing docs an incoming
+   *     pair touched.
+   * Untouched standing rows are never emitted, so the payload is bounded
+   * by ingest activity, not index size — the property that makes
+   * continuous index maintenance affordable at 100 TB (the full index is
+   * scanned, never rewritten). `full refreshed index = baseComps rows
+   * whose node is absent from the delta + the delta` (refreshAssemble is
+   * literally that composition).
+   */
+  private def refreshDelta(pairs: DataFrame, baseComps: DataFrame): DataFrame = {
     val edges = pairs
       .join(baseComps.select(col("node").as("doc_b"), col("comp").as("comp_b")),
         Seq("doc_b"), "left_outer")
       .select(col("doc_a"), coalesce(col("comp_b"), col("doc_b")).as("doc_b"))
     val cc = ConnectedComponents.components(edges).localCheckpoint(true)
-    // remap standing labels that merged with the touched subgraph;
-    // untouched components pass through unchanged
-    val remap = baseComps.select(col("comp")).distinct()
-      .join(cc.select(col("node").as("comp"), col("comp").as("merged")),
-        Seq("comp"), "left_outer")
-      .select(col("comp"), coalesce(col("merged"), col("comp")).as("finalc"))
-    val baseOut = baseComps.join(remap, "comp")
+    // standing components whose label merged into another: a contracted
+    // node in cc IS a standing label (incoming doc_ids and standing
+    // labels live in disjoint doc_id sets — a label is the min member of
+    // a base component, so its doc is in base, never incoming)
+    val changed = cc.select(col("node").as("comp"), col("comp").as("finalc"))
+      .where(col("finalc") =!= col("comp"))
+    val changedBase = baseComps.join(changed, "comp")
       .select(col("node"), col("finalc").as("comp"))
-    // newly-clustered nodes: incoming docs and previously-unclustered
-    // base docs an incoming pair touched (standing members — including
-    // every component label — already flow through baseOut)
     val newOut = cc.join(baseComps.select(col("node")), Seq("node"), "left_anti")
-    baseOut.unionByName(newOut).localCheckpoint(true)
+    changedBase.unionByName(newOut).localCheckpoint(true)
   }
 
   /**
@@ -701,38 +746,94 @@ object Dedup {
    * standing component, and labels are member minima.
    */
   def minhashComponentsRefresh(docs: DataFrame, isIncoming: Column,
-      threshold: Double, baseComps: DataFrame): DataFrame = {
+      threshold: Double, baseComps: DataFrame): DataFrame =
+    refreshAssemble(minhashRefreshPairs(docs, isIncoming, threshold), baseComps)
+
+  /** Delta twin of [[minhashComponentsRefresh]] — only the MERGE payload
+    * (see [[refreshDelta]]). */
+  def minhashComponentsRefreshDelta(docs: DataFrame, isIncoming: Column,
+      threshold: Double, baseComps: DataFrame): DataFrame =
+    refreshDelta(minhashRefreshPairs(docs, isIncoming, threshold), baseComps)
+
+  /** Verified (incoming x corpus) Jaccard pairs — the shared candidate +
+    * verification stage of the MinHash refresh family. */
+  private def minhashRefreshPairs(docs: DataFrame, isIncoming: Column,
+      threshold: Double): DataFrame = {
     val flagged = docs.select(col("doc_id"), isIncoming.as("inc"))
     val words = docWords(docs).persist()
     try {
       val sigs = bandedSignatures(minhashSignaturesFromWords(words))
         .join(flagged, "doc_id").localCheckpoint(true) // both join sides
-      val a = sigs.as("a")
-      val b = sigs.as("b")
-      val cand = (0 until NumBands).map { bnd =>
-        val first = (0 until bnd)
-          .map(p => col(s"a.band$p") =!= col(s"b.band$p"))
-          .foldLeft(col("a.inc") &&
-            (!col("b.inc") || col("a.doc_id") < col("b.doc_id")))(_ && _)
-        a.join(b, col(s"a.band$bnd") === col(s"b.band$bnd") && first)
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      }.reduce(_ unionAll _)
       val wordSets = words.groupBy(col("doc_id"))
         .agg(sort_array(collect_list(xxhash64(col("word")))).as("wset"),
           count(lit(1)).as("n_w"))
-      val verified = cand
-        .join(wordSets.select(col("doc_id").as("doc_a"),
-          col("wset").as("wset_a"), col("n_w").as("n_a")), Seq("doc_a"))
-        .join(wordSets.select(col("doc_id").as("doc_b"),
-          col("wset").as("wset_b"), col("n_w").as("n_b")), Seq("doc_b"))
-        .where(least(col("n_a"), col("n_b")) >=
-          lit(threshold) * greatest(col("n_a"), col("n_b")))
-        .withColumn("n_common",
-          graft.functions.SortedIntersect.size(col("wset_a"), col("wset_b")))
-        .where(col("n_common") * lit(1.0) /
-          (col("n_a") + col("n_b") - col("n_common")) >= lit(threshold))
-        .select(col("doc_a"), col("doc_b"))
-      refreshAssemble(verified, baseComps)
+      // the returned pairs are materialized inside FromSigs, so `words`
+      // (backing the lazy wordSets) can be released on exit
+      minhashRefreshPairsFromSigs(sigs, wordSets, threshold)
+    } finally words.unpersist()
+  }
+
+  /**
+   * Signature-level form of the MinHash refresh candidate stage, for
+   * callers that PERSIST signatures and word-hash sets across refreshes
+   * (the stored-column lakehouse regime, twin of
+   * [[simhashComponentsRefreshFromFps]]). `sigs` carries
+   * (doc_id, band0..bandN-1, inc) with `inc` true exactly for the
+   * incoming shard; `wordSets` carries (doc_id, wset, n_w) with `wset`
+   * the sorted distinct word hashes. Output pairs are materialized.
+   */
+  private[graft] def minhashRefreshPairsFromSigs(sigs: DataFrame,
+      wordSets: DataFrame, threshold: Double): DataFrame = {
+    val a = sigs.as("a")
+    val b = sigs.as("b")
+    val cand = (0 until NumBands).map { bnd =>
+      val first = (0 until bnd)
+        .map(p => col(s"a.band$p") =!= col(s"b.band$p"))
+        .foldLeft(col("a.inc") &&
+          (!col("b.inc") || col("a.doc_id") < col("b.doc_id")))(_ && _)
+      a.join(b, col(s"a.band$bnd") === col(s"b.band$bnd") && first)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    }.reduce(_ unionAll _)
+    cand
+      .join(wordSets.select(col("doc_id").as("doc_a"),
+        col("wset").as("wset_a"), col("n_w").as("n_a")), Seq("doc_a"))
+      .join(wordSets.select(col("doc_id").as("doc_b"),
+        col("wset").as("wset_b"), col("n_w").as("n_b")), Seq("doc_b"))
+      .where(least(col("n_a"), col("n_b")) >=
+        lit(threshold) * greatest(col("n_a"), col("n_b")))
+      .withColumn("n_common",
+        graft.functions.SortedIntersect.size(col("wset_a"), col("wset_b")))
+      .where(col("n_common") * lit(1.0) /
+        (col("n_a") + col("n_b") - col("n_common")) >= lit(threshold))
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+  }
+
+  /** Signature-level MinHash refresh (full assembled index) — what an
+    * ingest batch pays when signatures and word sets are stored columns:
+    * no corpus re-tokenization, no signature recompute. */
+  def minhashComponentsRefreshFromSigs(sigs: DataFrame, wordSets: DataFrame,
+      threshold: Double, baseComps: DataFrame): DataFrame =
+    refreshAssemble(
+      minhashRefreshPairsFromSigs(sigs, wordSets, threshold), baseComps)
+
+  /** One-time (per corpus snapshot) computation of the stored columns
+    * [[minhashComponentsRefreshFromSigs]] reads: banded signatures and
+    * sorted word-hash sets, both materialized. This is the UNTIMED setup
+    * of the refresh-scale protocol — in a lakehouse these live in the
+    * doc table and are written at ingest, amortized over every later
+    * refresh. */
+  def minhashRefreshInputs(docs: DataFrame,
+      isIncoming: Column): (DataFrame, DataFrame) = {
+    val flagged = docs.select(col("doc_id"), isIncoming.as("inc"))
+    val words = docWords(docs).persist()
+    try {
+      val sigs = bandedSignatures(minhashSignaturesFromWords(words))
+        .join(flagged, "doc_id").localCheckpoint(true)
+      val wordSets = words.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(xxhash64(col("word")))).as("wset"),
+          count(lit(1)).as("n_w")).localCheckpoint(true)
+      (sigs, wordSets)
     } finally words.unpersist()
   }
 

@@ -6,62 +6,135 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /**
- * Session-lifetime memo for the near-dup CLUSTER INDEX — the
- * `(node, comp)` assignment produced by [[Dedup.simhashComponents]] /
- * [[Dedup.minhashComponents]] over a corpus directory.
+ * Memo for the near-dup CLUSTER INDEX — the `(node, comp)` assignment
+ * produced by [[Dedup.simhashComponents]] / [[Dedup.minhashComponents]]
+ * over a corpus directory.
  *
  * At lakehouse scale the cluster assignment is not a per-query
  * computation: it is built ONCE per corpus snapshot (an O(corpus)
  * LSH + connected-components job) and then every provenance / curation
  * report — source overlap, cluster purity, keep-best selection, sample
  * weights, token savings, dup ratios, leakage repair — is a cheap scan
- * of that persisted index. This object expresses exactly that contract
- * inside one SparkSession: the first caller for a given
- * (corpus fingerprint, algorithm, parameter) triple pays for the build
- * (the result arrives already materialized — both component builders
- * end in an eager `localCheckpoint`), every later caller reuses the
- * checkpointed blocks.
+ * of that persisted index. Two layers express that contract:
  *
- * Keying is defensive on three axes so a stale entry can never serve a
- * wrong answer:
- *   - the SparkContext identity (applicationId + startTime): checkpoint
- *     blocks die with their context, so a restarted context misses;
- *   - the corpus directory;
- *   - a FILE FINGERPRINT of the directory (relative path, length,
- *     mod-time of every data file): if the driver regenerates testdata
- *     mid-session the fingerprint changes and the index is rebuilt.
- *     This mirrors how a real lakehouse keys the index by table
- *     snapshot/version rather than by path.
+ *  - SESSION layer (always on): the first caller for a given
+ *    (corpus fingerprint, algorithm, parameter) triple pays for the
+ *    build (the result arrives already materialized — both component
+ *    builders end in an eager `localCheckpoint`), every later caller in
+ *    the same SparkContext reuses the checkpointed blocks.
+ *  - DURABLE layer (opt-in): with sysprop `graft.index.cache` (or env
+ *    `SPARK_GRAFT_INDEX_CACHE`) set to a directory, a built index is
+ *    also persisted there as parquet keyed by the same triple, and a
+ *    NEW session LOADS it instead of rebuilding — the real
+ *    build-once/scan-many regime across process restarts. Deliberately
+ *    OFF by default: the soak protocol measures cold index builds as
+ *    one JVM per rep, and a default-on durable cache would silently
+ *    turn those cold reps into warm loads.
+ *
+ * Keying is defensive so a stale entry can never serve a wrong answer:
+ *   - the corpus directory's FILE FINGERPRINT (128-bit md5 over relative
+ *     path, length, mod-time of every data file — see [[fingerprint]]):
+ *     if the driver regenerates testdata mid-session, or two corpora
+ *     share file base-names, the keys differ. This mirrors how a real
+ *     lakehouse keys the index by table snapshot/version;
+ *   - the algorithm + parameters;
+ *   - for the session layer additionally the SparkContext identity
+ *     (applicationId + startTime): checkpoint blocks die with their
+ *     context, so a restarted context misses the session layer and
+ *     falls through to the durable one (or rebuilds).
+ *
+ * Durable publication is crash-safe without markers: the parquet is
+ * written to a temp sibling and atomically renamed into its final
+ * directory — an entry is visible iff it is complete; a concurrent
+ * loser deletes its temp and reads the winner's copy.
  */
 object DedupIndex {
 
   private val cache = new ConcurrentHashMap[String, DataFrame]()
 
-  /** Cheap content-version stamp for a table directory: one FS listing,
-    * no data read. */
-  private def fingerprint(spark: SparkSession, tableDir: String): String = {
+  /** Test-visible count of actual index builds (both cache layers
+    * missed). Serving from the durable layer must NOT bump this. */
+  private[graft] val buildCount = new java.util.concurrent.atomic.AtomicLong()
+
+  /** 128-bit content-version stamp for a table directory: md5 over the
+    * RELATIVE path, length and mod-time of every data file. One FS
+    * listing, no data read. (The earlier 32-bit `String.hashCode` over
+    * base names collided by birthday at ~77k corpus versions and could
+    * not tell apart same-named files in different subdirectories.) */
+  private[graft] def fingerprint(spark: SparkSession, tableDir: String): String = {
     val p = new Path(tableDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) s"absent:$tableDir"
     else {
+      val basePath = p.toUri.getPath
       val it = fs.listFiles(p, true)
       val parts = scala.collection.mutable.ArrayBuffer.empty[String]
       while (it.hasNext) {
         val st = it.next()
-        parts += s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
+        val rel = st.getPath.toUri.getPath.stripPrefix(basePath)
+        parts += s"$rel:${st.getLen}:${st.getModificationTime}"
       }
-      parts.sorted.mkString(",").hashCode.toString
+      md5Hex(parts.sorted.mkString(","))
     }
   }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  private def durableRoot: Option[String] =
+    sys.props.get("graft.index.cache").orElse(sys.env.get("SPARK_GRAFT_INDEX_CACHE"))
+
+  private def entryDir(root: String, durableKey: String): java.nio.file.Path =
+    java.nio.file.Paths.get(root, md5Hex(durableKey))
+
+  private def durableLoad(spark: SparkSession, durableKey: String): Option[DataFrame] =
+    durableRoot.flatMap { root =>
+      val d = entryDir(root, durableKey)
+      if (java.nio.file.Files.isDirectory(d)) Some(spark.read.parquet(d.toString))
+      else None
+    }
+
+  /** Best-effort durable publish: a cache-store failure (disk full, no
+    * permission) degrades to session-only memoization, never fails the
+    * query. */
+  private def durableStore(durableKey: String, built: DataFrame): Unit =
+    durableRoot.foreach { root =>
+      val d = entryDir(root, durableKey)
+      if (!java.nio.file.Files.isDirectory(d)) scala.util.Try {
+        val tmp = java.nio.file.Paths.get(root,
+          s".tmp_${md5Hex(durableKey)}_${java.lang.ProcessHandle.current.pid}")
+        built.write.mode("overwrite").parquet(tmp.toString)
+        try java.nio.file.Files.move(tmp, d,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          // a concurrent builder published first: theirs is complete
+          // (the rename is atomic), ours is redundant
+          case _: java.nio.file.FileAlreadyExistsException
+             | _: java.nio.file.DirectoryNotEmptyException
+             | _: java.nio.file.AccessDeniedException =>
+            org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        }
+      }.failed.foreach(t => System.err.println(
+        s"[DedupIndex] durable store failed (serving session-only): $t"))
+    }
 
   private def memo(spark: SparkSession, dir: String, tag: String)
       (build: => DataFrame): DataFrame = {
     val sc = spark.sparkContext
-    val key = s"${sc.applicationId}@${sc.startTime}|$tag|$dir|" +
-      fingerprint(spark, s"$dir/documents.parquet")
+    val durableKey =
+      s"$tag|${fingerprint(spark, s"$dir/documents.parquet")}"
+    val key = s"${sc.applicationId}@${sc.startTime}|$dir|$durableKey"
     // computeIfAbsent gives once-per-key builds even under concurrent
-    // suites; the value is already eagerly checkpointed by the builder
-    cache.computeIfAbsent(key, _ => build)
+    // suites; built values are already eagerly checkpointed by the
+    // builder, loaded values are plain parquet scans
+    cache.computeIfAbsent(key, _ =>
+      durableLoad(spark, durableKey).getOrElse {
+        buildCount.incrementAndGet()
+        val built = build
+        durableStore(durableKey, built)
+        built
+      })
   }
 
   /** Memoized `(node, comp)` simhash cluster index over
@@ -79,6 +152,7 @@ object DedupIndex {
     }
 
   /** Test hook: drop all memoized entries (blocks are released lazily by
-    * the context's GC of unreferenced checkpoint RDDs). */
+    * the context's GC of unreferenced checkpoint RDDs). Also what a new
+    * SparkContext effectively does — its session-layer keys all miss. */
   private[graft] def invalidateAll(): Unit = cache.clear()
 }

@@ -15,13 +15,30 @@ import org.apache.spark.sql.SparkSession
 object CommitMarkers {
 
   /** Atomically rename `tmp` over `dst`, replacing any existing file.
-    * Uses FileContext's OVERWRITE rename (atomic on local FS and HDFS);
-    * falls back to delete+rename only where FileContext is unsupported —
-    * recovery stays correct there via idempotent replay, just one batch
-    * less tight. */
+    *
+    * For `file://` paths this goes through
+    * `java.nio.file.Files.move(..., ATOMIC_MOVE)` — a POSIX rename(2),
+    * which atomically replaces an existing destination. Hadoop's own
+    * LocalFs/ChecksumFs CANNOT be used here: its OVERWRITE rename falls
+    * through to AbstractFileSystem's default 3-arg renameInternal, which
+    * is delete(dst)-then-rename — exactly the marker-absence window this
+    * helper exists to close (r11 advice). Non-local schemes use
+    * FileContext's OVERWRITE rename, which IS a single atomic replace on
+    * HDFS. Where neither path applies, the delete+rename fallback keeps
+    * recovery correct via idempotent replay, just one batch less tight. */
   def renameOverwrite(spark: SparkSession, fs: FileSystem,
       tmp: Path, dst: Path): Unit = {
-    try {
+    if (fs.getScheme == "file") {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(dst.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      // the NIO move bypasses ChecksumFileSystem, orphaning tmp's .crc
+      // sibling; drop it so the meta dir holds only markers (dst has no
+      // .crc, so Hadoop reads it back unverified rather than mismatched)
+      val crc = new Path(tmp.getParent, "." + tmp.getName + ".crc")
+      if (fs.exists(crc)) fs.delete(crc, false)
+    } else try {
       val fc = FileContext.getFileContext(fs.getUri,
         spark.sparkContext.hadoopConfiguration)
       fc.rename(tmp, dst, Options.Rename.OVERWRITE)

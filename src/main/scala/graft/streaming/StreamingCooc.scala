@@ -123,23 +123,15 @@ object StreamingCooc {
     d.write.mode("overwrite").parquet(s"$root/delta/id=$id")
     st.itemState.write.mode("overwrite").parquet(s"$root/items/$id")
     st.userState.write.mode("overwrite").parquet(s"$root/users/$id")
-    val spark = st.itemState.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // the marker must APPEAR atomically: a kill mid-create would otherwise
     // leave a partial/empty meta/<id> that a restore could pick as "newest
-    // committed". Write to a dot-prefixed temp sibling and rename into
-    // place with OVERWRITE — one atomic step even when replaying an
-    // already-committed batch (r10 advice: a separate delete-then-rename
-    // opened a window where the committed marker was briefly absent).
-    // restoreState additionally ignores unparsable markers as a second
-    // line of defence.
-    val meta = new org.apache.hadoop.fs.Path(s"$root/meta/$id")
-    val tmp = new org.apache.hadoop.fs.Path(s"$root/meta/.$id.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(s"""{"watermarkMs":${st.watermarkMs}}""".getBytes("UTF-8"))
-    finally out.close()
-    CommitMarkers.renameOverwrite(spark, fs, tmp, meta)
+    // committed" — CommitMarkers.commit writes a dot-prefixed temp sibling
+    // and atomically renames it into place, even when replaying an
+    // already-committed batch. restoreState additionally ignores
+    // unparsable markers as a second line of defence.
+    CommitMarkers.commit(st.itemState.sparkSession,
+      new org.apache.hadoop.fs.Path(s"$root/meta"), id,
+      s"""{"watermarkMs":${st.watermarkMs}}""")
   }
 
   /** Restore `st` to the newest committed batch under `checkpoint`.
@@ -150,9 +142,7 @@ object StreamingCooc {
     val root = stateRoot(checkpoint)
     val metaDir = new org.apache.hadoop.fs.Path(s"$root/meta")
     val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(metaDir)) return None
-    val committed = fs.listStatus(metaDir).toSeq
-      .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+    val committed = CommitMarkers.committed(spark, metaDir)
     if (committed.isEmpty) return None
     // Markers are written via temp+rename (atomic), but stay defensive: a
     // marker that exists yet doesn't parse is treated as UNCOMMITTED and we

@@ -60,4 +60,79 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     // exact duplicates cluster at every threshold — values agree here
     assert(h3.collect().toSet == h1.collect().toSet)
   }
+
+  test("fingerprint is 128-bit and distinguishes same-named files in subdirs") {
+    val a = Files.createTempDirectory("fp_a")
+    val b = Files.createTempDirectory("fp_b")
+    def put(root: java.nio.file.Path, rel: String, content: String): Unit = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, content.getBytes("UTF-8"))
+      // pin mod-times so only the PATH STRUCTURE differs between a and b
+      p.toFile.setLastModified(1700000000000L)
+    }
+    // same base names, same lengths, same mod-times — different subdirs.
+    // The old base-name hashCode keyed these identically.
+    put(a, "x/part-0.parquet", "12345678")
+    put(b, "y/part-0.parquet", "12345678")
+    val fa = DedupIndex.fingerprint(spark, a.toString)
+    val fb = DedupIndex.fingerprint(spark, b.toString)
+    assert(fa.matches("[0-9a-f]{32}"), s"expected md5 hex, got $fa")
+    assert(fa != fb, "relative path must be part of the fingerprint")
+  }
+
+  test("durable cache: a fresh session layer loads from disk, zero rebuilds") {
+    val cacheDir = Files.createTempDirectory("graft_index_cache").toString
+    System.setProperty("graft.index.cache", cacheDir)
+    try {
+      writeDocs(Seq((10L, "m n o p"), (11L, "m n o p"), (12L, "q r s t")))
+      DedupIndex.invalidateAll()
+      val builds0 = DedupIndex.buildCount.get()
+      val built = DedupIndex.simhashComponents(spark, dir, 3)
+      val expect = built.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(DedupIndex.buildCount.get() == builds0 + 1)
+      assert(expect == Set((10L, 10L), (11L, 10L)))
+
+      // a NEW SparkSession has fresh (applicationId, startTime) keys, so
+      // every session-layer lookup misses — invalidateAll() simulates
+      // exactly that miss pattern within this JVM. The durable layer
+      // must then serve the index as a plain parquet load: no build
+      // (counter), no CC job cascade (job count).
+      DedupIndex.invalidateAll()
+      val jobs = new java.util.concurrent.atomic.AtomicInteger()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val loaded = DedupIndex.simhashComponents(spark, dir, 3)
+        val got = loaded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        org.apache.spark.sql.graftbridge.ListenerBridge
+          .waitUntilEmpty(spark.sparkContext)
+        assert(DedupIndex.buildCount.get() == builds0 + 1,
+          "durable hit must not rebuild")
+        assert(got == expect)
+        // a parquet load + collect is 1-2 jobs; the CC build's iterative
+        // loop plus checkpointing runs far more
+        assert(jobs.get() <= 4,
+          s"load path ran ${jobs.get()} jobs — looks like a rebuild")
+      } finally spark.sparkContext.removeSparkListener(listener)
+
+      // self-invalidation composes with durability: new corpus content
+      // at the same path must MISS the durable entry and rebuild
+      writeDocs(Seq((10L, "m n o p"), (12L, "m n o p")))
+      DedupIndex.invalidateAll()
+      val rebuilt = DedupIndex.simhashComponents(spark, dir, 3)
+      assert(DedupIndex.buildCount.get() == builds0 + 2,
+        "changed corpus must not be served from the durable cache")
+      val got2 = rebuilt.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got2 == Set((10L, 10L), (12L, 10L)), s"stale durable index: $got2")
+    } finally {
+      System.clearProperty("graft.index.cache")
+      DedupIndex.invalidateAll()
+    }
+  }
 }

@@ -92,6 +92,42 @@ class Ext43Spec extends AnyFunSuite with BeforeAndAfterAll {
       s"missing=${(full -- streamed).take(5)} extra=${(streamed -- full).take(5)}")
   }
 
+  test("delta refresh == full rebuild EXCEPT base index (simhash and minhash)") {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val inc = col("doc_id") % 5 === 4
+    // simhash
+    val sBase = Dedup.simhashComponents(docs.where(!inc), 3)
+    val sBaseSet = comps(sBase)
+    val sFull = comps(Dedup.simhashComponents(docs, 3))
+    val sDelta = comps(Dedup.simhashComponentsRefreshDelta(docs, inc, 3, sBase))
+    assert(sDelta == (sFull -- sBaseSet),
+      s"simhash delta != full-minus-base: extra=${(sDelta -- (sFull -- sBaseSet)).take(5)} " +
+        s"missing=${((sFull -- sBaseSet) -- sDelta).take(5)}")
+    assert(sDelta.nonEmpty, "degenerate split — the delta case is untested")
+    // MERGE composition: base rows whose node is absent from the delta,
+    // plus the delta, reconstruct the full index exactly
+    val deltaNodes = sDelta.map(_._1)
+    assert(sBaseSet.filterNot(r => deltaNodes(r._1)) ++ sDelta == sFull)
+    // minhash
+    val mBase = Dedup.minhashComponents(docs.where(!inc), 0.9)
+    val mBaseSet = comps(mBase)
+    val mFull = comps(Dedup.minhashComponents(docs, 0.9))
+    val mDelta = comps(Dedup.minhashComponentsRefreshDelta(docs, inc, 0.9, mBase))
+    assert(mDelta == (mFull -- mBaseSet),
+      s"minhash delta != full-minus-base: extra=${(mDelta -- (mFull -- mBaseSet)).take(5)} " +
+        s"missing=${((mFull -- mBaseSet) -- mDelta).take(5)}")
+  }
+
+  test("signature-level minhash refresh == doc-level (stored-column regime)") {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val inc = col("doc_id") % 5 === 4
+    val (sigs, wordSets) = Dedup.minhashRefreshInputs(docs, inc)
+    val base = Dedup.minhashComponents(docs.where(!inc), 0.9)
+    val fromSigs =
+      comps(Dedup.minhashComponentsRefreshFromSigs(sigs, wordSets, 0.9, base))
+    assert(fromSigs == comps(Dedup.minhashComponents(docs, 0.9)))
+  }
+
   test("empty incoming shard: refresh is the identity on the standing index") {
     val docs = Tables.table(spark, sfDir, "documents")
     val base = Dedup.simhashComponents(docs, 3)

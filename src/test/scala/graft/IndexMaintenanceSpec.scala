@@ -1,0 +1,176 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.{Dedup, Tables}
+import graft.streaming.IndexMaintenance
+
+/** Contract tests for the kill-resumable streaming index maintenance:
+  * drain == full rebuild, idempotent replay, crash self-healing, and —
+  * the r10/r11 scale fix — standing per-batch state is written once and
+  * never re-materialized by later batches. */
+class IndexMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def comps(df: DataFrame): Set[(Long, Long)] =
+    df.select("node", "comp").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def docs: DataFrame = Tables.table(spark, sfDir, "documents")
+
+  private def chunk(c: Int): DataFrame =
+    docs.where(pmod(col("doc_id"), lit(3)) === c)
+
+  /** (relative path, length, mtime) of every file under `dir`. */
+  private def snapshot(dir: String): Set[(String, Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val base = Paths.get(dir)
+    if (!Files.isDirectory(base)) Set.empty
+    else {
+      val walk = Files.walk(base)
+      try walk.iterator().asScala
+        .filter(f => Files.isRegularFile(f))
+        .map(f => (base.relativize(f).toString, Files.size(f),
+          Files.getLastModifiedTime(f).toMillis))
+        .toSet
+      finally walk.close()
+    }
+  }
+
+  test("fold over batches == full rebuild; standing state never rewritten") {
+    val root = Files.createTempDirectory("idx_maint").toString
+    val maint = new IndexMaintenance(spark, root, 3)
+
+    maint.processBatch(0, chunk(0))
+    val afterB0 = snapshot(s"$root/fps/0") ++ snapshot(s"$root/delta/0")
+    assert(afterB0.nonEmpty)
+
+    maint.processBatch(1, chunk(1))
+    val afterB1 = snapshot(s"$root/fps/1") ++ snapshot(s"$root/delta/1")
+
+    maint.processBatch(2, chunk(2))
+
+    // the scale contract: later batches SCAN earlier fps/delta shards,
+    // they never rewrite or re-materialize them (the r10/r11 shape
+    // re-checkpointed the whole accumulated fp union every batch)
+    assert(snapshot(s"$root/fps/0") ++ snapshot(s"$root/delta/0") == afterB0,
+      "batch 1/2 modified batch 0's persisted state")
+    assert(snapshot(s"$root/fps/1") ++ snapshot(s"$root/delta/1") == afterB1,
+      "batch 2 modified batch 1's persisted state")
+
+    assert(maint.committedIds == Seq(0L, 1L, 2L))
+    val full = comps(Dedup.simhashComponents(docs, 3))
+    val folded = comps(maint.currentIndex())
+    assert(folded == full, s"fold diverged from rebuild: " +
+      s"missing=${(full -- folded).take(5)} extra=${(folded -- full).take(5)}")
+  }
+
+  test("replaying a committed batch is a no-op; a crashed batch self-heals") {
+    val root = Files.createTempDirectory("idx_maint_replay").toString
+    val m1 = new IndexMaintenance(spark, root, 3)
+    m1.processBatch(0, chunk(0))
+    m1.processBatch(1, chunk(1))
+    val afterB1 = snapshot(s"$root/fps/1") ++ snapshot(s"$root/delta/1")
+
+    // "restart": a NEW instance over the same root replays batch 1
+    // (foreachBatch replay after a kill between processBatch and the
+    // source-offset commit) — the marker short-circuits, nothing is
+    // rewritten
+    val m2 = new IndexMaintenance(spark, root, 3)
+    m2.processBatch(1, chunk(1))
+    assert(snapshot(s"$root/fps/1") ++ snapshot(s"$root/delta/1") == afterB1,
+      "replay of a committed batch must not rewrite its state")
+
+    // crash MID-batch-2: fps written, delta half-written, NO marker.
+    // The replay must overwrite both and commit.
+    Dedup.simhashFingerprints(chunk(2).select(col("doc_id"), col("text")))
+      .write.mode("overwrite").parquet(s"$root/fps/2")
+    Files.createDirectories(Paths.get(s"$root/delta/2"))
+    Files.write(Paths.get(s"$root/delta/2/part-garbage.parquet"),
+      "not a parquet file".getBytes("UTF-8"))
+    assert(m2.committedIds == Seq(0L, 1L))
+    m2.processBatch(2, chunk(2))
+    assert(m2.committedIds == Seq(0L, 1L, 2L))
+
+    val full = comps(Dedup.simhashComponents(docs, 3))
+    assert(comps(m2.currentIndex()) == full)
+  }
+
+  test("streaming kill/resume lands byte-identical to the uninterrupted run") {
+    // stage the corpus as 3 single-file chunks so the file source feeds
+    // one chunk per trigger
+    val staged = Files.createTempDirectory("idx_maint_staged").toString
+    (0 until 3).foreach { c =>
+      val tmp = s"$staged/_tmp"
+      chunk(c).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val tgt = Paths.get(staged, f"chunk$c%02d.parquet")
+      Files.move(part.toPath, tgt, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      assert(tgt.toFile.setLastModified(1700000000000L + c * 60000L))
+    }
+    val schema = docs.schema
+
+    def drain(root: String, ckpt: String, failAfterBatch: Option[Long]): Unit = {
+      val maint = new IndexMaintenance(spark, root, 3)
+      val killed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          maint.processBatch(id, b)
+          // kill AFTER the state committed but BEFORE Spark commits the
+          // source offset — the replay-prone window
+          if (failAfterBatch.contains(id) && killed.compareAndSet(false, true))
+            throw new RuntimeException("injected kill")
+          ()
+        }
+        .start()
+      try q.awaitTermination()
+      catch {
+        case e: StreamingQueryException =>
+          // only the injected kill is expected; a clean drain rethrows
+          if (failAfterBatch.isEmpty) throw e
+      }
+    }
+
+    val rootA = Files.createTempDirectory("idx_maint_kill").toString
+    val ckptA = Files.createTempDirectory("idx_maint_kill_ckpt").toString
+    drain(rootA, ckptA, failAfterBatch = Some(1L)) // dies after batch 1 commits
+    assert(new IndexMaintenance(spark, rootA, 3).committedIds == Seq(0L, 1L),
+      "kill point: batches 0,1 committed, batch 2 never ran")
+    drain(rootA, ckptA, failAfterBatch = None)     // resume from the checkpoint
+
+    val rootB = Files.createTempDirectory("idx_maint_clean").toString
+    val ckptB = Files.createTempDirectory("idx_maint_clean_ckpt").toString
+    drain(rootB, ckptB, failAfterBatch = None)     // uninterrupted control run
+
+    val resumed = comps(new IndexMaintenance(spark, rootA, 3).currentIndex())
+    val clean = comps(new IndexMaintenance(spark, rootB, 3).currentIndex())
+    val full = comps(Dedup.simhashComponents(docs, 3))
+    assert(resumed == clean, "kill/resume diverged from the uninterrupted run")
+    assert(resumed == full, "drained index diverged from the full rebuild")
+  }
+}
