@@ -22,6 +22,13 @@ import graft.operators.{Dedup, Tables}
  *  - dedup_minhash_refresh: the MinHash (unigram-Jaccard) twin through
  *    [[Dedup.minhashComponentsRefresh]], against its own full-rebuild
  *    oracle.
+ *  - dedup_index_refresh_delta / dedup_minhash_refresh_delta: the
+ *    changed-rows-only variants — exactly the payload a lakehouse MERGE
+ *    writes — against full-rebuild-EXCEPT-base-index oracles.
+ *  - stream_index_refresh: continuous maintenance through
+ *    [[graft.streaming.IndexMaintenance]] (per-batch persisted fp
+ *    shards + delta log + commit markers), drained equal to the full
+ *    rebuild.
  */
 object ExtQueries43 {
 
