@@ -63,18 +63,20 @@ final class IndexMaintenance(spark: SparkSession, root: String, maxHamming: Int)
   /** The standing `(node, comp)` index over all committed batches. */
   def currentIndex(): DataFrame = indexAt(committedIds)
 
-  private val indexSchema =
-    new StructType().add("node", LongType).add("comp", LongType)
+  // deltas carry their batch id as a stored column so the fold is ONE
+  // multi-path FileScan, not an N-way union (a per-batch relation would
+  // add planning + task overhead per COMMITTED batch — the cost must
+  // depend on data volume, never on how many batches ever ran)
+  private val deltaSchema = new StructType()
+    .add("node", LongType).add("comp", LongType).add("b", LongType)
 
   private def indexAt(ids: Seq[Long]): DataFrame =
     if (ids.isEmpty) emptyIndex
     else {
       // explicit schema: a batch whose delta is EMPTY (no new pairs) is
       // legal, and schema inference over an empty parquet dir would fail
-      val deltas = ids.map(b =>
-          spark.read.schema(indexSchema).parquet(s"$root/delta/$b")
-            .withColumn("b", lit(b)))
-        .reduce(_ unionByName _)
+      val deltas = spark.read.schema(deltaSchema)
+        .parquet(ids.map(b => s"$root/delta/$b"): _*)
       val w = Window.partitionBy(col("node")).orderBy(col("b").desc)
       deltas.withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
@@ -101,9 +103,13 @@ final class IndexMaintenance(spark: SparkSession, root: String, maxHamming: Int)
       new StructType().add("doc_id", LongType).add("fp", LongType)
     val newFps = spark.read.schema(fpSchema).parquet(s"$root/fps/$batchId")
       .withColumn("inc", lit(true))
-    val standing = done.map(b =>
-        spark.read.schema(fpSchema).parquet(s"$root/fps/$b"))
-      .reduceOption(_ unionByName _).map(_.withColumn("inc", lit(false)))
+    // one multi-path scan over every standing shard (not a per-batch
+    // union): scan cost tracks corpus volume, not batch count
+    val standing =
+      if (done.isEmpty) None
+      else Some(spark.read.schema(fpSchema)
+        .parquet(done.map(b => s"$root/fps/$b"): _*)
+        .withColumn("inc", lit(false)))
     // transient per-batch caches: the banded join scans `all` once per
     // simhash chunk and the delta tail scans `base` three times; both
     // are released before the batch commits, so no cross-batch memory
@@ -112,6 +118,7 @@ final class IndexMaintenance(spark: SparkSession, root: String, maxHamming: Int)
     val base = indexAt(done).persist()
     try {
       Dedup.simhashComponentsRefreshFromFpsDelta(all, maxHamming, base)
+        .withColumn("b", lit(batchId))
         .write.mode("overwrite").parquet(s"$root/delta/$batchId")
     } finally {
       all.unpersist()
