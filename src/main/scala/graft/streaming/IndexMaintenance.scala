@@ -34,6 +34,11 @@ import graft.operators.Dedup
  *                O(ingest activity), never O(index).
  *   meta/<b>     commit marker, written LAST via [[CommitMarkers]]; a
  *                batch is part of the index iff its marker exists.
+ *   base/<b>     compacted snapshot = the fold of every delta <= b,
+ *                written every `compactEvery` batches (then the covered
+ *                delta dirs are truncated); basemeta/<b> is its marker.
+ *                Snapshots are DERIVED data — correctness never depends
+ *                on one existing, they only bound the fold's read set.
  * }}}
  *
  * Exactly-once under foreachBatch replay: Spark commits source offsets
@@ -49,12 +54,23 @@ import graft.operators.Dedup
  * table; the fold here is that table's read path expressed over the raw
  * delta log.
  */
-final class IndexMaintenance(spark: SparkSession, root: String, maxHamming: Int) {
+final class IndexMaintenance(spark: SparkSession, root: String,
+    maxHamming: Int, compactEvery: Int = 64) {
+
+  require(compactEvery >= 2, s"compactEvery must be >= 2, got $compactEvery")
 
   private val metaDir = new Path(s"$root/meta")
+  private val baseMetaDir = new Path(s"$root/basemeta")
 
   /** Batch ids whose marker committed — the restorable prefix. */
   def committedIds: Seq[Long] = CommitMarkers.committed(spark, metaDir)
+
+  /** Batch ids with a committed COMPACTED SNAPSHOT (`base/<b>` = the
+    * fold of every delta <= b). Snapshots are derived data: a crash
+    * mid-compaction leaves an unmarked partial dir that is simply
+    * ignored. */
+  private def compactedIds: Seq[Long] =
+    CommitMarkers.committed(spark, baseMetaDir)
 
   private def emptyIndex: DataFrame = spark.createDataFrame(
     new java.util.ArrayList[Row](),
@@ -73,15 +89,41 @@ final class IndexMaintenance(spark: SparkSession, root: String, maxHamming: Int)
   private def indexAt(ids: Seq[Long]): DataFrame =
     if (ids.isEmpty) emptyIndex
     else {
+      // start from the newest committed snapshot at or below the fold
+      // horizon, then apply only the deltas past it — the fold reads
+      // O(index + recent deltas), bounded by compactEvery, instead of
+      // the whole delta log since batch 0
+      val base = compactedIds.filter(_ <= ids.max).sorted.lastOption
+      val tailIds = base.fold(ids)(b0 => ids.filter(_ > b0))
+      val paths = base.map(b0 => s"$root/base/$b0").toSeq ++
+        tailIds.map(b => s"$root/delta/$b")
       // explicit schema: a batch whose delta is EMPTY (no new pairs) is
       // legal, and schema inference over an empty parquet dir would fail
-      val deltas = spark.read.schema(deltaSchema)
-        .parquet(ids.map(b => s"$root/delta/$b"): _*)
+      val deltas = spark.read.schema(deltaSchema).parquet(paths: _*)
       val w = Window.partitionBy(col("node")).orderBy(col("b").desc)
       deltas.withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
         .select(col("node"), col("comp"))
     }
+
+  /** Compact the delta log at `batchId`: persist the current fold as a
+    * snapshot, commit its marker, then TRUNCATE the now-redundant delta
+    * dirs (and any older snapshot). Ordering makes every step crash-safe:
+    * the snapshot is unreadable until its marker commits, and deletions
+    * only start after it — a crash anywhere leaves either the old log or
+    * a committed snapshot plus ignorable leftovers. */
+  private def compact(batchId: Long, ids: Seq[Long]): Unit = {
+    val older = compactedIds
+    indexAt(ids).withColumn("b", lit(batchId))
+      .write.mode("overwrite").parquet(s"$root/base/$batchId")
+    CommitMarkers.commit(spark, baseMetaDir, batchId, s"""{"upTo":$batchId}""")
+    val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ids.foreach(b => fs.delete(new Path(s"$root/delta/$b"), true))
+    older.foreach { b =>
+      fs.delete(new Path(s"$root/base/$b"), true)
+      fs.delete(new Path(s"$root/basemeta/$b"), false)
+    }
+  }
 
   /**
    * Fold one ingest batch into the index. Idempotent: a replayed
@@ -125,5 +167,13 @@ final class IndexMaintenance(spark: SparkSession, root: String, maxHamming: Int)
       base.unpersist()
     }
     CommitMarkers.commit(spark, metaDir, batchId, s"""{"batch":$batchId}""")
+    // periodic delta-log compaction: every compactEvery committed
+    // batches, fold the log into a snapshot and truncate it, so the
+    // per-batch index read stays O(index + compactEvery deltas) forever.
+    // Compaction is an optimization of DERIVED data — skipping it (e.g.
+    // this batch was replayed and short-circuited above) only defers
+    // truncation to a later compaction point.
+    if ((done.size + 1) % compactEvery == 0)
+      compact(batchId, done :+ batchId)
   }
 }

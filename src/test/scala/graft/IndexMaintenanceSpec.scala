@@ -116,6 +116,39 @@ class IndexMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(comps(m2.currentIndex()) == full)
   }
 
+  test("compaction truncates the delta log and preserves the fold exactly") {
+    val root = Files.createTempDirectory("idx_maint_compact").toString
+    val batches = 24
+    def mb(b: Int): DataFrame = docs.where(pmod(col("doc_id"), lit(batches)) === b)
+
+    // compactEvery=4 -> a snapshot after every 4th committed batch, each
+    // truncating everything it covers. Process half, then RESUME with a
+    // fresh instance across the compaction points.
+    val m1 = new IndexMaintenance(spark, root, 3, compactEvery = 4)
+    (0 until 12).foreach(b => m1.processBatch(b, mb(b)))
+
+    // batch 11 was a compaction point: the log is fully truncated and
+    // exactly one committed snapshot survives
+    val deltaDirs = Option(new java.io.File(s"$root/delta").listFiles())
+      .map(_.map(_.getName).toSet).getOrElse(Set.empty[String])
+    assert(deltaDirs.isEmpty,
+      s"batch 11 is a compaction point — the whole log should be truncated, left: $deltaDirs")
+    val baseDirs = new java.io.File(s"$root/base").listFiles().map(_.getName).toSet
+    assert(baseDirs == Set("11"), s"expected only snapshot 11, got $baseDirs")
+
+    val m2 = new IndexMaintenance(spark, root, 3, compactEvery = 4)
+    (12 until batches).foreach(b => m2.processBatch(b, mb(b)))
+
+    // the fold is byte-identical to the full rebuild, and only the last
+    // snapshot plus post-snapshot deltas remain on disk
+    val full = comps(Dedup.simhashComponents(docs, 3))
+    val folded = comps(m2.currentIndex())
+    assert(folded == full, s"compacted fold diverged: " +
+      s"missing=${(full -- folded).take(5)} extra=${(folded -- full).take(5)}")
+    val baseDirs2 = new java.io.File(s"$root/base").listFiles().map(_.getName).toSet
+    assert(baseDirs2 == Set("23"), s"expected only snapshot 23, got $baseDirs2")
+  }
+
   test("streaming kill/resume lands byte-identical to the uninterrupted run") {
     // stage the corpus as 3 single-file chunks so the file source feeds
     // one chunk per trigger
