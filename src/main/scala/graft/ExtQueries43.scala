@@ -142,6 +142,31 @@ object ExtQueries43 {
       maint.currentIndex()
         .select(col("node").as("doc_id"), col("comp"))
         .orderBy(col("doc_id"))
+    }),
+
+    // the MinHash twin of stream_index_refresh: same maintenance loop,
+    // stored columns are banded signatures + word-hash sets, oracle is
+    // the MinHash full-rebuild CC
+    "stream_minhash_index_refresh" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val staged = stagedDocChunks(s, dir)
+      val schema = Tables.table(s, dir, "documents").schema
+      val root = graft.operators.Sinks.dir(
+        "index_maint/run" + maintRuns.incrementAndGet())
+      val maint = new graft.streaming.IndexMaintenance(s, root,
+        graft.streaming.IndexMaintenance.MinhashJaccard(0.9))
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          maint.processBatch(id, b)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      maint.currentIndex()
+        .select(col("node").as("doc_id"), col("comp"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -237,6 +262,20 @@ object ExtQueries43 {
          |  SELECT node, comp FROM full_idx
          |  EXCEPT SELECT node, comp FROM base_idx) AS d
          |ORDER BY doc_id""".stripMargin,
+
+    // MinHash streaming maintenance drains to ITS full-rebuild index
+    "stream_minhash_index_refresh" ->
+      s"""WITH RECURSIVE ${ExtQueries.minhashJoinCtes},
+         |mp AS (SELECT doc_a, doc_b FROM j WHERE jac >= 0.9),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM mp
+         |      UNION SELECT doc_b, doc_a FROM mp),
+         |nodes AS (SELECT DISTINCT src AS node FROM e),
+         |reach(node, lab) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node)
+         |SELECT node AS doc_id, MIN(lab) AS comp FROM reach
+         |GROUP BY node ORDER BY doc_id""".stripMargin,
 
     // the MinHash twin, against ITS full-rebuild CC (unigram Jaccard)
     "dedup_minhash_refresh" ->

@@ -817,6 +817,38 @@ object Dedup {
     refreshAssemble(
       minhashRefreshPairsFromSigs(sigs, wordSets, threshold), baseComps)
 
+  /** Delta twin of [[minhashComponentsRefreshFromSigs]] — only the MERGE
+    * payload (see [[refreshDelta]]). */
+  def minhashComponentsRefreshFromSigsDelta(sigs: DataFrame, wordSets: DataFrame,
+      threshold: Double, baseComps: DataFrame): DataFrame =
+    refreshDelta(
+      minhashRefreshPairsFromSigs(sigs, wordSets, threshold), baseComps)
+
+  /** The MinHash stored columns for ONE ingest batch, as a single frame
+    * `(doc_id, band0..bandN-1, wset, n_w)` — what
+    * [[graft.streaming.IndexMaintenance]] persists per batch. Lazy (the
+    * caller's parquet write materializes it); per-batch-sized work. */
+  def minhashStagedColumns(docs: DataFrame): DataFrame = {
+    val words = docWords(docs)
+    val sigs = bandedSignatures(minhashSignaturesFromWords(words))
+    val wordSets = words.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(xxhash64(col("word")))).as("wset"),
+        count(lit(1)).as("n_w"))
+    sigs.join(wordSets, "doc_id")
+  }
+
+  /** Read schema for [[minhashStagedColumns]] parquet (empty ingest
+    * files are legal, so readers can't rely on inference). */
+  def minhashStagedSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    (0 until NumBands)
+      .foldLeft(new StructType().add("doc_id", LongType)) {
+        (st, b) => st.add(s"band$b", StringType)
+      }
+      .add("wset", ArrayType(LongType, containsNull = false))
+      .add("n_w", LongType)
+  }
+
   /** One-time (per corpus snapshot) computation of the stored columns
     * [[minhashComponentsRefreshFromSigs]] reads: banded signatures and
     * sorted word-hash sets, both materialized. This is the UNTIMED setup

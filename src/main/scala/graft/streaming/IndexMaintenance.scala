@@ -9,11 +9,13 @@ import org.apache.spark.sql.types.{LongType, StructType}
 import graft.operators.Dedup
 
 /**
- * Kill-resumable streaming maintenance of the simhash near-dup cluster
- * index — the continuous-ingest half of the build-once/merge-many
- * lakehouse pattern (reference behavior: the checkpointable file monitor,
+ * Kill-resumable streaming maintenance of a near-dup cluster index —
+ * the continuous-ingest half of the build-once/merge-many lakehouse
+ * pattern (reference behavior: the checkpointable file monitor,
  * ContinuousFileMonitoringFunction.java snapshotState/restoreState,
- * applied to index maintenance instead of the cooc matrix).
+ * applied to index maintenance instead of the cooc matrix). The dedup
+ * family is pluggable via [[IndexMaintenance.Algo]]: SimHash
+ * fingerprints or MinHash signatures + word sets as the stored columns.
  *
  * Drive it from `foreachBatch`: `processBatch(batchId, docs)` per
  * microbatch, `currentIndex()` for the standing `(node, comp)`
@@ -55,7 +57,11 @@ import graft.operators.Dedup
  * delta log.
  */
 final class IndexMaintenance(spark: SparkSession, root: String,
-    maxHamming: Int, compactEvery: Int = 64) {
+    algo: IndexMaintenance.Algo, compactEvery: Int = 64) {
+
+  /** simhash maintenance (the common case). */
+  def this(spark: SparkSession, root: String, maxHamming: Int) =
+    this(spark, root, IndexMaintenance.Simhash(maxHamming))
 
   require(compactEvery >= 2, s"compactEvery must be >= 2, got $compactEvery")
 
@@ -135,21 +141,21 @@ final class IndexMaintenance(spark: SparkSession, root: String,
   def processBatch(batchId: Long, docs: DataFrame): Unit = {
     val done = committedIds
     if (done.contains(batchId)) return
-    // fingerprint ONLY this batch's docs and persist them once — the
-    // lakehouse regime where fp is a stored column of the doc table
-    Dedup.simhashFingerprints(docs.select(col("doc_id"), col("text")))
+    // stage ONLY this batch's docs into the algo's stored columns and
+    // persist them once — the lakehouse regime where fingerprints /
+    // signatures are stored columns of the doc table
+    algo.stage(docs.select(col("doc_id"), col("text")))
       .write.mode("overwrite").parquet(s"$root/fps/$batchId")
     // explicit schema for the same reason as indexAt: an EMPTY ingest
     // file is a legal batch
-    val fpSchema =
-      new StructType().add("doc_id", LongType).add("fp", LongType)
-    val newFps = spark.read.schema(fpSchema).parquet(s"$root/fps/$batchId")
+    val newFps = spark.read.schema(algo.stagedSchema)
+      .parquet(s"$root/fps/$batchId")
       .withColumn("inc", lit(true))
     // one multi-path scan over every standing shard (not a per-batch
     // union): scan cost tracks corpus volume, not batch count
     val standing =
       if (done.isEmpty) None
-      else Some(spark.read.schema(fpSchema)
+      else Some(spark.read.schema(algo.stagedSchema)
         .parquet(done.map(b => s"$root/fps/$b"): _*)
         .withColumn("inc", lit(false)))
     // transient per-batch caches: the banded join scans `all` once per
@@ -159,7 +165,7 @@ final class IndexMaintenance(spark: SparkSession, root: String,
     val all = standing.map(_.unionByName(newFps)).getOrElse(newFps).persist()
     val base = indexAt(done).persist()
     try {
-      Dedup.simhashComponentsRefreshFromFpsDelta(all, maxHamming, base)
+      algo.refreshDelta(all, base)
         .withColumn("b", lit(batchId))
         .write.mode("overwrite").parquet(s"$root/delta/$batchId")
     } finally {
@@ -175,5 +181,43 @@ final class IndexMaintenance(spark: SparkSession, root: String,
     // truncation to a later compaction point.
     if ((done.size + 1) % compactEvery == 0)
       compact(batchId, done :+ batchId)
+  }
+}
+
+object IndexMaintenance {
+
+  /**
+   * Stored-column strategy for the maintenance loop: how a batch's docs
+   * are staged (what the lakehouse stores per doc), and how the staged
+   * union of (standing ∪ incoming) — flagged by `inc` — refreshes into
+   * a delta against the standing index.
+   */
+  sealed trait Algo {
+    private[streaming] def stage(docs: DataFrame): DataFrame
+    private[streaming] def stagedSchema: StructType
+    private[streaming] def refreshDelta(staged: DataFrame, base: DataFrame): DataFrame
+  }
+
+  /** 60-bit SimHash at `maxHamming` — stored column: the fingerprint. */
+  final case class Simhash(maxHamming: Int) extends Algo {
+    private[streaming] def stage(docs: DataFrame): DataFrame =
+      Dedup.simhashFingerprints(docs)
+    private[streaming] val stagedSchema: StructType =
+      new StructType().add("doc_id", LongType).add("fp", LongType)
+    private[streaming] def refreshDelta(staged: DataFrame, base: DataFrame): DataFrame =
+      Dedup.simhashComponentsRefreshFromFpsDelta(staged, maxHamming, base)
+  }
+
+  /** MinHash LSH + exact unigram-Jaccard verification at `threshold` —
+    * stored columns: banded signatures + sorted word-hash set. */
+  final case class MinhashJaccard(threshold: Double) extends Algo {
+    private[streaming] def stage(docs: DataFrame): DataFrame =
+      Dedup.minhashStagedColumns(docs)
+    private[streaming] val stagedSchema: StructType = Dedup.minhashStagedSchema
+    private[streaming] def refreshDelta(staged: DataFrame, base: DataFrame): DataFrame =
+      Dedup.minhashComponentsRefreshFromSigsDelta(
+        staged.drop("wset", "n_w"),
+        staged.select(col("doc_id"), col("wset"), col("n_w")),
+        threshold, base)
   }
 }

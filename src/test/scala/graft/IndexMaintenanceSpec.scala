@@ -116,6 +116,17 @@ class IndexMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(comps(m2.currentIndex()) == full)
   }
 
+  test("minhash maintenance folds to the minhash full rebuild") {
+    val root = Files.createTempDirectory("idx_maint_mh").toString
+    val maint = new IndexMaintenance(spark, root,
+      IndexMaintenance.MinhashJaccard(0.9))
+    (0 until 3).foreach(b => maint.processBatch(b, chunk(b)))
+    val full = comps(Dedup.minhashComponents(docs, 0.9))
+    val folded = comps(maint.currentIndex())
+    assert(folded == full, s"minhash fold diverged from rebuild: " +
+      s"missing=${(full -- folded).take(5)} extra=${(folded -- full).take(5)}")
+  }
+
   test("compaction truncates the delta log and preserves the fold exactly") {
     val root = Files.createTempDirectory("idx_maint_compact").toString
     val batches = 24
@@ -124,7 +135,7 @@ class IndexMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // compactEvery=4 -> a snapshot after every 4th committed batch, each
     // truncating everything it covers. Process half, then RESUME with a
     // fresh instance across the compaction points.
-    val m1 = new IndexMaintenance(spark, root, 3, compactEvery = 4)
+    val m1 = new IndexMaintenance(spark, root, IndexMaintenance.Simhash(3), compactEvery = 4)
     (0 until 12).foreach(b => m1.processBatch(b, mb(b)))
 
     // batch 11 was a compaction point: the log is fully truncated and
@@ -136,7 +147,7 @@ class IndexMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val baseDirs = new java.io.File(s"$root/base").listFiles().map(_.getName).toSet
     assert(baseDirs == Set("11"), s"expected only snapshot 11, got $baseDirs")
 
-    val m2 = new IndexMaintenance(spark, root, 3, compactEvery = 4)
+    val m2 = new IndexMaintenance(spark, root, IndexMaintenance.Simhash(3), compactEvery = 4)
     (12 until batches).foreach(b => m2.processBatch(b, mb(b)))
 
     // the fold is byte-identical to the full rebuild, and only the last
