@@ -383,6 +383,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("refresh family (full + delta): banded equi-joins only, never a cartesian") {
+    // the asymmetric incoming×corpus candidate stage and the delta tail
+    // must stay equi-join-shaped at every band/chunk — a cartesian or
+    // BNLJ here would be corpus² at 100 TB
+    Seq("dedup_index_refresh", "dedup_minhash_refresh",
+        "dedup_index_refresh_delta", "dedup_minhash_refresh_delta").foreach { q =>
+      val p = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(1500)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n${p.take(1500)}")
+    }
+  }
+
   test("simhash compression: near-dup pair generation has no distinct over the pair set") {
     // the pigeonhole union is duplicate-free by construction (first-matching-
     // chunk guard) — a Deduplicate/distinct over emitted pairs would be a
