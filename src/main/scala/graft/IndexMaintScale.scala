@@ -55,9 +55,17 @@ object IndexMaintScale {
     def storageMb(): Double =
       spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum / 1e6
 
+    // optional compaction cadence for the maint mode (default: the
+    // class default, which never triggers within these horizons)
+    val compactEvery = sys.env.get("SPARK_GRAFT_COMPACT_EVERY").map(_.toInt)
+
     def runMaint(): (Seq[Double], Seq[Double], Set[(Long, Long)]) = {
       val root = java.nio.file.Files.createTempDirectory("maint_scale").toString
-      val maint = new IndexMaintenance(spark, root, 3)
+      val maint = compactEvery match {
+        case Some(k) => new IndexMaintenance(spark, root,
+          IndexMaintenance.Simhash(3), compactEvery = k)
+        case None => new IndexMaintenance(spark, root, 3)
+      }
       val ws = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
       (0 until batches).foreach { b =>
         val w = timed(maint.processBatch(b, chunk(b)))
