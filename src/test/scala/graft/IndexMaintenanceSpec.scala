@@ -116,6 +116,25 @@ class IndexMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(comps(m2.currentIndex()) == full)
   }
 
+  test("an empty ingest batch is legal and leaves the index unchanged") {
+    val root = Files.createTempDirectory("idx_maint_empty").toString
+    val maint = new IndexMaintenance(spark, root, 3)
+    maint.processBatch(0, chunk(0))
+    val before = comps(maint.currentIndex())
+    // empty file from the source: no fps, empty delta — both parquet
+    // reads must survive on the explicit schemas
+    maint.processBatch(1, docs.limit(0))
+    maint.processBatch(2, chunk(1))
+    assert(maint.committedIds == Seq(0L, 1L, 2L))
+    val after = comps(maint.currentIndex())
+    val expect = comps(Dedup.simhashComponents(
+      docs.where(pmod(col("doc_id"), lit(3)) =!= 2), 3))
+    assert(after == expect, s"fold with an empty batch diverged: " +
+      s"missing=${(expect -- after).take(5)} extra=${(after -- expect).take(5)}")
+    assert(before.map(_._1).subsetOf(after.map(_._1)),
+      "batch-0 nodes must survive the empty batch")
+  }
+
   test("minhash maintenance folds to the minhash full rebuild") {
     val root = Files.createTempDirectory("idx_maint_mh").toString
     val maint = new IndexMaintenance(spark, root,
