@@ -72,7 +72,8 @@ object ExtQueries43 {
 
     "dedup_index_refresh" -> ((s, dir) => {
       val docs = Tables.table(s, dir, "documents")
-      val baseIndex = Dedup.simhashComponents(docs.where(!isIncoming), 3)
+      val baseIndex = graft.operators.DedupIndex
+        .simhashComponentsFiltered(s, dir, 3, "notmod5", !isIncoming)
       Dedup.simhashComponentsRefresh(docs, isIncoming, 3, baseIndex)
         .select(col("node").as("doc_id"), col("comp"))
         .orderBy(col("doc_id"))
@@ -80,7 +81,8 @@ object ExtQueries43 {
 
     "dedup_minhash_refresh" -> ((s, dir) => {
       val docs = Tables.table(s, dir, "documents")
-      val baseIndex = Dedup.minhashComponents(docs.where(!isIncoming), 0.9)
+      val baseIndex = graft.operators.DedupIndex
+        .minhashComponentsFiltered(s, dir, 0.9, "notmod5", !isIncoming)
       Dedup.minhashComponentsRefresh(docs, isIncoming, 0.9, baseIndex)
         .select(col("node").as("doc_id"), col("comp"))
         .orderBy(col("doc_id"))
@@ -94,7 +96,8 @@ object ExtQueries43 {
     // and never leaves a remapped row at its old label.
     "dedup_index_refresh_delta" -> ((s, dir) => {
       val docs = Tables.table(s, dir, "documents")
-      val baseIndex = Dedup.simhashComponents(docs.where(!isIncoming), 3)
+      val baseIndex = graft.operators.DedupIndex
+        .simhashComponentsFiltered(s, dir, 3, "notmod5", !isIncoming)
       Dedup.simhashComponentsRefreshDelta(docs, isIncoming, 3, baseIndex)
         .select(col("node").as("doc_id"), col("comp"))
         .orderBy(col("doc_id"))
@@ -102,7 +105,8 @@ object ExtQueries43 {
 
     "dedup_minhash_refresh_delta" -> ((s, dir) => {
       val docs = Tables.table(s, dir, "documents")
-      val baseIndex = Dedup.minhashComponents(docs.where(!isIncoming), 0.9)
+      val baseIndex = graft.operators.DedupIndex
+        .minhashComponentsFiltered(s, dir, 0.9, "notmod5", !isIncoming)
       Dedup.minhashComponentsRefreshDelta(docs, isIncoming, 0.9, baseIndex)
         .select(col("node").as("doc_id"), col("comp"))
         .orderBy(col("doc_id"))

@@ -151,6 +151,29 @@ object DedupIndex {
       Dedup.minhashComponents(Tables.table(spark, dir, "documents"), threshold)
     }
 
+  /** Memoized simhash index over a FILTERED view of the corpus — the
+    * standing BASE index of the refresh family, built once per
+    * (corpus fingerprint, filter, params) and then merged into by every
+    * ingest-shaped query. `tag` must uniquely identify `filter` (it is
+    * the filter's cache identity; the Column itself has no stable
+    * canonical form). */
+  def simhashComponentsFiltered(spark: SparkSession, dir: String,
+      maxHamming: Int, tag: String,
+      filter: org.apache.spark.sql.Column): DataFrame =
+    memo(spark, dir, s"simhash:$maxHamming:flt:$tag") {
+      Dedup.simhashComponents(
+        Tables.table(spark, dir, "documents").where(filter), maxHamming)
+    }
+
+  /** MinHash twin of [[simhashComponentsFiltered]]. */
+  def minhashComponentsFiltered(spark: SparkSession, dir: String,
+      threshold: Double, tag: String,
+      filter: org.apache.spark.sql.Column): DataFrame =
+    memo(spark, dir, s"minhash:$threshold:flt:$tag") {
+      Dedup.minhashComponents(
+        Tables.table(spark, dir, "documents").where(filter), threshold)
+    }
+
   /** Test hook: drop all memoized entries (blocks are released lazily by
     * the context's GC of unreferenced checkpoint RDDs). Also what a new
     * SparkContext effectively does — its session-layer keys all miss. */
