@@ -6,11 +6,12 @@ import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Tables}
 
 /**
- * Round-10 wave: incremental maintenance of the persisted dedup cluster
- * index — the missing half of the build-once/scan-many pattern
- * ([[graft.operators.DedupIndex]]). At 100 TB the index is built once
- * per corpus snapshot; every ingest batch afterwards must MERGE into it
- * without re-pairing the standing corpus against itself.
+ * Rounds 10+12: incremental maintenance of the persisted dedup cluster
+ * index — the merge half of the build-once/scan-many pattern
+ * ([[graft.operators.DedupIndex]], which also serves these queries their
+ * standing BASE index). At 100 TB the index is built once per corpus
+ * snapshot; every ingest batch afterwards must MERGE into it without
+ * re-pairing the standing corpus against itself.
  *
  *  - dedup_index_refresh: an 80/20 base/incoming split of `documents`;
  *    the standing index is built on the base shard only, then
