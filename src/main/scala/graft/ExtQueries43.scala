@@ -128,13 +128,18 @@ object ExtQueries43 {
     // proves per step — so the oracle is again the full-rebuild
     // recursive CC. A fresh state root per invocation keeps bench reps
     // honest (a reused root would no-op on already-committed batch ids).
+    // compactEvery=2 puts a LIVE compaction point (snapshot + log
+    // truncation) inside the oracled drain, so the correctness gate
+    // exercises the compacted read path every round; the minhash twin
+    // below keeps the class default and covers the uncompacted path.
     "stream_index_refresh" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val staged = stagedDocChunks(s, dir)
       val schema = Tables.table(s, dir, "documents").schema
       val root = graft.operators.Sinks.dir(
         "index_maint/run" + maintRuns.incrementAndGet())
-      val maint = new graft.streaming.IndexMaintenance(s, root, 3)
+      val maint = new graft.streaming.IndexMaintenance(s, root,
+        graft.streaming.IndexMaintenance.Simhash(3), compactEvery = 2)
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(staged)
         .writeStream.trigger(Trigger.AvailableNow())
