@@ -33,3 +33,17 @@ done
 
 echo "[soak_r12] done"
 grep -h . "$OUT"/refresh_*.json || true
+
+# --- appended after the first pass ran: the rest of the round-12 protocol ---
+# (kept here for reproducibility; raw results live in perf/soak_r12/)
+#
+# 2k-doc shard, 166x corpus decade incl. sf0.1:
+#   SPARK_GRAFT_SHARD=2000 + the same algo/sf loops as above
+#     -> refresh2k_<algo>_<sf>.json
+# Streaming maintenance A/B (per-batch wall + retained storage):
+#   SPARK_GRAFT_SF_DIR=target/sf1 SPARK_GRAFT_BATCHES=48 tools/runmain.sh graft.IndexMaintScale
+#   SPARK_GRAFT_SF_DIR=target/sf1 SPARK_GRAFT_BATCHES=48 SPARK_GRAFT_MODE=maint \
+#     SPARK_GRAFT_COMPACT_EVERY=8 tools/runmain.sh graft.IndexMaintScale
+#   SPARK_GRAFT_SF_DIR=target/sf3 SPARK_GRAFT_BATCHES=24 tools/runmain.sh graft.IndexMaintScale
+# Two-JVM durable-cache smoke:
+#   tools/index_cache_smoke.sh
