@@ -24,15 +24,16 @@ import graft.operators.Dedup
  *
  * Layout under `root`:
  * {{{
- *   fps/<b>/     batch b's fingerprints (doc_id, fp) — written ONCE at
- *                ingest, O(batch); the standing corpus is only ever
- *                SCANNED afterwards (the banded join's corpus side),
- *                never re-materialized. This is what makes per-batch
- *                cost O(batch + candidates): the r10/r11 shape that
- *                re-checkpointed the accumulated fingerprint union every
- *                batch was quadratic in batch count.
- *   delta/<b>/   batch b's MERGE payload (node, comp) — only rows the
- *                batch changed or created ([[Dedup.simhashComponentsRefreshFromFpsDelta]]),
+ *   fps/<b>/     batch b's stored columns (SimHash: doc_id + fp;
+ *                MinHash: doc_id + banded signatures + word-hash set) —
+ *                written ONCE at ingest, O(batch); the standing corpus
+ *                is only ever SCANNED afterwards (the banded join's
+ *                corpus side), never re-materialized. This is what makes
+ *                per-batch cost O(batch + candidates): the r10/r11 shape
+ *                that re-checkpointed the accumulated fingerprint union
+ *                every batch was quadratic in batch count.
+ *   delta/<b>/   batch b's MERGE payload (node, comp, b) — only rows the
+ *                batch changed or created (the algo's delta refresh),
  *                O(ingest activity), never O(index).
  *   meta/<b>     commit marker, written LAST via [[CommitMarkers]]; a
  *                batch is part of the index iff its marker exists.
