@@ -85,35 +85,46 @@ object DedupIndex {
   private def durableRoot: Option[String] =
     sys.props.get("graft.index.cache").orElse(sys.env.get("SPARK_GRAFT_INDEX_CACHE"))
 
-  private def entryDir(root: String, durableKey: String): java.nio.file.Path =
-    java.nio.file.Paths.get(root, md5Hex(durableKey))
+  // the durable layer goes through the Hadoop FileSystem API end-to-end
+  // (r12 advice/verdict #5): the previous java.nio resolution made a
+  // non-local root (hdfs://, s3a://) silently never hit — every session
+  // rebuilt — and durableStore wrote parquet to a bogus local path named
+  // after the URI. Hadoop Path handles both plain local dirs and any
+  // scheme-qualified URI the cluster's FS supports.
+  private def entryPath(root: String, durableKey: String): Path =
+    new Path(root, md5Hex(durableKey))
 
   private def durableLoad(spark: SparkSession, durableKey: String): Option[DataFrame] =
     durableRoot.flatMap { root =>
-      val d = entryDir(root, durableKey)
-      if (java.nio.file.Files.isDirectory(d)) Some(spark.read.parquet(d.toString))
+      val d = entryPath(root, durableKey)
+      val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(d) && fs.getFileStatus(d).isDirectory)
+        Some(spark.read.parquet(d.toString))
       else None
     }
 
   /** Best-effort durable publish: a cache-store failure (disk full, no
     * permission) degrades to session-only memoization, never fails the
-    * query. */
+    * query. Crash-safe without markers: the parquet is written to a
+    * dot-prefixed temp sibling and atomically renamed into place via
+    * [[graft.streaming.CommitMarkers.renameOverwrite]] (POSIX rename on
+    * local FS, FileContext OVERWRITE rename elsewhere) — an entry is
+    * visible iff it is complete. A rename refused because a concurrent
+    * builder published first (directory renames do not replace non-empty
+    * destinations on any scheme) just drops our redundant copy; the
+    * winner's is complete by the same atomicity. */
   private def durableStore(durableKey: String, built: DataFrame): Unit =
     durableRoot.foreach { root =>
-      val d = entryDir(root, durableKey)
-      if (!java.nio.file.Files.isDirectory(d)) scala.util.Try {
-        val tmp = java.nio.file.Paths.get(root,
-          s".tmp_${md5Hex(durableKey)}_${java.lang.ProcessHandle.current.pid}")
-        built.write.mode("overwrite").parquet(tmp.toString)
-        try java.nio.file.Files.move(tmp, d,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch {
-          // a concurrent builder published first: theirs is complete
-          // (the rename is atomic), ours is redundant
-          case _: java.nio.file.FileAlreadyExistsException
-             | _: java.nio.file.DirectoryNotEmptyException
-             | _: java.nio.file.AccessDeniedException =>
-            org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      scala.util.Try {
+        val spark = built.sparkSession
+        val d = entryPath(root, durableKey)
+        val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(d)) {
+          val tmp = new Path(root,
+            s".tmp_${md5Hex(durableKey)}_${java.lang.ProcessHandle.current.pid}")
+          built.write.mode("overwrite").parquet(tmp.toString)
+          try graft.streaming.CommitMarkers.renameOverwrite(spark, fs, tmp, d)
+          catch { case _: Exception => fs.delete(tmp, true) }
         }
       }.failed.foreach(t => System.err.println(
         s"[DedupIndex] durable store failed (serving session-only): $t"))

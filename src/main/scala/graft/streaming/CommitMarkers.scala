@@ -28,7 +28,11 @@ object CommitMarkers {
     * recovery correct via idempotent replay, just one batch less tight. */
   def renameOverwrite(spark: SparkSession, fs: FileSystem,
       tmp: Path, dst: Path): Unit = {
-    if (fs.getScheme == "file") {
+    // getUri.getScheme, not getScheme: the latter is allowed to throw
+    // UnsupportedOperationException on FileSystem implementations that
+    // don't override it, and this branch sits outside the try/catch
+    // fallback below (r12 advice)
+    if (fs.getUri.getScheme == "file") {
       java.nio.file.Files.move(
         java.nio.file.Paths.get(tmp.toUri.getPath),
         java.nio.file.Paths.get(dst.toUri.getPath),

@@ -56,6 +56,16 @@ import graft.operators.Dedup
  * rewrite. At lakehouse scale the deltas would MERGE into an index
  * table; the fold here is that table's read path expressed over the raw
  * delta log.
+ *
+ * PRECONDITION — doc_ids are unique across ingest batches (each doc_id
+ * is delivered by exactly one batch). refreshDelta detects changed
+ * labels by comparing incoming doc_ids against standing labels, and the
+ * staged fps union assumes one row per doc; a re-delivered doc_id would
+ * duplicate fp rows and could corrupt the changed-label set silently.
+ * This matches the file-per-batch ingest contract (a doc lives in one
+ * file; replays of a batch short-circuit on its commit marker) — an
+ * at-least-once upstream that re-delivers docs across DIFFERENT batch
+ * ids must dedup before processBatch.
  */
 final class IndexMaintenance(spark: SparkSession, root: String,
     algo: IndexMaintenance.Algo, compactEvery: Int = 64) {
@@ -121,6 +131,7 @@ final class IndexMaintenance(spark: SparkSession, root: String,
     * a committed snapshot plus ignorable leftovers. */
   private def compact(batchId: Long, ids: Seq[Long]): Unit = {
     val older = compactedIds
+    sweepUnmarkedSnapshots(older.toSet)
     indexAt(ids).withColumn("b", lit(batchId))
       .write.mode("overwrite").parquet(s"$root/base/$batchId")
     CommitMarkers.commit(spark, baseMetaDir, batchId, s"""{"upTo":$batchId}""")
@@ -129,6 +140,24 @@ final class IndexMaintenance(spark: SparkSession, root: String,
     older.foreach { b =>
       fs.delete(new Path(s"$root/base/$b"), true)
       fs.delete(new Path(s"$root/basemeta/$b"), false)
+    }
+  }
+
+  /** Sweep UNMARKED `base/<b>` debris: a crash between a snapshot's
+    * parquet write and its basemeta commit leaves a partial dir that the
+    * committed-snapshot deletion loop in [[compact]] never covers —
+    * harmless for correctness (indexAt only reads marked snapshots) but
+    * a disk leak that would otherwise accumulate across crashes
+    * (r12 advice). Runs at each compaction point, before the new
+    * snapshot is written. */
+  private def sweepUnmarkedSnapshots(marked: Set[Long]): Unit = {
+    val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val baseDir = new Path(s"$root/base")
+    if (fs.exists(baseDir)) {
+      fs.listStatus(baseDir).foreach { st =>
+        val id = scala.util.Try(st.getPath.getName.toLong).toOption
+        if (id.forall(!marked.contains(_))) fs.delete(st.getPath, true)
+      }
     }
   }
 

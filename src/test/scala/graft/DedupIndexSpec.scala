@@ -135,4 +135,39 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       DedupIndex.invalidateAll()
     }
   }
+
+  test("durable cache publishes and loads through a scheme-qualified Hadoop URI") {
+    // the r12 layer resolved the root with java.nio, so any URI root
+    // (file://, hdfs://) silently never hit and writes landed at a bogus
+    // local path named after the URI; the Hadoop-FS port must treat a
+    // file://-qualified root exactly like a plain local one
+    val cacheDir = Files.createTempDirectory("graft_index_cache_uri")
+    System.setProperty("graft.index.cache", s"file://$cacheDir")
+    try {
+      writeDocs(Seq((20L, "h i j k"), (21L, "h i j k"), (22L, "v w x y")))
+      DedupIndex.invalidateAll()
+      val builds0 = DedupIndex.buildCount.get()
+      val expect = DedupIndex.simhashComponents(spark, dir, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(DedupIndex.buildCount.get() == builds0 + 1)
+      assert(expect == Set((20L, 20L), (21L, 20L)))
+      // the publish must have landed UNDER the URI's local path (one
+      // md5-named completed entry, no .tmp debris)
+      val entries = cacheDir.toFile.listFiles().map(_.getName).toSeq
+      assert(entries.exists(_.matches("[0-9a-f]{32}")),
+        s"no published entry under $cacheDir: $entries")
+      assert(!entries.exists(_.startsWith(".tmp_")), s"tmp debris left: $entries")
+
+      // fresh session layer -> durable load, zero rebuilds
+      DedupIndex.invalidateAll()
+      val got = DedupIndex.simhashComponents(spark, dir, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(DedupIndex.buildCount.get() == builds0 + 1,
+        "URI-rooted durable hit must not rebuild")
+      assert(got == expect)
+    } finally {
+      System.clearProperty("graft.index.cache")
+      DedupIndex.invalidateAll()
+    }
+  }
 }

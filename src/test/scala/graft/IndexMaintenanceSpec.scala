@@ -166,6 +166,12 @@ class IndexMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val baseDirs = new java.io.File(s"$root/base").listFiles().map(_.getName).toSet
     assert(baseDirs == Set("11"), s"expected only snapshot 11, got $baseDirs")
 
+    // plant UNMARKED snapshot debris (a crash between a snapshot write
+    // and its basemeta commit): the next compaction point must sweep it
+    // — it has no marker, so only the sweep covers it (r12 advice)
+    Files.createDirectories(Paths.get(s"$root/base/7"))
+    Files.write(Paths.get(s"$root/base/7/part-junk.parquet"), Array[Byte](1, 2, 3))
+
     val m2 = new IndexMaintenance(spark, root, IndexMaintenance.Simhash(3), compactEvery = 4)
     (12 until batches).foreach(b => m2.processBatch(b, mb(b)))
 
