@@ -39,6 +39,14 @@ object IndexMaintScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // scale-proxy cell: cap the stats-based broadcast threshold so the
+    // standing INDEX no longer auto-broadcasts (as it cannot at 100 TB)
+    // while structurally-small sides still can — exposes which shapes
+    // re-shuffle the index per batch once it outgrows a broadcast
+    sys.env.get("SPARK_GRAFT_BROADCAST_KB").foreach { kb =>
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (kb.toLong * 1024).toString)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", (kb.toLong * 1024).toString)
+    }
 
     val docs = Tables.table(spark, sfDir, "documents")
       .select("doc_id", "text").localCheckpoint(true)
@@ -47,6 +55,23 @@ object IndexMaintScale {
 
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // total shuffle WRITE bytes per run (task-level sums — see
+    // ShuffleProbe for why StageInfo.taskMetrics is not usable): the r13
+    // fold/refresh rewrite claims the per-batch O(index) exchanges are
+    // gone, and this is the number that shows it
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          shuffleWrite.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+    def shuffleDelta(f: => Unit): Long = {
+      org.apache.spark.sql.graftbridge.ListenerBridge.waitUntilEmpty(spark.sparkContext)
+      val s0 = shuffleWrite.get()
+      f
+      org.apache.spark.sql.graftbridge.ListenerBridge.waitUntilEmpty(spark.sparkContext)
+      shuffleWrite.get() - s0
     }
     // RETAINED executor storage (cached/checkpointed RDD blocks) — the
     // state a mode carries INTO the next batch. The baseline (the docs
@@ -59,42 +84,46 @@ object IndexMaintScale {
     // class default, which never triggers within these horizons)
     val compactEvery = sys.env.get("SPARK_GRAFT_COMPACT_EVERY").map(_.toInt)
 
-    def runMaint(): (Seq[Double], Seq[Double], Set[(Long, Long)]) = {
+    def runMaint(): (Seq[Double], Seq[Double], Seq[Long], Set[(Long, Long)]) = {
       val root = java.nio.file.Files.createTempDirectory("maint_scale").toString
       val maint = compactEvery match {
         case Some(k) => new IndexMaintenance(spark, root,
           IndexMaintenance.Simhash(3), compactEvery = k)
         case None => new IndexMaintenance(spark, root, 3)
       }
-      val ws = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+      val ws = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Long)]
       (0 until batches).foreach { b =>
-        val w = timed(maint.processBatch(b, chunk(b)))
-        ws += ((w, storageMb()))
+        var w = 0.0
+        val sh = shuffleDelta { w = timed(maint.processBatch(b, chunk(b))) }
+        ws += ((w, storageMb(), sh))
       }
-      (ws.map(_._1).toSeq, ws.map(_._2).toSeq,
+      (ws.map(_._1).toSeq, ws.map(_._2).toSeq, ws.map(_._3).toSeq,
         maint.currentIndex().collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet)
     }
 
-    def runNaive(): (Seq[Double], Seq[Double], Set[(Long, Long)]) = {
+    def runNaive(): (Seq[Double], Seq[Double], Seq[Long], Set[(Long, Long)]) = {
       var comps = spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
         new org.apache.spark.sql.types.StructType()
           .add("node", org.apache.spark.sql.types.LongType)
           .add("comp", org.apache.spark.sql.types.LongType))
       var fpsSoFar: Option[DataFrame] = None
-      val ws = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+      val ws = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Long)]
       (0 until batches).foreach { b =>
-        val w = timed {
-          val newFps = Dedup.simhashFingerprints(chunk(b))
-            .withColumn("inc", lit(true)).localCheckpoint(true)
-          val all = fpsSoFar.map(_.unionByName(newFps)).getOrElse(newFps)
-          comps = Dedup.simhashComponentsRefreshFromFps(all, 3, comps)
-          fpsSoFar = Some(all.withColumn("inc", lit(false)).localCheckpoint(true))
+        var w = 0.0
+        val sh = shuffleDelta {
+          w = timed {
+            val newFps = Dedup.simhashFingerprints(chunk(b))
+              .withColumn("inc", lit(true)).localCheckpoint(true)
+            val all = fpsSoFar.map(_.unionByName(newFps)).getOrElse(newFps)
+            comps = Dedup.simhashComponentsRefreshFromFps(all, 3, comps)
+            fpsSoFar = Some(all.withColumn("inc", lit(false)).localCheckpoint(true))
+          }
         }
-        ws += ((w, storageMb()))
+        ws += ((w, storageMb(), sh))
       }
-      (ws.map(_._1).toSeq, ws.map(_._2).toSeq,
+      (ws.map(_._1).toSeq, ws.map(_._2).toSeq, ws.map(_._3).toSeq,
         comps.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
     }
 
@@ -102,7 +131,7 @@ object IndexMaintScale {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
     def report(tag: String, walls: Seq[Double], storage: Seq[Double],
-        idx: Set[(Long, Long)]): Unit = {
+        shuffle: Seq[Long], idx: Set[(Long, Long)]): Unit = {
       require(idx == full, s"$tag index diverged from the full rebuild")
       def fmt(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString(",")
       val firstQ = walls.take(batches / 4)
@@ -115,14 +144,16 @@ object IndexMaintScale {
         s""""last_quartile_median":${f"${med(lastQ)}%.3f"},""" +
         s""""total":${f"${walls.sum}%.2f"},""" +
         s""""storage_mb":[${fmt(storage)}],""" +
-        s""""storage_growth_mb":${f"${storage.last - storage.head}%.3f"}}""")
+        s""""storage_growth_mb":${f"${storage.last - storage.head}%.3f"},""" +
+        s""""shuffle_write_mb":[${fmt(shuffle.map(_ / 1e6))}],""" +
+        s""""shuffle_write_total_mb":${f"${shuffle.sum / 1e6}%.1f"}}""")
     }
 
     if (mode == "maint" || mode == "both") {
-      val (w, s, idx) = runMaint(); report("maint", w, s, idx)
+      val (w, s, sh, idx) = runMaint(); report("maint", w, s, sh, idx)
     }
     if (mode == "naive" || mode == "both") {
-      val (w, s, idx) = runNaive(); report("naive", w, s, idx)
+      val (w, s, sh, idx) = runNaive(); report("naive", w, s, sh, idx)
     }
     spark.stop()
   }

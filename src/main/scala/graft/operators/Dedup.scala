@@ -649,6 +649,10 @@ object Dedup {
   /** (incoming x corpus) near-dup pairs at fingerprint grain — the shared
     * candidate stage of the simhash refresh family. `fps` carries
     * (doc_id, fp, inc); a base x base pair is never generated. */
+  /** Test/measurement hook for the private candidate stage. */
+  private[graft] def probeRefreshPairs(fps: DataFrame, maxHamming: Int): DataFrame =
+    simhashRefreshPairs(fps, maxHamming)
+
   private def simhashRefreshPairs(fps: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming < SimHashChunks, "pigeonhole needs maxHamming < #chunks")
     def side(tag: String): DataFrame = fps.select(
@@ -657,13 +661,21 @@ object Dedup {
         (0 until SimHashChunks).map(c =>
           shiftright(col("fp"), c * ChunkBits)
             .bitwiseAND(lit((1L << ChunkBits) - 1)).as(s"${tag}c$c")): _*)
-    val a = side("a") // incoming candidates
+    // the incoming restriction is a WHERE on side a, NOT a join-condition
+    // conjunct (r13): as a filter it pushes through the union of staged fp
+    // shards — the standing branches constant-fold to empty and side a
+    // becomes just the new batch's parquet with exact file stats, so the
+    // planner reliably broadcasts the O(batch) side and STREAMS the
+    // corpus. As a join conjunct, side a was the whole corpus with an
+    // estimate, and a conservative threshold flipped the join to
+    // sort-merge — re-shuffling every standing fingerprint per batch.
+    val a = side("a").where(col("inc_a")) // incoming candidates
     val b = side("b") // the whole corpus
     (0 until SimHashChunks).map { c =>
       val firstMatch = (0 until c)
         .map(p => col(s"ac$p") =!= col(s"bc$p"))
         .foldLeft(col(s"ac$c") === col(s"bc$c"))(_ && _)
-      a.join(b, firstMatch && col("inc_a") &&
+      a.join(b, firstMatch &&
           // pair-once: (inc, base) pairs have a unique orientation;
           // (inc, inc) pairs order by id
           (!col("inc_b") || col("id_a") < col("id_b")))
@@ -717,21 +729,70 @@ object Dedup {
    * literally that composition).
    */
   private def refreshDelta(pairs: DataFrame, baseComps: DataFrame): DataFrame = {
-    val edges = pairs
-      .join(baseComps.select(col("node").as("doc_b"), col("comp").as("comp_b")),
-        Seq("doc_b"), "left_outer")
-      .select(col("doc_a"), coalesce(col("comp_b"), col("doc_b")).as("doc_b"))
-    val cc = ConnectedComponents.components(edges).localCheckpoint(true)
-    // standing components whose label merged into another: a contracted
-    // node in cc IS a standing label (incoming doc_ids and standing
-    // labels live in disjoint doc_id sets — a label is the min member of
-    // a base component, so its doc is in base, never incoming)
-    val changed = cc.select(col("node").as("comp"), col("comp").as("finalc"))
-      .where(col("finalc") =!= col("comp"))
-    val changedBase = baseComps.join(changed, "comp")
-      .select(col("node"), col("finalc").as("comp"))
-    val newOut = cc.join(baseComps.select(col("node")), Seq("node"), "left_anti")
-    changedBase.unionByName(newOut).localCheckpoint(true)
+    // materialized ONCE via eager local checkpoint (exact size stats ->
+    // Catalyst picks the broadcast sides below at PLANNING time; a
+    // lazily-cached frame carries child-plan estimates, under which AQE
+    // plans sort-merge exchanges and pays their shuffle writes even when
+    // it later converts the join), then explicitly RELEASED on return —
+    // per-batch maintenance loops outran the context cleaner when this
+    // was left to GC (+570 MB retained over a 24-batch sf3 soak)
+    val p = pairs.localCheckpoint(true)
+    try {
+      // The standing index is SCANNED, never shuffled (r13, r12 verdict
+      // #2). Every index access below is a join whose OTHER side is
+      // activity-bounded (pair endpoints, merged labels, touched labels),
+      // so each carries an explicit broadcast hint: stats cannot make the
+      // call here — a checkpoint carries its origin plan's ESTIMATE (the
+      // banded join's, effectively infinite), so Catalyst would plan
+      // sort-merge exchanges and re-shuffle the index every batch. The
+      // hint encodes the structural invariant instead; if a pathological
+      // ingest batch ever outgrows broadcast, split the batch — the knob
+      // the operator already owns.
+      // DISTINCT before the broadcast: candidate pairs carry heavy
+      // endpoint multiplicity (dup-dense corpora: 42x at sf3), so the
+      // distinct's map-side combine collapses the set before one small
+      // exchange, and what broadcasts is bounded by distinct near-dup
+      // NEIGHBORS of the batch — not by the raw pair count
+      val endpoints = p.select(col("doc_b").as("node")).distinct()
+      // materialized once (and released below): two consumers, and the
+      // broadcast of `endpoints` inside it should be built once, not per
+      // consuming query
+      val touched = baseComps.join(broadcast(endpoints), Seq("node"), "left_semi")
+        .localCheckpoint(true)
+      val edges = p
+        .join(broadcast(
+          touched.select(col("node").as("doc_b"), col("comp").as("comp_b"))),
+          Seq("doc_b"), "left_outer")
+        .select(col("doc_a"), coalesce(col("comp_b"), col("doc_b")).as("doc_b"))
+        // local sort, no exchange: broadcast joins preserve the candidate
+        // stream's arbitrary order, and CC's first shuffle of the pair
+        // multiset compresses ~3x better over doc_b runs
+        .sortWithinPartitions(col("doc_b"))
+      val cc = ConnectedComponents.components(edges).localCheckpoint(true)
+      // standing components whose label merged into another: a contracted
+      // node in cc IS a standing label (incoming doc_ids and standing
+      // labels live in disjoint doc_id sets — a label is the min member
+      // of a base component, so its doc is in base, never incoming)
+      val changed = cc.select(col("node").as("comp"), col("comp").as("finalc"))
+        .where(col("finalc") =!= col("comp"))
+      val changedBase = baseComps.join(broadcast(changed), "comp")
+        .select(col("node"), col("finalc").as("comp"))
+      // a cc node present in the standing index is necessarily a
+      // CONTRACTED LABEL of a touched row (incoming doc_ids are disjoint
+      // from standing nodes; an uncontracted endpoint has no base row by
+      // construction), so "newly entering the index" needs an anti-join
+      // against only the touched labels — small both sides — not against
+      // the whole index
+      val newOut = cc.join(
+        broadcast(touched.select(col("comp").as("node")).distinct()),
+        Seq("node"), "left_anti")
+      val out = changedBase.unionByName(newOut).localCheckpoint(true)
+      // the output checkpoint above is the last consumer of `touched`
+      org.apache.spark.sql.graftbridge.CheckpointBridge.release(touched)
+      out
+    } finally {
+      org.apache.spark.sql.graftbridge.CheckpointBridge.release(p)
+    }
   }
 
   /**
@@ -784,13 +845,14 @@ object Dedup {
    */
   private[graft] def minhashRefreshPairsFromSigs(sigs: DataFrame,
       wordSets: DataFrame, threshold: Double): DataFrame = {
-    val a = sigs.as("a")
+    // incoming restriction as a WHERE, not a join conjunct — same
+    // union-pruning/broadcast rationale as simhashRefreshPairs (r13)
+    val a = sigs.where(col("inc")).as("a")
     val b = sigs.as("b")
     val cand = (0 until NumBands).map { bnd =>
       val first = (0 until bnd)
         .map(p => col(s"a.band$p") =!= col(s"b.band$p"))
-        .foldLeft(col("a.inc") &&
-          (!col("b.inc") || col("a.doc_id") < col("b.doc_id")))(_ && _)
+        .foldLeft(!col("b.inc") || col("a.doc_id") < col("b.doc_id"))(_ && _)
       a.join(b, col(s"a.band$bnd") === col(s"b.band$bnd") && first)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     }.reduce(_ unionAll _)

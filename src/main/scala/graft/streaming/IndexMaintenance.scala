@@ -52,10 +52,12 @@ import graft.operators.Dedup
  * standard idempotent-foreachBatch protocol.
  *
  * The standing index is the fold of committed deltas, latest batch
- * winning per node — one scan + one shuffle over O(index) rows, no
- * rewrite. At lakehouse scale the deltas would MERGE into an index
- * table; the fold here is that table's read path expressed over the raw
- * delta log.
+ * winning per node. The fold SCANS the newest snapshot and shuffles only
+ * the post-snapshot delta tail (the snapshot holds one row per node, so
+ * latest-wins is an anti-join against the tail's node set — broadcast,
+ * never an O(index) exchange). At lakehouse scale the deltas would MERGE
+ * into an index table; the fold here is that table's read path expressed
+ * over the raw delta log.
  *
  * PRECONDITION — doc_ids are unique across ingest batches (each doc_id
  * is delivered by exactly one batch). refreshDelta detects changed
@@ -112,15 +114,38 @@ final class IndexMaintenance(spark: SparkSession, root: String,
       // the whole delta log since batch 0
       val base = compactedIds.filter(_ <= ids.max).sorted.lastOption
       val tailIds = base.fold(ids)(b0 => ids.filter(_ > b0))
-      val paths = base.map(b0 => s"$root/base/$b0").toSeq ++
-        tailIds.map(b => s"$root/delta/$b")
       // explicit schema: a batch whose delta is EMPTY (no new pairs) is
       // legal, and schema inference over an empty parquet dir would fail
-      val deltas = spark.read.schema(deltaSchema).parquet(paths: _*)
-      val w = Window.partitionBy(col("node")).orderBy(col("b").desc)
-      deltas.withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("node"), col("comp"))
+      def read(paths: Seq[String]): DataFrame =
+        spark.read.schema(deltaSchema).parquet(paths: _*)
+      // latest-wins over the delta TAIL only — O(recent activity), never
+      // O(index); tail deltas all carry b > the snapshot's batch id
+      val tailFold = Option(tailIds).filter(_.nonEmpty).map { t =>
+        val w = Window.partitionBy(col("node")).orderBy(col("b").desc)
+        read(t.map(b => s"$root/delta/$b"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("node"), col("comp"))
+      }
+      val snap = base.map(b0 =>
+        read(Seq(s"$root/base/$b0")).select(col("node"), col("comp")))
+      (snap, tailFold) match {
+        case (Some(s), None) => s
+        case (None, Some(t)) => t
+        case (None, None) => emptyIndex // unreachable: ids is non-empty
+        case (Some(s), Some(t)) =>
+          // the snapshot holds ONE row per node, so "latest wins" reduces
+          // to an anti-join against the tail's node set — the snapshot is
+          // scanned and broadcast-probed, never shuffled (r12 verdict #2:
+          // the old shape ran the row_number window over snapshot ∪ tail,
+          // a full-index shuffle on every batch). Explicit broadcast: the
+          // tail is bounded by compactEvery batches of deltas (each
+          // O(ingest activity)) — structurally small — while file-size
+          // stats alone would leave the planner free to pick a sort-merge
+          // join and re-shuffle the snapshot.
+          s.join(broadcast(t.select(col("node"))), Seq("node"), "left_anti")
+            .unionByName(t)
+      }
     }
 
   /** Compact the delta log at `batchId`: persist the current fold as a
@@ -182,24 +207,38 @@ final class IndexMaintenance(spark: SparkSession, root: String,
       .parquet(s"$root/fps/$batchId")
       .withColumn("inc", lit(true))
     // one multi-path scan over every standing shard (not a per-batch
-    // union): scan cost tracks corpus volume, not batch count
-    val standing =
+    // union): scan cost tracks corpus volume, not batch count.
+    // Only the STANDING side is cached — the union with the new batch's
+    // parquet stays lazy, so the algo's incoming-side filter prunes the
+    // union down to the small exact-stats parquet branch and the planner
+    // reliably broadcasts it (r13: caching the whole union hid the new
+    // batch behind an InMemoryRelation-sized estimate, and a conservative
+    // broadcast threshold re-shuffled the entire fingerprint corpus x4
+    // chunk joins per batch — 331 MB vs 137 MB over a 24-batch sf3 soak)
+    // the inc=false literal goes ON TOP of the cache, not inside it: a
+    // cached literal becomes a real column (the relation's schema hides
+    // it), the incoming-side filter can no longer constant-fold the
+    // standing branch to empty, and the planner sees a corpus-sized
+    // incoming estimate — flipping the banded join to sort-merge and
+    // re-shuffling every standing fingerprint per batch
+    val standingRaw =
       if (done.isEmpty) None
       else Some(spark.read.schema(algo.stagedSchema)
-        .parquet(done.map(b => s"$root/fps/$b"): _*)
-        .withColumn("inc", lit(false)))
-    // transient per-batch caches: the banded join scans `all` once per
-    // simhash chunk and the delta tail scans `base` three times; both
-    // are released before the batch commits, so no cross-batch memory
-    // state accumulates (a restart pays two cold scans, nothing else)
-    val all = standing.map(_.unionByName(newFps)).getOrElse(newFps).persist()
+        .parquet(done.map(b => s"$root/fps/$b"): _*).persist())
+    // transient per-batch caches: the banded join scans the standing fps
+    // once per simhash chunk and the delta tail scans `base` three times;
+    // both are released before the batch commits, so no cross-batch
+    // memory state accumulates (a restart pays two cold scans)
+    val all = standingRaw
+      .map(_.withColumn("inc", lit(false)).unionByName(newFps))
+      .getOrElse(newFps)
     val base = indexAt(done).persist()
     try {
       algo.refreshDelta(all, base)
         .withColumn("b", lit(batchId))
         .write.mode("overwrite").parquet(s"$root/delta/$batchId")
     } finally {
-      all.unpersist()
+      standingRaw.foreach(_.unpersist())
       base.unpersist()
     }
     CommitMarkers.commit(spark, metaDir, batchId, s"""{"batch":$batchId}""")
