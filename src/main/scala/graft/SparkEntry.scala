@@ -58,8 +58,11 @@ object SparkEntry {
       graft.operators.Sampling.llrTopKSampled(s, dir,
         fMax = 1000000, kMax = 1000000, seed = 42L, windowMs = 86400000L, k = 10)),
 
-    // Real cuts: deterministic seeded sampling (not SQL-expressible ->
-    // rows-only check; semantics covered by SamplingSpec).
+    // Real cuts, BOTH binding: item cut + user reservoir + refund cycle
+    // live. Oracled since r13 — the portable hash draw (Sampling.drawFor)
+    // lets the DuckDB oracle replay the identical sample window by window
+    // (Sampling.sampledLlrOracleSql); semantics also covered by
+    // SamplingSpec at fold grain.
     "cooc_sampled_llr" -> ((s, dir) =>
       graft.operators.Sampling.llrTopKSampled(s, dir,
         fMax = 60, kMax = 20, seed = 42L, windowMs = 86400000L, k = 10)),
@@ -313,9 +316,10 @@ object SparkEntry {
        |  HAVING SUM(CASE WHEN a.item = b.item THEN a.n * (a.n - 1) ELSE a.n * b.n END) > 0)
        |""".stripMargin
 
-  /** Full LLR top-K oracle — shared by the skip-cuts batch pipeline and the
-    * sampled pipeline with cuts >= data size (they must agree exactly). */
-  private[graft] val llrTopKFullSql: String = pairsSql +
+  /** LLR top-K rank tail over a CTE chain that ends in
+    * `pairs(item, other, cnt)` — shared by every pipeline variant
+    * (skip-cuts, sampled-nocuts, and the r13 replayed sampled pipeline). */
+  private[graft] val llrRankTailSql: String =
     """, rs AS (SELECT item, SUM(cnt) AS row_sum FROM pairs GROUP BY item),
       |tot AS (SELECT SUM(cnt) AS total FROM pairs),
       |contingency AS (
@@ -348,6 +352,10 @@ object SparkEntry {
       |SELECT item, rnk, other, score FROM ranked WHERE rnk <= 10
       |ORDER BY item, rnk""".stripMargin
 
+  /** Full LLR top-K oracle — shared by the skip-cuts batch pipeline and the
+    * sampled pipeline with cuts >= data size (they must agree exactly). */
+  private[graft] val llrTopKFullSql: String = pairsSql + llrRankTailSql
+
   def oracleSql: Map[String, String] =
     baseOracleSql ++ ExtQueries.oracleSql ++ ExtQueries2.oracleSql ++ ExtQueries3.oracleSql ++ ExtQueries4.oracleSql ++ ExtQueries5.oracleSql ++ ExtQueries6.oracleSql ++ ExtQueries7.oracleSql ++ ExtQueries8.oracleSql ++ ExtQueries9.oracleSql ++ ExtQueries10.oracleSql ++ ExtQueries11.oracleSql ++ ExtQueries12.oracleSql ++ ExtQueries13.oracleSql ++ ExtQueries14.oracleSql ++ ExtQueries15.oracleSql ++ ExtQueries16.oracleSql ++ ExtQueries17.oracleSql ++ ExtQueries18.oracleSql ++ ExtQueries19.oracleSql ++ ExtQueries20.oracleSql ++ ExtQueries21.oracleSql ++ ExtQueries22.oracleSql ++ ExtQueries23.oracleSql ++ ExtQueries24.oracleSql ++ ExtQueries25.oracleSql ++ ExtQueries26.oracleSql ++ ExtQueries27.oracleSql ++ ExtQueries28.oracleSql ++ ExtQueries29.oracleSql ++ ExtQueries30.oracleSql ++ ExtQueries31.oracleSql ++ ExtQueries32.oracleSql ++ ExtQueries33.oracleSql ++ ExtQueries34.oracleSql ++ ExtQueries35.oracleSql ++ ExtQueries36.oracleSql ++ ExtQueries37.oracleSql ++ ExtQueries38.oracleSql ++ ExtQueries39.oracleSql ++ ExtQueries40.oracleSql ++ ExtQueries41.oracleSql ++ ExtQueries42.oracleSql ++ ExtQueries43.oracleSql ++ ExtQueries44.oracleSql
 
@@ -366,6 +374,13 @@ object SparkEntry {
 
     // sampled pipeline with cuts >= data size reduces to the exact batch result
     "cooc_sampled_nocuts_llr" -> llrTopKFullSql,
+
+    // full sampled pipeline with LIVE cuts: the oracle replays item cut,
+    // reservoir (portable hash draw), refunds, and delta emission, then
+    // ranks through the same LLR tail
+    "cooc_sampled_llr" -> graft.operators.Sampling.sampledLlrOracleSql(
+      interSql, fMax = 60, kMax = 20, seed = 42L, windowMs = 86400000L,
+      llrRankTail = llrRankTailSql),
 
     "cooc_item_cut" ->
       """WITH ev AS (

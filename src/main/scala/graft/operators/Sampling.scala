@@ -33,10 +33,11 @@ import scala.collection.mutable.ArrayBuffer
  *
  * Determinism contract (stronger than the reference, which depends on
  * Flink arrival order and per-subtask RNG): events fold in (ts, user,
- * item) order within each (key, window); the reservoir RNG is seeded per
- * (user, window) from a job seed. Results are identical across
- * partitionings and cluster sizes; the sampling distribution matches the
- * reference's.
+ * item) order within each (key, window); the reservoir draw is a pure
+ * hash of (job seed, user, the user's event counter) — see [[drawFor]].
+ * Results are identical across partitionings, cluster sizes, and
+ * engines (the DuckDB oracle replays the identical sample); the
+ * sampling distribution matches the reference's.
  *
  * Scale posture: the driver loop over windows IS the microbatch model —
  * each window is two keyed cogroups (shuffle by item, shuffle by user)
@@ -113,21 +114,31 @@ object Sampling {
     val numSplits = sc.longAccumulator("SplitReaderNumSplits")
   }
 
-  /** splitmix64 finalizer: java.util.Random's seed scrambler is weak —
-    * structurally related seeds (adjacent users/windows) yield CORRELATED
-    * draw sequences, which the reservoir-uniformity property test caught
-    * as specific positions being systematically over-sampled. Full
-    * avalanche before handing the seed over removes the correlation. */
-  private[graft] def mix64(z0: Long): Long = {
-    var z = z0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
+  /**
+   * The reservoir draw, PORTABLE (r12 verdict #4): k = H(seed#user#total)
+   * mod total, where H is [[PortableHash.h]] (first 15 hex digits of md5
+   * as a 60-bit long) and `total` is the user's event counter at the
+   * draw. Three properties the old per-(user, window) java.util.Random
+   * stream lacked:
+   *  - ENGINE-REPLAYABLE: the identical draw is computable in the DuckDB
+   *    oracle via the hSql mirror, so the sampled pipeline is
+   *    SQL-verifiable end-to-end instead of golden-hash-pinned;
+   *  - ORDER-FREE: the draw is a pure function of (seed, user, total) —
+   *    no sequential RNG state, so batch windows and streaming batches
+   *    cannot drift apart and no window-salt is needed;
+   *  - still Algorithm-R: (user, total) is unique per event, H is
+   *    uniform over 60 bits, and total <= 2^31 makes the mod bias
+   *    negligible — the reservoir-uniformity property test holds.
+   * Pass a reused per-partition MessageDigest (hJvm resets it per call).
+   */
+  private[graft] def drawFor(md: java.security.MessageDigest, seed: Long,
+      user: Int, total: Int): Int =
+    (PortableHash.hJvm(md, s"$seed#$user#$total") % total).toInt
 
-  /** Per-(user, window) RNG — deterministic under any partitioning. */
-  private def rngFor(seed: Long, user: Int, window: Long): java.util.Random =
-    new java.util.Random(mix64(seed ^ mix64(user.toLong ^ mix64(window))))
+  /** SQL mirror of [[drawFor]] (DuckDB dialect): same string, same hash,
+    * same mod — `userE`/`totalE` are SQL expressions. */
+  private[graft] def drawForSql(seed: Long, userE: String, totalE: String): String =
+    s"(${PortableHash.hSql(s"('$seed#' || CAST($userE AS VARCHAR) || '#' || CAST($totalE AS VARCHAR))")} % $totalE)"
 
   /** Width for per-window loop shuffles: sized to per-window volume
     * (~20k rows/partition, floor 4), capped at the session default — at
@@ -140,11 +151,134 @@ object Sampling {
     math.max(4L, math.min(defaultParts.toLong, rowsPerWindow / 20000L + 1)).toInt
   }
 
-  /** RNG for the streaming reservoir (ReservoirProcessor): keyed by
-    * (user, total-at-batch-start) — same finalization discipline as
-    * rngFor, shared so batch and streaming can't drift apart. */
-  private[graft] def rngForStream(seed: Long, user: Int, total: Int): java.util.Random =
-    new java.util.Random(mix64(seed ^ mix64(user.toLong ^ mix64(total.toLong))))
+  /**
+   * DuckDB oracle for the FULL sampled pipeline (r12 verdict #4): replays
+   * item cut, user reservoir, refund cycle and delta accumulation in SQL
+   * and hands the resulting C matrix to the shared LLR rank tail. The
+   * portable [[drawFor]] is what makes this possible — every reservoir
+   * decision is a pure function of precomputable inputs:
+   *
+   *  - `t`    the user's event counter in canonical fold order
+   *           (windows ascending, then (ts, item) within user) — static;
+   *  - `riw`  the event's rank within (item, window) in item-stage fold
+   *           order (ts, user) — static; the first max(0, fMax - cnt)
+   *           ranks of a window are sampled, where cnt is the item's
+   *           count entering the window;
+   *  - draw   H(seed#user#t) mod t — static (hSql mirror).
+   *
+   * Only the per-window state (item counts net of refunds, user sampled
+   * counts) is sequential, so the recursion iterates over WINDOWS — each
+   * step derives flags from entering counts with plain joins + window
+   * functions, classifies sampled events (append while the user's
+   * sampled count < kMax; then replace if draw < kMax else refund), and
+   * folds sampled/refund totals into the next window's state. Slot
+   * occupancy is then reconstructed statically: appends write slot
+   * `sampled-count-before`, replaces write slot `draw`; the occupant a
+   * reservoir event sees in slot j is the latest earlier write to
+   * (user, j) (an ASOF join); deltas follow the reference's emission
+   * rules and aggregate into `pairs`.
+   *
+   * Shapes verified against the Spark pipeline by the driver gate at
+   * sf0.01 and by SamplingSpec's fixtures at fold grain.
+   */
+  def sampledLlrOracleSql(interSql: String, fMax: Int, kMax: Int, seed: Long,
+      windowMs: Long, llrRankTail: String): String = {
+    val draw = drawForSql(seed, "usr", "t")
+    s"""WITH RECURSIVE
+       |inter AS ($interSql),
+       |ev AS (SELECT usr, item, epoch_ms(ts) // $windowMs AS wnd,
+       |              epoch_ms(ts) AS tsm FROM inter),
+       |wnds AS (SELECT wnd, CAST(ROW_NUMBER() OVER (ORDER BY wnd) AS BIGINT) AS wi
+       |         FROM (SELECT DISTINCT wnd FROM ev) z),
+       |evt AS (
+       |  SELECT e.usr, e.item, e.tsm, w.wi,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY e.usr
+       |              ORDER BY e.wnd, e.tsm, e.item) AS BIGINT) AS t,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY e.item, e.wnd
+       |              ORDER BY e.tsm, e.usr) AS BIGINT) AS riw
+       |  FROM ev e JOIN wnds w USING (wnd)),
+       |nw AS (SELECT MAX(wi) AS n FROM wnds),
+       |rec(wi, kind, key, val, item, t, sb, act, slot) AS (
+       |  SELECT CAST(1 AS BIGINT), 0, CAST(NULL AS BIGINT), CAST(0 AS BIGINT),
+       |         CAST(NULL AS INT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       |         CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+       |  UNION ALL
+       |  (
+       |  WITH cur AS (SELECT MAX(wi) AS w FROM rec WHERE kind IN (0, 1)),
+       |  f AS (
+       |    SELECT e.*, COALESCE(uc.val, 0) AS scnt0,
+       |           (e.riw <= $fMax - COALESCE(ic.val, 0)) AS smp
+       |    FROM evt e
+       |    LEFT JOIN rec ic ON ic.kind = 0 AND ic.key = e.item
+       |    LEFT JOIN rec uc ON uc.kind = 1 AND uc.key = e.usr
+       |    WHERE e.wi = (SELECT w FROM cur)),
+       |  s AS (
+       |    SELECT f.*, scnt0 + CAST(ROW_NUMBER() OVER (PARTITION BY usr
+       |             ORDER BY tsm, item) AS BIGINT) - 1 AS sb,
+       |           $draw AS k
+       |    FROM f WHERE smp),
+       |  c AS (
+       |    SELECT s.*,
+       |           CASE WHEN sb < $kMax THEN 'A'
+       |                WHEN k < $kMax THEN 'R' ELSE 'F' END AS act,
+       |           CASE WHEN sb < $kMax THEN sb
+       |                WHEN k < $kMax THEN k END AS slot
+       |    FROM s),
+       |  ichg AS (SELECT item AS key,
+       |                  CAST(COUNT(*) AS BIGINT) -
+       |                  CAST(SUM(CASE WHEN act = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS d
+       |           FROM c GROUP BY item),
+       |  uchg AS (SELECT usr AS key, CAST(COUNT(*) AS BIGINT) AS d FROM c GROUP BY usr),
+       |  inext AS (
+       |    SELECT COALESCE(o.key, d.key) AS key, COALESCE(o.val, 0) + COALESCE(d.d, 0) AS val
+       |    FROM (SELECT key, val FROM rec WHERE kind = 0 AND key IS NOT NULL) o
+       |    FULL OUTER JOIN ichg d ON o.key = d.key),
+       |  unext AS (
+       |    SELECT COALESCE(o.key, d.key) AS key, COALESCE(o.val, 0) + COALESCE(d.d, 0) AS val
+       |    FROM (SELECT key, val FROM rec WHERE kind = 1 AND key IS NOT NULL) o
+       |    FULL OUTER JOIN uchg d ON o.key = d.key)
+       |  SELECT * FROM (
+       |    SELECT (SELECT w FROM cur), 2, CAST(usr AS BIGINT), CAST(NULL AS BIGINT),
+       |           item, t, sb, act, slot FROM c
+       |    UNION ALL
+       |    SELECT (SELECT w FROM cur) + 1, 0, key, val, NULL, NULL, NULL, NULL, NULL
+       |    FROM inext WHERE (SELECT w FROM cur) < (SELECT n FROM nw)
+       |    UNION ALL
+       |    SELECT (SELECT w FROM cur) + 1, 1, key, val, NULL, NULL, NULL, NULL, NULL
+       |    FROM unext WHERE (SELECT w FROM cur) < (SELECT n FROM nw)
+       |    UNION ALL
+       |    SELECT (SELECT w FROM cur) + 1, 0, NULL, 0, NULL, NULL, NULL, NULL, NULL
+       |    WHERE (SELECT w FROM cur) < (SELECT n FROM nw)
+       |  ) z
+       |  )
+       |),
+       |acts AS (SELECT key AS usr, item, t, sb, act, slot FROM rec WHERE kind = 2),
+       |writes AS (SELECT usr, slot, t, item FROM acts WHERE act IN ('A', 'R')),
+       |reads AS (
+       |  SELECT a.usr, a.t, a.item, a.act, a.slot, g.j
+       |  FROM acts a JOIN (SELECT UNNEST(range(0, $kMax)) AS j) g
+       |    ON (a.act = 'A' AND g.j < a.slot) OR a.act = 'R'),
+       |occ AS (
+       |  SELECT r.usr, r.t, r.item, r.act, r.slot, r.j, w.item AS o
+       |  FROM reads r ASOF JOIN writes w
+       |    ON r.usr = w.usr AND r.j = w.slot AND r.t > w.t),
+       |prevs AS (SELECT usr, t, o AS prev FROM occ WHERE act = 'R' AND j = slot),
+       |others AS (SELECT usr, t, item, o FROM occ WHERE act = 'R' AND j <> slot),
+       |deltas AS (
+       |  SELECT item, o AS other, 1 AS inc FROM occ WHERE act = 'A'
+       |  UNION ALL SELECT o, item, 1 FROM occ WHERE act = 'A'
+       |  UNION ALL SELECT item, o, 1 FROM others
+       |  UNION ALL SELECT o, item, 1 FROM others
+       |  UNION ALL SELECT p.prev, x.o, -1 FROM others x
+       |            JOIN prevs p ON x.usr = p.usr AND x.t = p.t
+       |  UNION ALL SELECT x.o, p.prev, -1 FROM others x
+       |            JOIN prevs p ON x.usr = p.usr AND x.t = p.t),
+       |pairs AS (
+       |  SELECT item, other, CAST(SUM(inc) AS BIGINT) AS cnt
+       |  FROM deltas GROUP BY item, other HAVING SUM(inc) > 0)
+       |$llrRankTail"""
+      .stripMargin
+  }
 
   /** Item-cut fold for one item's window slice (events pre-sorted). */
   private def itemCutFold(events: Seq[Interaction], startCnt: Int, fMax: Int,
@@ -164,7 +298,7 @@ object Sampling {
     * Returns (deltas, refundedItems, newState). private[graft] for the
     * reservoir-uniformity property test. */
   private[graft] def userFold(events: Seq[Flagged], st: UserState, kMax: Int,
-      rng: java.util.Random, metrics: Option[PipelineMetrics])
+      draw: Int => Int, metrics: Option[PipelineMetrics])
       : (Seq[CoocDelta], Seq[Int], UserState) = {
     val deltas = new ArrayBuffer[CoocDelta]()
     val refunds = new ArrayBuffer[Int]()
@@ -183,7 +317,7 @@ object Sampling {
           metrics.foreach(_.observedCooccurrences.add(2L * (history.length)))
           history += e.item
         } else {
-          val k = rng.nextInt(total)
+          val k = draw(total)
           if (k < kMax) {
             val prev = history(k)
             var i = 0
@@ -451,7 +585,9 @@ object Sampling {
     // --- user stage: reservoir fold; state rows pass through under
     // tag-bit synthetic keys (the tag bit lives above the 32-bit id, so
     // negative user/item ids can never collide with a real user group) ---
-    itemOut.cogroup(userSt, part).mapPartitions(_.flatMap {
+    itemOut.cogroup(userSt, part).mapPartitions({ iter =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      iter.flatMap {
       case (key, (rows, sts)) =>
         val seq = rows.toSeq
         val (stateRows, eventRows) = seq.partition(_.kind == 1)
@@ -467,7 +603,7 @@ object Sampling {
             .map(r => Flagged(r.user, r.item, r.ts, r.sample))
             .sortBy(e => (e.ts, e.item, e.user))
           val (deltas, refunds, newSt) =
-            userFold(sorted, st, kMax, rngFor(seed, user, w), metrics)
+            userFold(sorted, st, kMax, t => drawFor(md, seed, user, t), metrics)
           // net this user's deltas before emission (associative)
           val net = new scala.collection.mutable.LinkedHashMap[(Int, Int), Int]()
           deltas.foreach(d => net.update((d.item, d.other),
@@ -486,6 +622,7 @@ object Sampling {
             Iterator.single((key,
               UserStageRow(2, 0, 0, 0, newSt.user, newSt.total, newSt.history)))
         }
+      }
     }, preservesPartitioning = true)
   }
 

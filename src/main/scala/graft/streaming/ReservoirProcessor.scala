@@ -54,10 +54,10 @@ class ReservoirProcessor(kMax: Int, seed: Long)
     val history = scala.collection.mutable.ArrayBuffer[Int](
       (if (histState.exists()) histState.get().items else Array.empty[Int]): _*)
     val out = scala.collection.mutable.ArrayBuffer[CoocDelta]()
-    // Same splitmix64 finalization as the batch path (Sampling.rngFor):
-    // raw xor/multiply seeding leaves adjacent (user, total) seeds
-    // correlated through java.util.Random's weak scrambler.
-    val rng = graft.operators.Sampling.rngForStream(seed, user, total)
+    // The SAME portable draw as the batch path (Sampling.drawFor): a pure
+    // hash of (seed, user, total), so the streaming fold cannot drift
+    // from the batch windows no matter how events split across batches.
+    val md = java.security.MessageDigest.getInstance("MD5")
     sorted.foreach { e =>
       total += 1
       if (e.sample) {
@@ -68,7 +68,7 @@ class ReservoirProcessor(kMax: Int, seed: Long)
           }
           history += e.item
         } else {
-          val k = rng.nextInt(total)
+          val k = graft.operators.Sampling.drawFor(md, seed, user, total)
           if (k < kMax) {
             val prev = history(k)
             var i = 0

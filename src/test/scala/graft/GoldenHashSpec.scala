@@ -11,8 +11,10 @@ import org.scalatest.BeforeAndAfterAll
 /**
  * Pinned golden hashes for the four queries the driver's correctness gate
  * records as `no_oracle` (not SQL-expressible in DuckDB): `ann_topk_ivf`
- * (IVF probe order), `bpe_merges` / `bpe_tokenize` (iterative merge loop),
- * `cooc_sampled_llr` (seeded-RNG reservoir sampling). Each already has
+ * (IVF probe order), `bpe_merges` / `bpe_tokenize` (iterative merge loop).
+ * (`cooc_sampled_llr` graduated in r13: the portable hash draw made the
+ * sampled pipeline DuckDB-replayable, so it is driver-oracled and its
+ * pins are retired.) Each already has
  * semantic specs (recall bounds, reference-loop equality, property tests);
  * this spec adds CROSS-ROUND drift detection: the exact output bytes at
  * sf0.001, sf0.01 and sf0.1 (the bench scale factor — drift that only
@@ -106,14 +108,7 @@ class GoldenHashSpec extends AnyFunSuite with BeforeAndAfterAll {
       sf001 = ("3882fed1c345efc5",
         "2e6fd33d4778ad57276dad8c2f17527e4d6425376db187f2709f60ebbadcff48"),
       sf01 = ("d10b0da67e5aceb4",
-        "4b32310aa0f9bd2effcba501e5af7d4d5cad98d32eac3fc9160e56ab0df81e46")),
-    Pin("cooc_sampled_llr", "events",
-      sf0001 = ("7fd4b9d6277e78d4",
-        "76945202ae3091c521ee99dc22249c4762e9f192e0b661bd6c06608fd0ea237d"),
-      sf001 = ("bb5b2c28f8905d98",
-        "ef59d6e12fae504e9be4709f9487b2cf8b9880e842e744307513ae3f09aeb0b6"),
-      sf01 = ("1d18f4489b6c943b",
-        "407c9eccfe4a17faa1bb2e3387b26dc47a3885d5bb87c87b9a52b33aea4ceae8"))
+        "4b32310aa0f9bd2effcba501e5af7d4d5cad98d32eac3fc9160e56ab0df81e46"))
   )
 
   private def check(p: Pin, sfDir: String, pinned: (String, String)): Unit = {

@@ -10,19 +10,23 @@ import graft.operators.Sampling.{Flagged, UserState}
  * folding N events with user cut kMax, every event's item must be in the
  * final history with probability ~= kMax/N (the classic Algorithm-R
  * guarantee the reference inherits via k = rng.nextInt(total),
- * UserInteractionCounterOneInputStreamOperator.java:207-245).
- * Pure fold-level test — no Spark session.
+ * UserInteractionCounterOneInputStreamOperator.java:207-245; here the
+ * draw is the portable hash k = H(seed#user#total) mod total, which must
+ * preserve the same guarantee). Pure fold-level test — no Spark session.
  */
 class ReservoirPropertySpec extends AnyFunSuite {
+
+  private def drawOf(seed: Long, user: Int): Int => Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    t => Sampling.drawFor(md, seed, user, t)
+  }
 
   private def finalHistory(items: Seq[Int], kMax: Int, seed: Long): Array[Int] = {
     val events = items.zipWithIndex.map { case (it, i) =>
       Flagged(user = 1, item = it, ts = i.toLong, sample = true)
     }
-    // scramble the trial seed exactly like the pipeline does — raw
-    // sequential seeds into java.util.Random give correlated sequences
     val (_, _, st) = Sampling.userFold(events, UserState(1, 0, Array.empty), kMax,
-      new java.util.Random(Sampling.mix64(seed)), None)
+      drawOf(seed, user = 1), None)
     st.history
   }
 
@@ -50,10 +54,10 @@ class ReservoirPropertySpec extends AnyFunSuite {
       s"positional bias: early=$early late=$late")
   }
 
-  test("streaming processor seeding (rngForStream) is uniform across adjacent users") {
-    // the streaming reservoir seeds per (user, batch-start total) — adjacent
-    // user ids are exactly the structurally-related seeds that the raw
-    // xor/multiply scheme correlated; same 4-sigma uniformity bar as above
+  test("draw keyed by adjacent user ids is uniform (one shared job seed)") {
+    // one fixed job seed, varying USER — exactly the structurally-related
+    // key family that a weak seed scrambler correlated in earlier rounds;
+    // the hash draw must show no positional bias across adjacent users
     val n = 200
     val kMax = 40
     val trials = 400
@@ -61,7 +65,7 @@ class ReservoirPropertySpec extends AnyFunSuite {
     (0 until trials).foreach { user =>
       val events = (0 until n).map(i => Flagged(user, i, i.toLong, sample = true))
       val (_, _, st) = Sampling.userFold(events, UserState(user, 0, Array.empty), kMax,
-        Sampling.rngForStream(seed = 42L, user = user, total = 0), None)
+        drawOf(seed = 42L, user = user), None)
       st.history.foreach(item => counts(item) += 1)
     }
     val expected = trials.toDouble * kMax / n
@@ -80,7 +84,20 @@ class ReservoirPropertySpec extends AnyFunSuite {
     assert(hist.length == 10)
     val (_, refunds, _) = Sampling.userFold(
       (0 until 100).map(i => Flagged(1, i, i.toLong, sample = true)),
-      UserState(1, 0, Array.empty), 10, new java.util.Random(7L), None)
+      UserState(1, 0, Array.empty), 10, drawOf(seed = 7L, user = 1), None)
     assert(refunds.nonEmpty, "with N >> kMax some draws must be rejected (refunded)")
+  }
+
+  test("the JVM draw equals the SQL mirror's definition") {
+    // drawFor and drawForSql must be the same function: spot-check the
+    // JVM value against a direct re-derivation of the SQL formula
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val mdCheck = java.security.MessageDigest.getInstance("MD5")
+    (1 to 50).foreach { t =>
+      val total = t + 20
+      val k = Sampling.drawFor(md, 42L, 7, total)
+      val h = graft.operators.PortableHash.hJvm(mdCheck, s"42#7#$total")
+      assert(k == (h % total).toInt && k >= 0 && k < total)
+    }
   }
 }
