@@ -736,7 +736,13 @@ object Dedup {
     // it later converts the join), then explicitly RELEASED on return —
     // per-batch maintenance loops outran the context cleaner when this
     // was left to GC (+570 MB retained over a 24-batch sf3 soak)
-    val p = pairs.localCheckpoint(true)
+    // the minhash candidate stage already returns a checkpointed frame;
+    // re-checkpointing a bare materialized RDD would serialize the whole
+    // pair list a second time for nothing (+3s/+20 CPU-s on the sf0.1
+    // streaming maintenance bench)
+    val preMaterialized =
+      org.apache.spark.sql.graftbridge.CheckpointBridge.isMaterialized(pairs)
+    val p = if (preMaterialized) pairs else pairs.localCheckpoint(true)
     try {
       // The standing index is SCANNED, never shuffled (r13, r12 verdict
       // #2). Every index access below is a join whose OTHER side is
@@ -791,7 +797,10 @@ object Dedup {
       org.apache.spark.sql.graftbridge.CheckpointBridge.release(touched)
       out
     } finally {
-      org.apache.spark.sql.graftbridge.CheckpointBridge.release(p)
+      // only release what THIS method pinned: a caller-provided
+      // checkpoint may have later consumers
+      if (!preMaterialized)
+        org.apache.spark.sql.graftbridge.CheckpointBridge.release(p)
     }
   }
 

@@ -25,4 +25,11 @@ object CheckpointBridge {
     case l: LogicalRDD => l.rdd.unpersist(blocking = false); ()
     case _ => ()
   }
+
+  /** True iff the Dataset is already a bare materialized RDD (the result
+    * of a localCheckpoint) — callers that need "materialized exactly
+    * once" semantics use this to skip a REDUNDANT second checkpoint of a
+    * frame some upstream stage already pinned. */
+  def isMaterialized(ds: Dataset[_]): Boolean =
+    ds.queryExecution.analyzed.isInstanceOf[LogicalRDD]
 }
