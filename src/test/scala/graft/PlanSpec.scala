@@ -409,4 +409,42 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val nd = df.select("doc_a", "doc_b").distinct().count()
     assert(n == nd, s"pair stream must be duplicate-free by construction: $n vs $nd")
   }
+
+  /** Output attribute names of every shuffle exchange in the EXECUTED
+    * (post-AQE) plan — materializes the frame through the noop sink so
+    * query stages are final. */
+  private def exchangeOutputNames(name: String): Seq[Seq[String]] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    def walk(p: SparkPlan): Unit = {
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case sh: ShuffleExchangeLike => buf += sh.child.output.map(_.name)
+        case _ =>
+      }
+      p.children.foreach(walk)
+      p.subqueries.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    buf.toSeq
+  }
+
+  test("span family: the span string never crosses an exchange (r12 verdict #1)") {
+    // spans are hashed the moment they form; counting, the repeated-set
+    // join, and the coverage join all move 8-byte keys. A span-named
+    // attribute in any exchange output means the ~50-byte string is
+    // shuffling again — the r12 scale-killer this family was cured of.
+    Seq("text_dup_spans", "text_span_savings").foreach { q =>
+      val exchanges = exchangeOutputNames(q)
+      assert(exchanges.nonEmpty, s"$q: expected a materialized plan with exchanges")
+      val offenders = exchanges.filter(_.exists(_.startsWith("span")))
+      assert(offenders.isEmpty,
+        s"$q: span column crosses an exchange: ${offenders.take(3)}")
+    }
+  }
 }
