@@ -217,7 +217,109 @@ object ExtQueries10 {
       })
   )
 
+  /**
+   * Recursive replay of the BPE merge loop in DuckDB (r13): one
+   * iteration per merge round over the word-frequency vocabulary.
+   * Everything the loop decides is integer/string-exact, so the oracle
+   * reproduces the merge sequence bit-for-bit:
+   *  - pair counts: SUM(freq) over adjacent symbol positions (every
+   *    occurrence counts, overlaps included — same as the sliding(2)
+   *    count);
+   *  - winner: ORDER BY pf DESC, l, r (binary collation = Spark's
+   *    UTF-8 string order);
+   *  - greedy left-to-right non-overlapping merge: within a run of
+   *    consecutive matches (runs longer than 1 only exist when l = r)
+   *    the selected positions are exactly the even offsets from the run
+   *    start — gaps-and-islands + run parity, no sequential scan needed;
+   *  - the next round's symbol lists rebuild with a positional LIST()
+   *    aggregate that emits merged pairs at selected positions and skips
+   *    the swallowed successor.
+   * `kind 1` rows accumulate the merge table; `kind 0` rows carry the
+   * vocab state, whose final round is what bpe_tokenize joins against.
+   */
+  private def bpeRecSql(nMerges: Int): String =
+    s"""wf AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY w),
+       |rec(round, kind, w, syms, freq, l, r, pf) AS (
+       |  SELECT CAST(1 AS BIGINT), 0, w,
+       |         list_append(list_transform(range(1, length(w) + 1),
+       |             i -> substr(w, CAST(i AS INT), 1)), '</w>'),
+       |         freq, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+       |  FROM wf
+       |  UNION ALL
+       |  (
+       |  WITH cur AS (SELECT round, w, syms, freq FROM rec WHERE kind = 0),
+       |  rnd AS (SELECT MAX(round) AS k FROM cur),
+       |  pr AS (
+       |    SELECT syms[i] AS l, syms[i+1] AS r, CAST(SUM(freq) AS BIGINT) AS pf
+       |    FROM cur, UNNEST(range(1, len(syms))) t(i)
+       |    GROUP BY 1, 2),
+       |  win AS (SELECT l, r, pf FROM pr ORDER BY pf DESC, l, r LIMIT 1),
+       |  pos AS (
+       |    SELECT c.w, c.freq, t.i, c.syms[t.i] AS sym,
+       |           (t.i < len(c.syms) AND c.syms[t.i] = win.l
+       |            AND c.syms[t.i+1] = win.r) AS m
+       |    FROM cur c, win, UNNEST(range(1, len(c.syms) + 1)) t(i)),
+       |  sel AS (
+       |    SELECT *, CASE WHEN m THEN
+       |        i - ROW_NUMBER() OVER (PARTITION BY w, m ORDER BY i) END AS grp
+       |    FROM pos),
+       |  sel2 AS (
+       |    SELECT *, m AND ((i - MIN(i) OVER (PARTITION BY w, grp)) % 2 = 0) AS s
+       |    FROM sel),
+       |  sel3 AS (
+       |    SELECT *, COALESCE(LAG(s) OVER (PARTITION BY w ORDER BY i), FALSE) AS ps,
+       |           LEAD(sym) OVER (PARTITION BY w ORDER BY i) AS nsym
+       |    FROM sel2),
+       |  nxt AS (
+       |    SELECT w, freq,
+       |           list(CASE WHEN s THEN sym || nsym ELSE sym END ORDER BY i)
+       |             FILTER (WHERE NOT ps) AS syms
+       |    FROM sel3 GROUP BY w, freq)
+       |  SELECT * FROM (
+       |    SELECT (SELECT k FROM rnd), 1, CAST(NULL AS VARCHAR),
+       |           CAST(NULL AS VARCHAR[]), CAST(NULL AS BIGINT), l, r, pf
+       |    FROM win WHERE (SELECT k FROM rnd) <= $nMerges
+       |    UNION ALL
+       |    SELECT (SELECT k FROM rnd) + 1, 0, w, syms, freq,
+       |           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+       |    FROM nxt WHERE (SELECT k FROM rnd) <= $nMerges
+       |  ) z
+       |  )
+       |)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+
+    // recursive replay of the merge loop — bit-identical merge table
+    "bpe_merges" ->
+      s"""WITH RECURSIVE ${bpeRecSql(12)}
+         |SELECT CAST(round AS INT) AS rank, l AS "left", r AS "right",
+         |       pf AS pair_freq
+         |FROM rec WHERE kind = 1 ORDER BY rank""".stripMargin,
+
+    // token sequences: docs join the FINAL vocab state of the replayed
+    // loop; position = contiguous index over (word order, subtoken order)
+    "bpe_tokenize" ->
+      s"""WITH RECURSIVE ${bpeRecSql(12)},
+         |fin AS (SELECT w, syms FROM rec
+         |        WHERE kind = 0
+         |          AND round = (SELECT MAX(round) FROM rec WHERE kind = 0)),
+         |dw AS (
+         |  SELECT doc_id, i AS wpos, ws[i] AS w
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |       UNNEST(range(1, len(ws) + 1)) t(i)
+         |  WHERE ws[i] <> ''),
+         |tok AS (
+         |  SELECT d.doc_id, d.wpos, t.s AS spos, f.syms[t.s] AS token
+         |  FROM dw d JOIN fin f ON f.w = d.w,
+         |       UNNEST(range(1, len(f.syms) + 1)) t(s))
+         |SELECT doc_id,
+         |       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+         |            ORDER BY wpos, spos) - 1 AS INT) AS pos,
+         |       token
+         |FROM tok ORDER BY doc_id, pos""".stripMargin,
 
     // the BPE invariants are exact: doc/vocab counts from SQL, and the
     // encode==tokenize and round-trip tallies must equal them

@@ -9,12 +9,13 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
 /**
- * Pinned golden hashes for the four queries the driver's correctness gate
- * records as `no_oracle` (not SQL-expressible in DuckDB): `ann_topk_ivf`
- * (IVF probe order), `bpe_merges` / `bpe_tokenize` (iterative merge loop).
- * (`cooc_sampled_llr` graduated in r13: the portable hash draw made the
- * sampled pipeline DuckDB-replayable, so it is driver-oracled and its
- * pins are retired.) Each already has
+ * Pinned golden hashes for the ONE query the driver's correctness gate
+ * records as `no_oracle`: `ann_topk_ivf` — IVF centroids come from an
+ * iterative float k-means, and float summation order is engine-specific,
+ * so no exact cross-engine replay exists. (r13 graduated everything
+ * else: `cooc_sampled_llr` via the portable hash draw, `bpe_merges` /
+ * `bpe_tokenize` via a recursive-CTE replay of the integer merge loop —
+ * all driver-oracled now, pins retired.) Each pinned query already has
  * semantic specs (recall bounds, reference-loop equality, property tests);
  * this spec adds CROSS-ROUND drift detection: the exact output bytes at
  * sf0.001, sf0.01 and sf0.1 (the bench scale factor — drift that only
@@ -94,21 +95,7 @@ class GoldenHashSpec extends AnyFunSuite with BeforeAndAfterAll {
       sf001 = ("5bd2b0f09265a066",
         "a92407f4d8fe89e4a272d8348407c146b68987389362a4c690ad231ea319b63d"),
       sf01 = ("f5a6fe8c86ce8719",
-        "1f91327296d482f5cc0f135e8252104fade561ee5b4a627f6f1fe469f5cc707c")),
-    Pin("bpe_merges", "documents",
-      sf0001 = ("dae477afb99976de",
-        "171d327883a0ce4f1722f5e0378e7a6f16813e7443cb87777a1add68235ae870"),
-      sf001 = ("3882fed1c345efc5",
-        "ab72e18e5f1a559a0e48ed23fa9149d4981889d146cd0b46bbab52497cae7a6a"),
-      sf01 = ("d10b0da67e5aceb4",
-        "67558b2db72f37e92a7601eb2bbffc9d522ef7e1f056c192f1ed12efd273ebdb")),
-    Pin("bpe_tokenize", "documents",
-      sf0001 = ("dae477afb99976de",
-        "5cf86b5b33b0758653df922a29f8d0671b0669f231096edde848f0744f582cb2"),
-      sf001 = ("3882fed1c345efc5",
-        "2e6fd33d4778ad57276dad8c2f17527e4d6425376db187f2709f60ebbadcff48"),
-      sf01 = ("d10b0da67e5aceb4",
-        "4b32310aa0f9bd2effcba501e5af7d4d5cad98d32eac3fc9160e56ab0df81e46"))
+        "1f91327296d482f5cc0f135e8252104fade561ee5b4a627f6f1fe469f5cc707c"))
   )
 
   private def check(p: Pin, sfDir: String, pinned: (String, String)): Unit = {
