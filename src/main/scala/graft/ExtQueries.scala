@@ -61,8 +61,11 @@ object ExtQueries {
       Similarity.lshTopK(embs(s, dir), AnnQueries, 10, dims = 64, nPlanes = 4)
         .orderBy(col("query_id"), col("rnk"))),
 
-    // IVF ANN (k-means inverted lists, deterministic): approximate by
-    // design -> rows-only check; recall measured in ExtOperatorsSpec.
+    // IVF ANN (k-means inverted lists): ORACLED since r13 — the integer
+    // floor-mean made every k-means step exact, so the DuckDB oracle
+    // replays the whole index (seeds, Lloyd iterations, assignment,
+    // probe ranking, in-list cosine) bit-for-bit; recall additionally
+    // measured in ExtOperatorsSpec.
     "ann_topk_ivf" -> ((s, dir) =>
       IvfIndex.ivfTopK(embs(s, dir), AnnQueries, 10, nLists = 16, nProbe = 4)
         .orderBy(col("query_id"), col("rnk"))),
@@ -705,6 +708,71 @@ object ExtQueries {
          |                                OR x.bkt2 = y.bkt2 OR x.bkt3 = y.bkt3))
          |SELECT vec_a, vec_b, ROUND(cosr, 4) AS cos FROM pairs
          |WHERE cosr >= 0.30 ORDER BY vec_a, vec_b""".stripMargin,
+
+    // full replay of the IVF index (r13): the integer floor-mean k-means
+    // is exact, so DuckDB reproduces seeds -> 3 Lloyd iterations ->
+    // assignment -> probe ranking -> in-list cosine bit-for-bit. Every
+    // distance is the same relative form the Spark side uses
+    // (|c|^2 - 2<v,c>, exact integers <= 2^53, ties to the lower
+    // centroid id); empty clusters keep their previous centroid via the
+    // COALESCE. Valid while the corpus is within IvfIndex's fit-sample
+    // cap (2^18 rows) — true at every driver gate SF.
+    "ann_topk_ivf" ->
+      s"""WITH RECURSIVE $quantSql,
+         |seeds AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c,
+         |         qv AS cv
+         |  FROM (SELECT vec_id, qv FROM qn ORDER BY vec_id LIMIT 16) z),
+         |km(iter, c, cv) AS (
+         |  SELECT CAST(0 AS BIGINT), c, cv FROM seeds
+         |  UNION ALL
+         |  (
+         |  WITH dists AS (
+         |    SELECT v.vec_id, v.qv, k2.c,
+         |           list_inner_product(k2.cv, k2.cv)
+         |             - 2 * list_inner_product(v.qv, k2.cv) AS d
+         |    FROM qn v CROSS JOIN km k2),
+         |  asg AS (
+         |    SELECT vec_id, qv, c AS cl FROM (
+         |      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+         |      FROM dists) x WHERE rn = 1),
+         |  mean AS (
+         |    SELECT cl, i, CAST(SUM(qv[i]) // COUNT(*) AS BIGINT) AS m
+         |    FROM asg, UNNEST(range(1, len(qv) + 1)) t(i)
+         |    GROUP BY cl, i),
+         |  mlist AS (SELECT cl, list(m ORDER BY i) AS mv FROM mean GROUP BY cl)
+         |  SELECT (SELECT MAX(k3.iter) FROM km k3) + 1, km.c, COALESCE(ml.mv, km.cv)
+         |  FROM km LEFT JOIN mlist ml ON ml.cl = km.c
+         |  WHERE (SELECT MAX(k4.iter) FROM km k4) < 3
+         |  )
+         |),
+         |fin AS (SELECT c, cv FROM km WHERE iter = 3),
+         |fdists AS (
+         |  SELECT v.vec_id, v.qv, v.n2, f.c,
+         |         list_inner_product(f.cv, f.cv)
+         |           - 2 * list_inner_product(v.qv, f.cv) AS d
+         |  FROM qn v CROSS JOIN fin f),
+         |indexed AS (
+         |  SELECT vec_id, qv, n2, c AS cluster FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+         |    FROM fdists) x WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, qv AS qqv, n2 AS qn2, c AS cluster FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+         |    FROM fdists WHERE vec_id IN (${AnnQueries.mkString(", ")})) x
+         |  WHERE rn <= 4),
+         |scored AS (
+         |  SELECT p.query_id, v.vec_id,
+         |         ROUND(list_inner_product(p.qqv, v.qv)
+         |               / (sqrt(p.qn2) * sqrt(v.n2)), 4) AS cos
+         |  FROM probes p JOIN indexed v
+         |    ON v.cluster = p.cluster AND v.vec_id != p.query_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, rnk, vec_id, cos FROM ranked WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin,
 
     "ann_topk_exact" ->
       s"""WITH $quantSql,

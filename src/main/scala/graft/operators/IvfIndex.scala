@@ -74,18 +74,31 @@ object IvfIndex {
       .map(_.getSeq[Long](0).map(_.toDouble).toArray)
     for (_ <- 0 until iters) {
       val assigned = assign(quantized, centroids)
+      // INTEGER means (r13): exact long sums + a driver-side floorDiv —
+      // the one floating-point step (avg of longs) whose summation order
+      // was engine-specific, i.e. the only thing that kept the IVF index
+      // from being cross-engine replayable. On the e6 quantization grid
+      // the floor-mean is within 1e-6 of the true mean in vector units —
+      // far below any cluster-boundary distance — while every centroid
+      // component stays an exact integer (DuckDB's `//` floor division
+      // is the SQL mirror; plain long division truncates toward zero and
+      // would diverge on negative sums).
       val means = assigned
         .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "v")))
         .groupBy(col("cluster"), col("pos"))
-        .agg(avg(col("v")).as("m"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
         .groupBy(col("cluster"))
-        .agg(map_from_arrays(collect_list(col("pos")), collect_list(col("m"))).as("dims"))
+        .agg(map_from_arrays(collect_list(col("pos")),
+          collect_list(struct(col("s"), col("n")))).as("dims"))
         .collect()
-        .map(r => r.getInt(0) -> r.getMap[Int, Double](1))
+        .map(r => r.getInt(0) ->
+          r.getMap[Int, org.apache.spark.sql.Row](1).map {
+            case (d, sn) => d -> Math.floorDiv(sn.getLong(0), sn.getLong(1))
+          })
         .toMap
       centroids = centroids.indices.map { c =>
         means.get(c) match {
-          case Some(m) => Array.tabulate(centroids(c).length)(d => m.getOrElse(d, 0.0))
+          case Some(m) => Array.tabulate(centroids(c).length)(d => m.getOrElse(d, 0L).toDouble)
           case None => centroids(c) // empty cluster keeps its seed
         }
       }.toArray
