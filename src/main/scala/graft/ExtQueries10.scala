@@ -59,9 +59,11 @@ object ExtQueries10 {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // BPE merge training, 12 merges: iterative, so no SQL oracle —
-    // rows-only at the gate; BpeSpec cross-checks the merge sequence
-    // exactly against a single-machine reference implementation.
+    // BPE merge training, 12 merges: FULLY ORACLED (r13) — the DuckDB
+    // oracle below replays the whole merge loop with a recursive CTE
+    // (exact integer pair counts, same total-order argmax). BpeSpec
+    // additionally cross-checks the sequence against a single-machine
+    // reference implementation.
     "bpe_merges" -> ((s, dir) =>
       BpeTrainer.merges(Tables.table(s, dir, "documents"), 12)),
 
@@ -97,8 +99,9 @@ object ExtQueries10 {
     // BPE token SEQUENCES (doc_id, pos, token) — the model-input form of
     // the tokenizer (r5 verdict #6). Same broadcast vocab-join shape as
     // encode; per-doc position via a doc-partitioned (bounded) window.
-    // Rows-only at the gate; BpeSpec checks per-document equality with
-    // direct applyMerges application.
+    // FULLY ORACLED (r13): the oracle replays the merge loop by
+    // recursive CTE, then re-applies the merges per word; BpeSpec also
+    // checks per-document equality with direct applyMerges application.
     "bpe_tokenize" -> ((s, dir) => {
       val docs = Tables.table(s, dir, "documents")
       BpeTrainer.tokenize(docs, BpeTrainer.train(docs, 12))

@@ -143,9 +143,10 @@ object ExtQueries22 {
     // (ts, user) fold order, deltas = both-direction pairs of each
     // user's flagged events in (ts, item) fold order, then the standard
     // row-sum/LLR/top-K rescore. Complements cooc_sampled_nocuts_llr
-    // (no cut binds) and cooc_sampled_llr (both cuts bind, RNG live,
-    // rows-only): here the ITEM CUT bites (sf0.01: ~40% of events
-    // dropped) and the result is still hash-checked against SQL.
+    // (no cut binds) and cooc_sampled_llr (both cuts bind, draw live —
+    // itself fully oracled since r13 via the portable hash draw): here
+    // the ITEM CUT bites (sf0.01: ~40% of events dropped) and the
+    // result is hash-checked against SQL.
     "cooc_sampled_itemcut_llr" -> ((s, dir) =>
       Sampling.llrTopKSampled(s, dir,
         fMax = 50, kMax = 1000000, seed = 7L, windowMs = WindowMs, k = 10))

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -26,12 +26,19 @@ import graft.operators.Tables
  *  - text_span_savings: the corpus-level token-savings report of that
  *    transform (the number Lee et al. headline).
  *
- * Plan shape at 100 TB: spans are keyed by xxhash64 the moment they are
- * formed — the ~50-byte span STRING never shuffles and is never
- * materialized corpus-wide (the r12 shape localCheckpointed one string
- * row per corpus token: an executor-storage cliff, then 6x the needed
- * shuffle volume). Counting, the repeated-set semi-join, and the
- * coverage join all move 8-byte keys; the only strings that survive an
+ * Plan shape at 100 TB: spans are keyed by a 128-BIT hash pair (two
+ * independent-seed xxhash64 columns) the moment they are formed — the
+ * ~50-byte span STRING never shuffles and is never materialized
+ * corpus-wide (the r12 shape localCheckpointed one string row per
+ * corpus token: an executor-storage cliff, then 6x the needed shuffle
+ * volume). 128 bits, not 64 (r13 verdict #2): at ~1e13 window positions
+ * a single 64-bit key expects millions of birthday collisions, each one
+ * falsely marking a span corpus-repeated and text_span_cut then
+ * excising legitimate text; at 128 bits the expected collision count at
+ * the same scale is ~1e-12 — the family stays exact-in-practice at the
+ * stated posture for the price of 8 extra bytes per key row. Counting,
+ * the repeated-set semi-join, and the coverage join all move 16-byte
+ * keys; the only strings that survive an
  * exchange are one per (span, doc) partial for the 20-row top report,
  * and the per-doc rebuild in the cut transform (inherent to emitting
  * documents). Recomputing the span projection for a second consumer is
@@ -57,16 +64,26 @@ object ExtQueries44 {
       when(parts.last.isNotNull, concat_ws(" ", parts: _*)).as("span"))
   }
 
-  /** Hashed positional spans: (doc_id, pos, h) — one 8-byte row per full
-    * window position. This is the only shape the span family shuffles. */
+  /** The 128-bit span key: two xxhash64 halves over DIFFERENT inputs
+    * (bare span; salt-prefixed span) — independent functions of the
+    * span, so a collision needs both halves to collide at once.
+    * Null-guarded: xxhash64(null) is the SEED, not null, so unguarded
+    * keys would alias every incomplete tail window onto one bogus key. */
+  private def spanKey(span: Column): Seq[Column] = Seq(
+    when(span.isNotNull, xxhash64(span)).as("h1"),
+    when(span.isNotNull, xxhash64(lit("graft-span-k2"), span)).as("h2"))
+
+  /** Hashed positional spans: (doc_id, pos, h1, h2) — one 16-byte key
+    * row per full window position. This is the only shape the span
+    * family shuffles. */
   private def spanHashes(s: SparkSession, dir: String): DataFrame =
     wordSpans(s, dir).where(col("span").isNotNull)
-      .select(col("doc_id"), col("pos"), xxhash64(col("span")).as("h"))
+      .select(col("doc_id") +: col("pos") +: spanKey(col("span")): _*)
 
-  /** Distinct hashes of corpus-repeated spans (>= 2 occurrences). */
+  /** Distinct 128-bit keys of corpus-repeated spans (>= 2 occurrences). */
   private def repeatedHashes(sp: DataFrame): DataFrame =
-    sp.groupBy(col("h")).agg(count(lit(1)).as("c"))
-      .where(col("c") >= 2).select(col("h"))
+    sp.groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2).select(col("h1"), col("h2"))
 
   /** Per-word coverage frame: (doc_id, pos, word, cv) where cv = 1 iff
     * the word lies inside any corpus-repeated window (a repeated span
@@ -78,12 +95,10 @@ object ExtQueries44 {
     // side is the FILTERED repeated-hash set (sparse relative to the
     // corpus — AQE broadcasts it when it fits), keys are 8 bytes
     val dup = repeatedHashes(sp).withColumn("dup", lit(1))
-    // xxhash64(null) is the SEED, not null — guard so the SpanWords-1
-    // incomplete tail windows of every doc can't alias one bogus hash
     val flagged = wordSpans(s, dir)
-      .select(col("doc_id"), col("pos"), col("word"),
-        when(col("span").isNotNull, xxhash64(col("span"))).as("h"))
-      .join(dup, Seq("h"), "left_outer")
+      .select(col("doc_id") +: col("pos") +: col("word") +:
+        spanKey(col("span")): _*)
+      .join(dup, Seq("h1", "h2"), "left_outer")
       .select(col("doc_id"), col("pos"), col("word"),
         coalesce(col("dup"), lit(0)).as("is_start"))
     val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -98,9 +113,9 @@ object ExtQueries44 {
       // two consumers of the hashed span stream; recomputing it is one
       // scan + one doc-partitioned window per consumer — no corpus-wide
       // materialization (r12 verdict #1)
-      val sp = spanHashes(s, dir).select(col("doc_id"), col("h"))
+      val sp = spanHashes(s, dir).select(col("doc_id"), col("h1"), col("h2"))
       val repeated = repeatedHashes(spanHashes(s, dir)).withColumn("dup", lit(1))
-      sp.join(repeated, Seq("h"), "left_outer")
+      sp.join(repeated, Seq("h1", "h2"), "left_outer")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_windows"),
           sum(coalesce(col("dup"), lit(0))).cast("long").as("n_dup"))
@@ -111,14 +126,14 @@ object ExtQueries44 {
 
     "text_top_spans" -> ((s, dir) => {
       // two passes so span STRINGS only ever shuffle for spans already
-      // known repeated: pass 1 counts hashes (8-byte rows), pass 2
+      // known repeated: pass 1 counts keys (16-byte rows), pass 2
       // semi-joins the stream against the sparse repeated set (AQE
       // broadcasts it) and aggregates strings for those rows alone
       val rep = repeatedHashes(spanHashes(s, dir))
       wordSpans(s, dir).where(col("span").isNotNull)
-        .select(col("doc_id"), col("span"), xxhash64(col("span")).as("h"))
-        .join(rep, Seq("h"), "left_semi")
-        .groupBy(col("h"))
+        .select(col("doc_id") +: col("span") +: spanKey(col("span")): _*)
+        .join(rep, Seq("h1", "h2"), "left_semi")
+        .groupBy(col("h1"), col("h2"))
         .agg(count(lit(1)).as("n_occ"),
           count_distinct(col("doc_id")).as("n_docs"),
           min(col("span")).as("span"))

@@ -22,10 +22,11 @@ import graft.operators.Tables
  *  - GREEDY ATOMIC packing (no-split bins): documents stay whole; in
  *    doc_id order each doc joins the current sequence if it fits in the
  *    remaining budget, else opens a new one (docs longer than SeqLen get
- *    a sequence of their own). Inherently sequential PER SHARD — done in
- *    one sorted fold per shard (mapGroups), which is exactly how a real
- *    pipeline shards it; the DuckDB oracle replays the fold with a
- *    recursive CTE over each shard's doc list.
+ *    a sequence of their own). Inherently sequential PER SHARD — done as
+ *    a STREAMING fold per shard (shuffle-sorted iterator, O(1) task
+ *    state), which is exactly how a real pipeline shards it; the DuckDB
+ *    oracle replays the fold with a recursive CTE over each shard's doc
+ *    list.
  *
  * Token counts are whitespace tokens (the `text_tokens` convention).
  *
@@ -42,7 +43,17 @@ import graft.operators.Tables
 object ExtQueries45 {
 
   private val SeqLen = 256L // tokens per training sequence
-  private val NShards = 8
+
+  /** Shard count for the packing fold. A PARAMETER, not a constant
+    * (r13 verdict #1): at 100 TB the fold's parallelism and per-task
+    * row count are both corpus/NShards, so the deployment sizes it to
+    * the cluster (tasks ~ 2-3x cores, shard ~ fits a task's memory
+    * comfortably — though the fold STREAMS, so memory is O(1) anyway
+    * and the bound that matters is wall-clock per task). The driver
+    * gate pins 8 so the oracle replay is small; the oracle SQL is
+    * shard-generic (it interpolates the same value). */
+  private[graft] val NShards: Int =
+    sys.props.get("graft.pack.shards").map(_.toInt).getOrElse(8)
 
   /** (doc_id, shard, n_tok) — whitespace tokens, +1 separator accounted
     * by the packing arithmetic, not here. */
@@ -69,18 +80,32 @@ object ExtQueries45 {
   /** Greedy atomic packing: one sorted fold per shard. Each output row is
     * (doc_id, shard, seq_id, seq_off). Sequential by construction, but
     * only WITHIN a shard — shards fold in parallel, which is the whole
-    * point of sharding the pack. */
+    * point of sharding the pack.
+    *
+    * Scale shape (r13 verdict #1): `repartition(NShards, shard) +
+    * sortWithinPartitions(shard, doc_id) + mapPartitions` — the shuffle
+    * machinery does the sort (spillable sort-merge, never a heap
+    * buffer), and the fold consumes the ITERATOR with O(1) state (shard,
+    * seq, used), so per-task memory is flat in shard size. The earlier
+    * `flatMapGroups` shape buffered a whole shard on the heap
+    * (`it.toArray.sortBy`) — tens of GB per task at 100 TB/8 shards.
+    * One partition holds exactly one shard (partition id = pmod of the
+    * non-negative shard id), but the fold is written shard-change-aware
+    * anyway, so any future many-shards-per-partition layout stays
+    * correct. */
   private def greedy(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     docToks(s, dir)
       .select(col("shard"), col("doc_id"), col("n_tok"))
       .as[(Int, Long, Long)]
-      .groupByKey(_._1)
-      .flatMapGroups { (shard, it) =>
-        val docs = it.toArray.sortBy(_._2) // doc_id order
+      .repartition(NShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .mapPartitions { it =>
+        var curShard = Int.MinValue
         var seq = 0L
         var used = 0L
-        docs.iterator.map { case (_, docId, n) =>
+        it.map { case (shard, docId, n) =>
+          if (shard != curShard) { curShard = shard; seq = 0L; used = 0L }
           if (used > 0 && used + n > SeqLen) { seq += 1; used = 0L }
           val off = used
           used += n

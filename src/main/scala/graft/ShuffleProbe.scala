@@ -6,7 +6,8 @@ import org.apache.spark.sql.SparkSession
 /**
  * Plan-evidence probe: runs the named SparkEntry queries and reports, per
  * query, wall seconds plus the TOTAL shuffle write bytes, shuffle read
- * bytes, and memory+disk spill across every stage the query scheduled —
+ * bytes, memory+disk spill, and the PEAK single-task execution memory
+ * across every stage the query scheduled —
  * the numbers PLANS.md / PERF.md cite when a rewrite claims "less data
  * moves". Usage:
  *
@@ -37,6 +38,7 @@ object ShuffleProbe {
     @volatile var write = 0L
     @volatile var read = 0L
     @volatile var spill = 0L
+    @volatile var peakMem = 0L // max single-task execution memory
     // per-TASK metrics, not StageInfo.taskMetrics — the latter is not a
     // reliable aggregate (it under-reported a 5.7 MB-shuffle query as 46
     // bytes; the Exchange nodes' own SQL metrics confirmed the task sums)
@@ -47,6 +49,7 @@ object ShuffleProbe {
           write += m.shuffleWriteMetrics.bytesWritten
           read += m.shuffleReadMetrics.totalBytesRead
           spill += m.memoryBytesSpilled + m.diskBytesSpilled
+          peakMem = math.max(peakMem, m.peakExecutionMemory)
         }
       }
     }
@@ -59,25 +62,26 @@ object ShuffleProbe {
       // Catalyst PRUNE the query's own expressions (count of a grouped
       // aggregate needs no aggregate values — a probe over .count()
       // reported 46 bytes for a 5.7 MB-shuffle query)
-      def run(): Long = {
+      def run(): Unit = {
         val df = fn(spark, sfDir)
         df.write.format("noop").mode("overwrite").save()
-        -1L
       }
-      write = 0L; read = 0L; spill = 0L
+      write = 0L; read = 0L; spill = 0L; peakMem = 0L
       val t0 = System.nanoTime()
-      val rows = run()
+      run()
       org.apache.spark.sql.graftbridge.ListenerBridge.waitUntilEmpty(spark.sparkContext)
       val wall = (System.nanoTime() - t0) / 1e9
-      val (cw, cr, cs) = (write, read, spill)
-      write = 0L; read = 0L; spill = 0L
+      val (cw, cr, cs, cp) = (write, read, spill, peakMem)
+      write = 0L; read = 0L; spill = 0L; peakMem = 0L
       val t1 = System.nanoTime()
       run()
       org.apache.spark.sql.graftbridge.ListenerBridge.waitUntilEmpty(spark.sparkContext)
       val wall2 = (System.nanoTime() - t1) / 1e9
-      println(f"""{"query":"$name","rows":$rows,"wall_sec":$wall%.2f,""" +
+      println(f"""{"query":"$name","wall_sec":$wall%.2f,""" +
         s""""shuffle_write_bytes":$cw,"shuffle_read_bytes":$cr,"spill_bytes":$cs,""" +
-        f""""warm_wall_sec":$wall2%.2f,"warm_shuffle_write_bytes":$write}""")
+        s""""peak_task_mem_bytes":$cp,""" +
+        f""""warm_wall_sec":$wall2%.2f,"warm_shuffle_write_bytes":$write,""" +
+        s""""warm_peak_task_mem_bytes":$peakMem}""")
     }
     spark.stop()
   }

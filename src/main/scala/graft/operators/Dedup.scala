@@ -646,13 +646,13 @@ object Dedup {
       maxHamming: Int, baseComps: DataFrame): DataFrame =
     refreshDelta(simhashRefreshPairs(fps, maxHamming), baseComps)
 
-  /** (incoming x corpus) near-dup pairs at fingerprint grain — the shared
-    * candidate stage of the simhash refresh family. `fps` carries
-    * (doc_id, fp, inc); a base x base pair is never generated. */
   /** Test/measurement hook for the private candidate stage. */
   private[graft] def probeRefreshPairs(fps: DataFrame, maxHamming: Int): DataFrame =
     simhashRefreshPairs(fps, maxHamming)
 
+  /** (incoming x corpus) near-dup pairs at fingerprint grain — the shared
+    * candidate stage of the simhash refresh family. `fps` carries
+    * (doc_id, fp, inc); a base x base pair is never generated. */
   private def simhashRefreshPairs(fps: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming < SimHashChunks, "pigeonhole needs maxHamming < #chunks")
     def side(tag: String): DataFrame = fps.select(
@@ -794,7 +794,11 @@ object Dedup {
         Seq("node"), "left_anti")
       val out = changedBase.unionByName(newOut).localCheckpoint(true)
       // the output checkpoint above is the last consumer of `touched`
+      // AND of `cc` (changed/newOut both fold into out) — release both
+      // eagerly: per-batch maintenance loops outrun the context cleaner
+      // (the +570 MB r13 soak finding applied to cc's blocks too)
       org.apache.spark.sql.graftbridge.CheckpointBridge.release(touched)
+      org.apache.spark.sql.graftbridge.CheckpointBridge.release(cc)
       out
     } finally {
       // only release what THIS method pinned: a caller-provided

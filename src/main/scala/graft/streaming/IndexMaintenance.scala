@@ -180,8 +180,13 @@ final class IndexMaintenance(spark: SparkSession, root: String,
     val baseDir = new Path(s"$root/base")
     if (fs.exists(baseDir)) {
       fs.listStatus(baseDir).foreach { st =>
-        val id = scala.util.Try(st.getPath.getName.toLong).toOption
-        if (id.forall(!marked.contains(_))) fs.delete(st.getPath, true)
+        scala.util.Try(st.getPath.getName.toLong).toOption match {
+          // only numeric names are snapshot dirs this subsystem owns —
+          // skip anything else (future debris/markers) rather than let
+          // Option.forall's vacuous truth delete entries we can't parse
+          case Some(id) => if (!marked.contains(id)) fs.delete(st.getPath, true)
+          case None => ()
+        }
       }
     }
   }

@@ -436,7 +436,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("span family: the span string never crosses an exchange (r12 verdict #1)") {
     // spans are hashed the moment they form; counting, the repeated-set
-    // join, and the coverage join all move 8-byte keys. A span-named
+    // join, and the coverage join all move 16-byte (128-bit) keys. A span-named
     // attribute in any exchange output means the ~50-byte string is
     // shuffling again — the r12 scale-killer this family was cured of.
     Seq("text_dup_spans", "text_span_savings").foreach { q =>
