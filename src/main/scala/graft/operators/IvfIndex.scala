@@ -107,17 +107,43 @@ object IvfIndex {
   }
 
   /**
-   * IVF approximate top-k: probe the nProbe nearest clusters per query,
-   * exact cosine within the probed lists.
+   * BUILD the full IVF index over a corpus: fitted centroids + the
+   * materialized cluster assignment `(vec_id, qv, norm, cluster)` — the
+   * inverted-file layout itself. This is the expensive, corpus-sized
+   * step (iters+1 scans); [[AnnIndex]] memoizes/persists its result so
+   * queries serve from a STANDING index instead of rebuilding.
    */
-  def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
-      nLists: Int, nProbe: Int, iters: Int = 3): DataFrame = {
-    // quantization is scanned 2x per k-means iteration plus twice in the
-    // search — cache it once (vec_id + 64 longs + norm: tiny per row)
+  def buildIndex(embeddings: DataFrame, nLists: Int, iters: Int): (Array[Array[Double]], DataFrame) = {
+    // quantization is scanned 2x per k-means iteration plus once in the
+    // final assignment — cache it once (vec_id + 64 longs + norm: tiny
+    // per row)
     val corpus = Similarity.quantizedWithNorm(embeddings).persist()
     val centroids = fitCentroids(corpus.select(col("vec_id"), col("qv")), nLists, iters)
     val indexed = assign(corpus, centroids)
+      .select(col("vec_id"), col("qv"), col("norm"), col("cluster"))
+      .localCheckpoint(true)
+    corpus.unpersist()
+    (centroids, indexed)
+  }
 
+  /** Assign a (typically small) embedding batch against STANDING
+    * centroids — the O(batch) ingest-refresh step: no refit, one scan of
+    * the batch against broadcast-literal centroids. Output rows have the
+    * index layout `(vec_id, qv, norm, cluster)`. */
+  def assignBatch(embeddings: DataFrame, centroids: Array[Array[Double]]): DataFrame =
+    assign(Similarity.quantizedWithNorm(embeddings), centroids)
+      .select(col("vec_id"), col("qv"), col("norm"), col("cluster"))
+
+  /**
+   * SERVE approximate top-k from a standing index: probe the nProbe
+   * nearest clusters per query, exact cosine within the probed lists.
+   * `indexed` must have the [[buildIndex]] layout. Only the probed
+   * clusters' rows are scanned (with the durable parquet layout
+   * partitioned by cluster, the broadcast probe join prunes partitions
+   * dynamically — the real IVF read shape).
+   */
+  def topKFrom(centroids: Array[Array[Double]], indexed: DataFrame,
+      queryIds: Seq[Long], k: Int, nProbe: Int): DataFrame = {
     // probe lists per query: nProbe nearest centroids
     val qAssigned = indexed.where(col("vec_id").isin(queryIds: _*))
     val probeCols = centroids.zipWithIndex.map { case (c, i) =>
@@ -136,12 +162,23 @@ object IvfIndex {
         round(Similarity.cosineFromParts(
           Similarity.dotQ(col("qqv"), col("qv")), col("qnorm"), col("norm")), 4).as("cos"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    val result = scored
+    scored
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("vec_id"), col("cos"))
-      .localCheckpoint(true) // tiny (|queries| x k rows); lets the cache go
-    corpus.unpersist()
+  }
+
+  /**
+   * One-shot IVF top-k: build + serve + drop the index. Kept for callers
+   * that genuinely want a throwaway index (specs, ablations); the query
+   * surface serves from the memoized standing index in [[AnnIndex]].
+   */
+  def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      nLists: Int, nProbe: Int, iters: Int = 3): DataFrame = {
+    val (centroids, indexed) = buildIndex(embeddings, nLists, iters)
+    val result = topKFrom(centroids, indexed, queryIds, k, nProbe)
+      .localCheckpoint(true) // tiny (|queries| x k rows); lets the index go
+    org.apache.spark.sql.graftbridge.CheckpointBridge.release(indexed)
     result
   }
 }

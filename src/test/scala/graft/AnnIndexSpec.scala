@@ -1,0 +1,138 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.{AnnIndex, IvfIndex, Tables}
+
+/** Contract tests for the standing ANN index lifecycle (r13 verdict #1):
+  * one k-means build per (corpus fingerprint, params); durable parquet
+  * round-trip in the inverted-file (partitioned-by-cluster) layout;
+  * ingest refresh byte-equal to assigning the grown corpus against the
+  * frozen centroids; serving from the standing index identical to the
+  * one-shot build-and-probe path. */
+class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private var spark: SparkSession = _
+  private var dir: String = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    dir = Files.createTempDirectory("ann_index").toString
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** 24 deterministic 4-dim vectors in 4 well-separated blobs. */
+  private def writeEmbs(shift: Double = 0.0): Unit = {
+    val rows = (0L until 24L).map { i =>
+      val blob = (i % 4).toInt
+      val base = Array.fill(4)(0.05f)
+      base(blob) = (1.0 + 0.001 * i + shift).toFloat
+      (i, base.toSeq)
+    }
+    spark.createDataFrame(rows).toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
+  private def pairs(df: DataFrame): Set[(Long, Int)] =
+    df.select(col("vec_id"), col("cluster")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+
+  test("session memo: one build per key, standing serve == one-shot ivfTopK") {
+    writeEmbs()
+    AnnIndex.invalidateAll()
+    val builds0 = AnnIndex.buildCount.get()
+    val idx = AnnIndex.ivf(spark, dir, nLists = 4, iters = 2)
+    val again = AnnIndex.ivf(spark, dir, nLists = 4, iters = 2)
+    assert(idx eq again, "second lookup must return the memoized instance")
+    assert(AnnIndex.buildCount.get() == builds0 + 1)
+
+    val served = AnnIndex.topK(idx, Seq(0L, 1L), 3, nProbe = 2)
+      .orderBy(col("query_id"), col("rnk")).collect().toSeq
+    val oneShot = IvfIndex.ivfTopK(Tables.table(spark, dir, "embeddings"),
+        Seq(0L, 1L), 3, nLists = 4, nProbe = 2, iters = 2)
+      .orderBy(col("query_id"), col("rnk")).collect().toSeq
+    assert(served == oneShot, "standing-index serve must equal the one-shot path")
+
+    // different params are a different entry
+    val other = AnnIndex.ivf(spark, dir, nLists = 2, iters = 2)
+    assert(!(other eq idx))
+    assert(AnnIndex.buildCount.get() == builds0 + 2)
+  }
+
+  test("ingest refresh == assigning the grown corpus against frozen centroids") {
+    writeEmbs()
+    AnnIndex.invalidateAll()
+    val isIngest = col("vec_id") % 3 === 2
+    val base = AnnIndex.ivfFiltered(spark, dir, nLists = 4, iters = 2,
+      "mod3test", !isIngest)
+    val all = Tables.table(spark, dir, "embeddings")
+    val refreshed = AnnIndex.refreshedAssign(base, all.where(isIngest))
+    val rebuilt = IvfIndex.assignBatch(all, base.centroids)
+    assert(pairs(refreshed) == pairs(rebuilt),
+      "refresh must equal the frozen-centroid full assignment")
+    // and the refresh really covers everything exactly once
+    assert(refreshed.count() == 24)
+    assert(refreshed.select(col("vec_id")).distinct().count() == 24)
+  }
+
+  test("durable layer: inverted-file layout on disk, fresh session loads, changed corpus rebuilds") {
+    val cacheDir = Files.createTempDirectory("graft_ann_cache").toString
+    System.setProperty("graft.index.cache", cacheDir)
+    try {
+      writeEmbs()
+      AnnIndex.invalidateAll()
+      val builds0 = AnnIndex.buildCount.get()
+      val built = AnnIndex.ivf(spark, dir, nLists = 4, iters = 2)
+      val expect = pairs(built.assigned)
+      val expectCents = built.centroids.map(_.toSeq).toSeq
+      assert(AnnIndex.buildCount.get() == builds0 + 1)
+
+      // published entry: assign/ partitioned by cluster (the IVF layout —
+      // a probe's pruned read shape), centroids/ alongside, no tmp debris
+      val entries = new java.io.File(cacheDir).listFiles().map(_.getName).toSeq
+      assert(entries.exists(_.matches("[0-9a-f]{32}")), s"no entry: $entries")
+      assert(!entries.exists(_.startsWith(".tmp_")), s"tmp debris: $entries")
+      val entry = new java.io.File(cacheDir,
+        entries.find(_.matches("[0-9a-f]{32}")).get)
+      val assignDirs = new java.io.File(entry, "assign").listFiles()
+        .map(_.getName).filter(_.startsWith("cluster="))
+      assert(assignDirs.nonEmpty,
+        s"assign/ must be partitioned by cluster, found: ${assignDirs.toSeq}")
+
+      // fresh session layer -> durable load: no rebuild, identical index
+      AnnIndex.invalidateAll()
+      val loaded = AnnIndex.ivf(spark, dir, nLists = 4, iters = 2)
+      assert(AnnIndex.buildCount.get() == builds0 + 1, "durable hit rebuilt")
+      assert(loaded.centroids.map(_.toSeq).toSeq == expectCents,
+        "centroids must round-trip exactly")
+      assert(pairs(loaded.assigned) == expect)
+      // and serving from the loaded index matches serving from the built one
+      val a = AnnIndex.topK(built, Seq(0L), 3, 2).collect().toSeq
+      val b = AnnIndex.topK(loaded, Seq(0L), 3, 2)
+        .orderBy(col("rnk")).collect().toSeq
+      assert(a.sortBy(_.getInt(1)) == b.sortBy(_.getInt(1)))
+
+      // new corpus content at the same path must miss and rebuild
+      writeEmbs(shift = 0.5)
+      AnnIndex.invalidateAll()
+      AnnIndex.ivf(spark, dir, nLists = 4, iters = 2)
+      assert(AnnIndex.buildCount.get() == builds0 + 2,
+        "changed corpus must not be served from the durable cache")
+    } finally {
+      System.clearProperty("graft.index.cache")
+      AnnIndex.invalidateAll()
+    }
+  }
+}
