@@ -38,11 +38,54 @@ object BpeTrainer {
       .where(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
 
-  /** Train `nMerges` BPE merges over the word-frequency table. */
+  /** Vocab-size cap for the DRIVER-LOCAL merge loop (sysprop
+    * `graft.bpe.localVocabCap`; 0 forces the distributed loop). ~2M
+    * (word, freq) rows is tens of MB on the driver — comfortably inside
+    * the guarded-collect budget, and larger than the distinct-word
+    * vocabulary of almost any real corpus (100 TB of English text still
+    * has a bounded word-type count; the corpus-sized work is the word
+    * COUNT, which always stays distributed). */
+  private def localVocabCap: Long =
+    sys.props.get("graft.bpe.localVocabCap").map(_.toLong).getOrElse(1L << 21)
+
+  /**
+   * Train `nMerges` BPE merges over the word-frequency table.
+   *
+   * Two-tier shape (r13 verdict next-round #6): the ONE corpus-sized job
+   * is the initial word count; the merge loop itself runs over the
+   * bounded (word, freq) vocabulary. When that vocabulary fits under
+   * [[localVocabCap]] — the overwhelmingly common case at ANY corpus
+   * scale, since word types grow sub-linearly in corpus size — it is
+   * collected once (bounded by the cap via limit(cap+1)) and the loop
+   * runs DRIVER-LOCAL with incremental pair-count maintenance (the
+   * standard Sennrich 2016 formulation): at real vocab sizes this is
+   * ~1000x faster than scheduling one tiny Spark job per merge round.
+   * A vocabulary that exceeds the cap falls back to the distributed
+   * per-round loop. Both paths produce the identical merge sequence
+   * (same exact integer counts, same (count desc, UTF-8 left, right)
+   * total-order argmax) — BpeSpec cross-checks them.
+   */
   def train(docs: DataFrame, nMerges: Int): Seq[Merge] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    var vocab: Dataset[VocabWord] = wordFreqs(docs)
+    val freqsDf = wordFreqs(docs)
+    val cap = localVocabCap
+    if (cap > 0) {
+      // limit(cap+1) bounds driver memory even on a pathological vocab:
+      // overflow is detected by the row count, not by materializing it
+      val head = freqsDf.as[(String, Long)].limit((cap + 1).toInt).collect()
+      if (head.length <= cap) return localTrain(head.toMap, nMerges)
+    }
+    distributedTrain(freqsDf, nMerges)
+  }
+
+  /** The distributed per-round merge loop — the fallback when the
+    * vocabulary exceeds the driver cap. One vocabulary-sized flatMap +
+    * hash agg + single-row argmax collect per round. */
+  private[graft] def distributedTrain(freqsDf: DataFrame, nMerges: Int): Seq[Merge] = {
+    val spark = freqsDf.sparkSession
+    import spark.implicits._
+    var vocab: Dataset[VocabWord] = freqsDf
       .as[(String, Long)]
       .map { case (w, f) => VocabWord(w.map(_.toString) :+ EndMark, f) }
       .localCheckpoint(true)
@@ -78,6 +121,93 @@ object BpeTrainer {
     }
     vocab.unpersist()
     merges.toSeq
+  }
+
+  /** Spark's string ordering (orderBy on the distributed path) is
+    * unsigned UTF-8 byte order — both local loops tie-break with it. */
+  private val utf8Order: Ordering[String] = (x: String, y: String) =>
+    java.util.Arrays.compareUnsigned(x.getBytes("UTF-8"), y.getBytes("UTF-8"))
+
+  /**
+   * Driver-local merge loop with INCREMENTAL pair-count maintenance —
+   * the fast path of [[train]]. Unlike [[referenceTrain]] (which
+   * recounts every pair every round and exists as the spec's simplest-
+   * possible cross-check), each merge round here touches only the words
+   * that CONTAIN the winning pair (tracked by an inverted pair->words
+   * index), so a round costs O(occurrences of the merged pair), not
+   * O(vocabulary). Identical merge sequence to both other paths: exact
+   * long counts, argmax by (count desc, UTF-8 left asc, right asc).
+   */
+  private[graft] def localTrain(freqs: Map[String, Long], nMerges: Int): Seq[Merge] = {
+    import scala.collection.mutable
+    val words = freqs.keysIterator
+      .map(w => mutable.ArrayBuffer[String]((w.map(_.toString) :+ EndMark): _*))
+      .toArray
+    val wfreq = freqs.valuesIterator.toArray // aligned: same iterator order
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.BitSet]
+
+    /** Add/retract word i's adjacent pairs to the counts (+index). */
+    def applyWord(i: Int, retract: Boolean): Unit = {
+      val syms = words(i)
+      var j = 0
+      while (j + 1 < syms.length) {
+        val p = (syms(j), syms(j + 1))
+        val c = counts.getOrElse(p, 0L) + (if (retract) -wfreq(i) else wfreq(i))
+        if (c == 0L) { counts.remove(p); () } else counts(p) = c
+        if (retract) {
+          where.get(p).foreach { s =>
+            s -= i
+            if (s.isEmpty) { where.remove(p); () }
+          }
+        } else where.getOrElseUpdate(p, mutable.BitSet.empty) += i
+        j += 1
+      }
+    }
+
+    words.indices.foreach(applyWord(_, retract = false))
+
+    val out = scala.collection.mutable.ArrayBuffer[Merge]()
+    var r = 1
+    while (r <= nMerges && counts.nonEmpty) {
+      // argmax by the shared total order — a linear scan of the live
+      // pair set (bounded by distinct adjacent pairs, shrinks as merges
+      // consume symbols)
+      var best: ((String, String), Long) = null
+      counts.foreach { kv =>
+        if (best == null) best = kv
+        else {
+          val c = java.lang.Long.compare(kv._2, best._2)
+          val better =
+            if (c != 0) c > 0
+            else {
+              val l = utf8Order.compare(kv._1._1, best._1._1)
+              if (l != 0) l < 0 else utf8Order.compare(kv._1._2, best._1._2) < 0
+            }
+          if (better) best = kv
+        }
+      }
+      val ((l, rr), pf) = best
+      out += Merge(r, l, rr, pf)
+      // only words CONTAINING the winning pair change; retract their
+      // pairs, apply the merge in place, re-add
+      val touched = where.getOrElse((l, rr), mutable.BitSet.empty).toArray
+      touched.foreach { i =>
+        applyWord(i, retract = true)
+        val syms = words(i)
+        val merged = mutable.ArrayBuffer.empty[String]
+        var k = 0
+        while (k < syms.length) {
+          if (k + 1 < syms.length && syms(k) == l && syms(k + 1) == rr) {
+            merged += l + rr; k += 2
+          } else { merged += syms(k); k += 1 }
+        }
+        words(i) = merged
+        applyWord(i, retract = false)
+      }
+      r += 1
+    }
+    out.toSeq
   }
 
   /** Merge table as a DataFrame (the `queries` surface). */
@@ -179,13 +309,11 @@ object BpeTrainer {
       }
       if (counts.isEmpty) r = nMerges + 1
       else {
-        // tie-break in UNSIGNED UTF-8 byte order — the order Spark's
-        // orderBy uses on strings — so the reference matches the
-        // distributed loop on supplementary-plane text too (Java
-        // compareTo is UTF-16-unit order, which disagrees beyond the
-        // BMP; signed-byte compare disagrees from 0x80 up)
-        val utf8Order: Ordering[String] = (x: String, y: String) =>
-          java.util.Arrays.compareUnsigned(x.getBytes("UTF-8"), y.getBytes("UTF-8"))
+        // tie-break in UNSIGNED UTF-8 byte order (the shared utf8Order —
+        // the order Spark's orderBy uses on strings) so the reference
+        // matches the distributed loop on supplementary-plane text too
+        // (Java compareTo is UTF-16-unit order, which disagrees beyond
+        // the BMP; signed-byte compare disagrees from 0x80 up)
         val ((l, rr), pf) = counts.minBy { case ((a, b), c) => (-c, a, b) }(
           Ordering.Tuple3(Ordering.Long, utf8Order, utf8Order))
         out += Merge(r, l, rr, pf)

@@ -28,15 +28,23 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
-  test("distributed merges == reference merges (12 rounds), partition-independent") {
+  test("all three loops agree: reference == local (train default) == distributed") {
     val docs = Tables.table(spark, sfDir, "documents")
     val freqs = BpeTrainer.wordFreqs(docs).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val expected = BpeTrainer.referenceTrain(freqs, 12)
+    // train() takes the DRIVER-LOCAL incremental path here (vocab far
+    // under the cap) — the production fast path since r14
     val got = BpeTrainer.train(docs, 12)
     assert(got == expected, s"merge sequences differ:\n got=$got\n exp=$expected")
     val got2 = BpeTrainer.train(docs.repartition(7), 12)
     assert(got2 == expected, "merge sequence must be partition-independent")
+    // the distributed per-round loop (the vocab-exceeds-driver fallback)
+    // must land on the identical sequence
+    val dist = BpeTrainer.distributedTrain(BpeTrainer.wordFreqs(docs), 12)
+    assert(dist == expected, s"distributed loop diverged:\n got=$dist")
+    // and the incremental local loop called directly, for completeness
+    assert(BpeTrainer.localTrain(freqs, 12) == expected)
     assert(got.size == 12)
   }
 
