@@ -62,7 +62,7 @@ object ExtQueries {
         .orderBy(col("query_id"), col("rnk"))),
 
     // IVF ANN (k-means inverted lists): ORACLED since r13 — the integer
-    // floor-mean made every k-means step exact, so the DuckDB oracle
+    // truncated-mean made every k-means step exact, so the DuckDB oracle
     // replays the whole index (seeds, Lloyd iterations, assignment,
     // probe ranking, in-list cosine) bit-for-bit; recall additionally
     // measured in ExtOperatorsSpec. Since r14 this SERVES FROM THE
@@ -713,7 +713,7 @@ object ExtQueries {
          |SELECT vec_a, vec_b, ROUND(cosr, 4) AS cos FROM pairs
          |WHERE cosr >= 0.30 ORDER BY vec_a, vec_b""".stripMargin,
 
-    // full replay of the IVF index (r13): the integer floor-mean k-means
+    // full replay of the IVF index (r13): the integer truncated-mean k-means
     // is exact, so DuckDB reproduces seeds -> 3 Lloyd iterations ->
     // assignment -> probe ranking -> in-list cosine bit-for-bit. Every
     // distance is the same relative form the Spark side uses

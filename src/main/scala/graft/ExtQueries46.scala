@@ -21,7 +21,7 @@ import graft.operators.{AnnIndex, IvfIndex, Tables}
  * (new index key), not an ingest-path cost — the standard IVF deployment
  * posture. Under that contract the incremental refresh is byte-equal to
  * a full rebuild (fit on base, assign everything), which is exactly what
- * every oracle below replays in DuckDB (the r13 integer floor-mean makes
+ * every oracle below replays in DuckDB (the integer truncated-mean makes
  * the whole k-means exact and cross-engine).
  *
  *  - ann_index_refresh: an 80/20 base/ingest split of `embeddings`; the
@@ -145,7 +145,7 @@ object ExtQueries46 {
    * up to `indexed` (vec_id, qv, n2, cluster over ALL vectors) and
    * `fdists` (every vector's relative distance to every final centroid —
    * the probe tail reads it). Same arithmetic as the ann_topk_ivf replay
-   * (ExtQueries.oracleSql): exact integer sums, floor-mean `//`, ties to
+   * (ExtQueries.oracleSql): exact integer sums, truncated-mean `//` (toward-zero, the DuckDB integer semantics Spark mirrors with plain long division), ties to
    * the lower centroid id; valid while the fit shard is within
    * IvfIndex's deterministic fit-sample cap (2^18 rows) — true at every
    * driver gate SF.

@@ -54,7 +54,7 @@ import org.apache.spark.sql.types._
 object AnnIndex {
 
   /** A standing IVF index: driver-side centroids (exact integer-valued
-    * doubles — see IvfIndex's floor-mean) + the materialized assignment
+    * doubles — see IvfIndex's truncated-mean) + the materialized assignment
     * `(vec_id, qv, norm, cluster)`. */
   case class Ivf(centroids: Array[Array[Double]], assigned: DataFrame)
 

@@ -31,7 +31,7 @@ object IvfIndex {
     * measured. Grid rounding error (<=0.5 on a ~1e6-scale grid) is far
     * below any cluster-boundary distance and keeps every step exactly
     * deterministic. */
-  private def relDist2(qv: Column, centroid: Array[Double]): Column = {
+  private[operators] def relDist2(qv: Column, centroid: Array[Double]): Column = {
     val cq = centroid.map(math.round)
     val c2 = cq.map(x => x * x).sum
     lit(c2) - lit(2L) * Similarity.dotQ(qv, array(cq.map(lit): _*))
@@ -74,15 +74,20 @@ object IvfIndex {
       .map(_.getSeq[Long](0).map(_.toDouble).toArray)
     for (_ <- 0 until iters) {
       val assigned = assign(quantized, centroids)
-      // INTEGER means (r13): exact long sums + a driver-side floorDiv —
-      // the one floating-point step (avg of longs) whose summation order
-      // was engine-specific, i.e. the only thing that kept the IVF index
-      // from being cross-engine replayable. On the e6 quantization grid
-      // the floor-mean is within 1e-6 of the true mean in vector units —
+      // INTEGER means (r13, corrected r14): exact long sums + a
+      // driver-side TRUNCATING long division — the one floating-point
+      // step (avg of longs) whose summation order was engine-specific,
+      // i.e. the only thing that kept the IVF index from being
+      // cross-engine replayable. On the e6 quantization grid the
+      // truncated mean is within 1e-6 of the true mean in vector units —
       // far below any cluster-boundary distance — while every centroid
-      // component stays an exact integer (DuckDB's `//` floor division
-      // is the SQL mirror; plain long division truncates toward zero and
-      // would diverge on negative sums).
+      // component stays an exact integer. r14 correction: DuckDB's
+      // integer `//` TRUNCATES TOWARD ZERO (-7 // 2 = -3, measured), it
+      // does not floor; r13's Math.floorDiv was off by one on negative
+      // sums — invisible in every IVF output (a +-1e-6 centroid shift
+      // flips no assignment and no round-4 cosine) but exposed the
+      // moment PQ's recon2 put raw centroid values on the query
+      // surface. Plain Java long division IS the exact DuckDB mirror.
       val means = assigned
         .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "v")))
         .groupBy(col("cluster"), col("pos"))
@@ -93,7 +98,7 @@ object IvfIndex {
         .collect()
         .map(r => r.getInt(0) ->
           r.getMap[Int, org.apache.spark.sql.Row](1).map {
-            case (d, sn) => d -> Math.floorDiv(sn.getLong(0), sn.getLong(1))
+            case (d, sn) => d -> sn.getLong(0) / sn.getLong(1)
           })
         .toMap
       centroids = centroids.indices.map { c =>

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Product quantization (PQ) for ANN — the memory-compression half of the
+ * FAISS-style toolbox next to [[IvfIndex]]'s list-pruning half: vectors
+ * are split into M contiguous subspaces, each subspace gets its own
+ * small k-means codebook, and every vector is stored as M single-byte
+ * codes. At 100 TB this is THE reason large ANN deployments fit in
+ * memory: 64 quantized longs (512 B) become 8 codes (8 B) + one shared
+ * 16x8-long codebook per subspace, and query scoring never touches the
+ * original vectors — an asymmetric-distance (ADC) scan reads only the
+ * code columns and looks the partial dot products up in
+ * broadcast-literal tables.
+ *
+ * Determinism/oracle contract (the r13 discipline: keep every iterative
+ * step exact-arithmetic so it stays DuckDB-replayable): sub-codebooks
+ * are fit by the SAME integer truncated-mean k-means as the IVF index
+ * ([[IvfIndex.fitCentroids]] on each subvector slice — seeds are the
+ * ksub lowest vec_ids, every centroid component an exact integer), code
+ * assignment is the same |c|^2 - 2<v,c> relative-distance argmin with
+ * ties to the lower code, and the ADC dot is an exact integer sum of
+ * subspace dot products. The single rounding point is the final
+ * cosine-style normalization (reconstructed-norm denominator), rounded
+ * to 4 decimals before ranking — the same float discipline as every
+ * other scored query.
+ *
+ * Scale posture: fitting reads the corpus M times over an 8-dim slice
+ * (bounded by the fit-sample cap like IVF); encoding is ONE projection
+ * pass (M x ksub codegen'd LongArrayDot argmins); the ADC scan is one
+ * pass over (vec_id, code_0..code_{M-1}, recon2) — the corpus vectors
+ * themselves never move. Composes with the standing-index lifecycle the
+ * same way IVF does (the codes table is the persistable artifact).
+ */
+object PqIndex {
+
+  /** Fit one codebook per subspace: `books(s)(code)(dim)` — exact
+    * integer values carried as doubles, like IVF centroids. */
+  def fitCodebooks(quantized: DataFrame, m: Int, subDim: Int, ksub: Int,
+      iters: Int): Array[Array[Array[Double]]] =
+    (0 until m).map { s =>
+      IvfIndex.fitCentroids(
+        quantized.select(col("vec_id"),
+          slice(col("qv"), s * subDim + 1, subDim).as("qv")),
+        ksub, iters)
+    }.toArray
+
+  /** Literal column for one subspace's codebook entry lookup:
+    * element_at(books(s), code+1) as an array<long>. */
+  private def bookLit(book: Array[Array[Double]]): Column =
+    array(book.map(c => array(c.map(x => lit(x.toLong)): _*)): _*)
+
+  /** Add `code_0..code_{m-1}` columns: per-subspace argmin against the
+    * codebook (relative distance, ties to the lower code id) — one
+    * projection, no shuffle. */
+  def encode(quantized: DataFrame, books: Array[Array[Array[Double]]],
+      subDim: Int): DataFrame =
+    books.zipWithIndex.foldLeft(quantized) { case (df, (book, s)) =>
+      val sub = slice(col("qv"), s * subDim + 1, subDim)
+      val structs = book.zipWithIndex.map { case (c, i) =>
+        struct(IvfIndex.relDist2(sub, c).as("d"), lit(i).as("c"))
+      }
+      df.withColumn(s"code_$s",
+        element_at(array_sort(array(structs: _*)), 1).getField("c"))
+    }
+
+  /** Squared reconstructed norm: sum over subspaces of |book[code]|^2 —
+    * exact integer, computed from the codes alone via literal
+    * per-subspace |c|^2 tables. */
+  private def recon2(books: Array[Array[Array[Double]]]): Column =
+    books.zipWithIndex.map { case (book, s) =>
+      val n2s = array(book.map(c => lit(c.map(x => {
+        val q = math.round(x); q * q
+      }).sum)): _*)
+      element_at(n2s, col(s"code_$s") + 1)
+    }.reduce(_ + _)
+
+  /**
+   * ADC approximate top-k: score = exact-integer ADC dot (sum of
+   * subspace dots against the reconstructed codewords) normalized by
+   * query norm x reconstructed vector norm, rounded to 4; rank by
+   * (score desc, vec_id). Queries use their FULL vectors (asymmetric —
+   * that is the 'A' in ADC); corpus rows contribute only their codes.
+   */
+  def adcTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      m: Int = 8, ksub: Int = 16, iters: Int = 2): DataFrame = {
+    val corpus = Similarity.quantizedWithNorm(embeddings).persist()
+    val dims = 64
+    val subDim = dims / m
+    val books = fitCodebooks(corpus.select(col("vec_id"), col("qv")), m, subDim, ksub, iters)
+    val codes = encode(corpus, books, subDim)
+      .withColumn("recon2", recon2(books))
+      .select(col("vec_id") +: col("recon2") +:
+        (0 until m).map(s => col(s"code_$s")): _*)
+      .localCheckpoint(true) // the compact artifact: codes + recon2 only
+
+    val q = corpus
+      .where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
+        col("norm").as("qnorm"))
+    val adcDot = books.zipWithIndex.map { case (book, s) =>
+      Similarity.dotQ(slice(col("qqv"), s * subDim + 1, subDim),
+        element_at(bookLit(book), col(s"code_$s") + 1))
+    }.reduce(_ + _)
+    val scored = codes
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(adcDot.cast("double") /
+          (col("qnorm") * sqrt(col("recon2").cast("double"))), 4).as("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
+    val result = scored
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("vec_id"), col("score"))
+      .localCheckpoint(true)
+    org.apache.spark.sql.graftbridge.CheckpointBridge.release(codes)
+    corpus.unpersist()
+    result
+  }
+
+  /** The per-vector code table (the persistable PQ artifact):
+    * (vec_id, code_0..code_{m-1}, recon2). */
+  def codeTable(embeddings: DataFrame, m: Int = 8, ksub: Int = 16,
+      iters: Int = 2): DataFrame = {
+    val corpus = Similarity.quantizedWithNorm(embeddings).persist()
+    val subDim = 64 / m
+    val books = fitCodebooks(corpus.select(col("vec_id"), col("qv")), m, subDim, ksub, iters)
+    val result = encode(corpus, books, subDim)
+      .withColumn("recon2", recon2(books))
+      .select(col("vec_id") +:
+        (0 until m).map(s => col(s"code_$s").cast("long")) :+
+        col("recon2"): _*)
+      .localCheckpoint(true)
+    corpus.unpersist()
+    result
+  }
+}
