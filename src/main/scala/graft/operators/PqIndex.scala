@@ -79,16 +79,16 @@ object PqIndex {
     }.reduce(_ + _)
 
   /**
-   * ADC approximate top-k: score = exact-integer ADC dot (sum of
-   * subspace dots against the reconstructed codewords) normalized by
-   * query norm x reconstructed vector norm, rounded to 4; rank by
-   * (score desc, vec_id). Queries use their FULL vectors (asymmetric —
-   * that is the 'A' in ADC); corpus rows contribute only their codes.
+   * BUILD the full PQ artifact over a corpus: fitted sub-codebooks + the
+   * materialized code table `(vec_id, code_0..code_{m-1}, recon2)` —
+   * the expensive step (m sub-k-means + one encode pass). [[AnnIndex.pq]]
+   * memoizes/persists the result so the three PQ queries (and warm bench
+   * reps) share one build — the same standing-artifact lifecycle as the
+   * IVF index.
    */
-  def adcTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
-      m: Int = 8, ksub: Int = 16, iters: Int = 2): DataFrame = {
+  def buildPq(embeddings: DataFrame, m: Int, ksub: Int,
+      iters: Int, dims: Int = 64): (Array[Array[Array[Double]]], DataFrame) = {
     val corpus = Similarity.quantizedWithNorm(embeddings).persist()
-    val dims = 64
     val subDim = dims / m
     val books = fitCodebooks(corpus.select(col("vec_id"), col("qv")), m, subDim, ksub, iters)
     val codes = encode(corpus, books, subDim)
@@ -96,9 +96,25 @@ object PqIndex {
       .select(col("vec_id") +: col("recon2") +:
         (0 until m).map(s => col(s"code_$s")): _*)
       .localCheckpoint(true) // the compact artifact: codes + recon2 only
+    corpus.unpersist()
+    (books, codes)
+  }
 
-    val q = corpus
-      .where(col("vec_id").isin(queryIds: _*))
+  /**
+   * ADC approximate top-k SERVED from a standing PQ artifact: score =
+   * exact-integer ADC dot (sum of subspace dots against the
+   * reconstructed codewords) normalized by query norm x reconstructed
+   * vector norm, rounded to 4; rank by (score desc, vec_id). Queries use
+   * their FULL vectors (asymmetric — the 'A' in ADC), re-read from the
+   * embeddings table with a pushed-down vec_id filter; corpus rows
+   * contribute only their codes.
+   */
+  def adcTopKFrom(books: Array[Array[Array[Double]]], codes: DataFrame,
+      embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val m = books.length
+    val subDim = books(0)(0).length // codeword length IS the subspace width
+    val q = Similarity.quantizedWithNorm(
+        embeddings.where(col("vec_id").isin(queryIds: _*)))
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
         col("norm").as("qnorm"))
     val adcDot = books.zipWithIndex.map { case (book, s) =>
@@ -111,30 +127,33 @@ object PqIndex {
         round(adcDot.cast("double") /
           (col("qnorm") * sqrt(col("recon2").cast("double"))), 4).as("score"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
-    val result = scored
+    scored
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("vec_id"), col("score"))
+  }
+
+  /** One-shot ADC top-k: build + serve + drop (specs/ablations; the
+    * query surface serves from the memoized artifact in [[AnnIndex]]). */
+  def adcTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      m: Int = 8, ksub: Int = 16, iters: Int = 2): DataFrame = {
+    val (books, codes) = buildPq(embeddings, m, ksub, iters)
+    val result = adcTopKFrom(books, codes, embeddings, queryIds, k)
       .localCheckpoint(true)
     org.apache.spark.sql.graftbridge.CheckpointBridge.release(codes)
-    corpus.unpersist()
     result
   }
 
-  /** The per-vector code table (the persistable PQ artifact):
-    * (vec_id, code_0..code_{m-1}, recon2). */
+  /** The code table in its query-surface shape (codes cast to long). */
+  def codeTableFrom(codes: DataFrame, m: Int): DataFrame =
+    codes.select(col("vec_id") +:
+      (0 until m).map(s => col(s"code_$s").cast("long")) :+
+      col("recon2"): _*)
+
+  /** One-shot code table (specs; the query surface uses the memo). */
   def codeTable(embeddings: DataFrame, m: Int = 8, ksub: Int = 16,
       iters: Int = 2): DataFrame = {
-    val corpus = Similarity.quantizedWithNorm(embeddings).persist()
-    val subDim = 64 / m
-    val books = fitCodebooks(corpus.select(col("vec_id"), col("qv")), m, subDim, ksub, iters)
-    val result = encode(corpus, books, subDim)
-      .withColumn("recon2", recon2(books))
-      .select(col("vec_id") +:
-        (0 until m).map(s => col(s"code_$s").cast("long")) :+
-        col("recon2"): _*)
-      .localCheckpoint(true)
-    corpus.unpersist()
-    result
+    val (_, codes) = buildPq(embeddings, m, ksub, iters)
+    codeTableFrom(codes, m)
   }
 }

@@ -87,6 +87,32 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(refreshed.select(col("vec_id")).distinct().count() == 24)
   }
 
+  test("PQ artifact memo: one build per key; durable round-trip exact") {
+    val cacheDir = Files.createTempDirectory("graft_pq_cache").toString
+    System.setProperty("graft.index.cache", cacheDir)
+    try {
+      writeEmbs()
+      AnnIndex.invalidateAll()
+      val builds0 = AnnIndex.pqBuildCount.get()
+      // 4-dim vectors: 2 subspaces x 2 dims, 4 codes
+      val art = AnnIndex.pq(spark, dir, m = 2, ksub = 4, iters = 2, dims = 4)
+      val again = AnnIndex.pq(spark, dir, m = 2, ksub = 4, iters = 2, dims = 4)
+      assert(art eq again)
+      assert(AnnIndex.pqBuildCount.get() == builds0 + 1)
+      val expect = art.codes.collect().map(_.toSeq).toSet
+      val expectBooks = art.books.map(_.map(_.toSeq).toSeq).toSeq
+
+      AnnIndex.invalidateAll()
+      val loaded = AnnIndex.pq(spark, dir, m = 2, ksub = 4, iters = 2, dims = 4)
+      assert(AnnIndex.pqBuildCount.get() == builds0 + 1, "durable hit rebuilt")
+      assert(loaded.books.map(_.map(_.toSeq).toSeq).toSeq == expectBooks)
+      assert(loaded.codes.collect().map(_.toSeq).toSet == expect)
+    } finally {
+      System.clearProperty("graft.index.cache")
+      AnnIndex.invalidateAll()
+    }
+  }
+
   test("durable layer: inverted-file layout on disk, fresh session loads, changed corpus rebuilds") {
     val cacheDir = Files.createTempDirectory("graft_ann_cache").toString
     System.setProperty("graft.index.cache", cacheDir)
