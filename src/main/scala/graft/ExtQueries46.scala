@@ -152,7 +152,13 @@ object ExtQueries46 {
    */
   private[graft] def ivfReplayCtes(fitPred: String): String =
     s"""${ExtQueries.quantSql},
-       |fitq AS (SELECT vec_id, qv FROM qn WHERE $fitPred),
+       |${ivfReplayBody(fitPred)}""".stripMargin
+
+  /** The replay WITHOUT the leading quantSql — composable next to other
+    * CTE families over the same `qn` (the IVFADC oracle stitches this
+    * together with the PQ replay body). */
+  private[graft] def ivfReplayBody(fitPred: String): String =
+    s"""fitq AS (SELECT vec_id, qv FROM qn WHERE $fitPred),
        |seeds AS (
        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c,
        |         qv AS cv

@@ -50,6 +50,16 @@ object ExtQueries47 {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // IVFADC: IVF lists prune, PQ codes score — both standing artifacts
+    // composed; the DuckDB oracle stitches BOTH replays over one qn
+    "ann_topk_ivfpq" -> ((s, dir) => {
+      val ivf = AnnIndex.ivf(s, dir, 16, 3)
+      val art = pqArt(s, dir)
+      PqIndex.ivfadcTopKFrom(ivf.centroids, ivf.assigned, art.books, art.codes,
+          ExtQueries.AnnQueries, 10, nProbe = 4)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     "ann_pq_recall" -> ((s, dir) => {
       val art = pqArt(s, dir)
       val pq = PqIndex.adcTopKFrom(art.books, art.codes, embs(s, dir), ExtQueries.AnnQueries, 10)
@@ -68,9 +78,14 @@ object ExtQueries47 {
     * keyed by subspace `s`; codes/reconstruction read the final books.
     * Same exactness argument as the IVF replay (ExtQueries.oracleSql
     * "ann_topk_ivf"), per subspace. */
-  private val pqCtes: String = {
+  private val pqCtes: String =
     s"""${ExtQueries.quantSql},
-       |pqsub AS (
+       |$pqCtesBody""".stripMargin
+
+  /** The PQ replay WITHOUT the leading quantSql — composable next to the
+    * IVF replay body over the same `qn` (the IVFADC oracle). */
+  private[graft] def pqCtesBody: String = {
+    s"""pqsub AS (
        |  SELECT vec_id, s, qv[s*$SubDim+1 : s*$SubDim+$SubDim] AS sq
        |  FROM qn, UNNEST(range(0, $M)) t(s)),
        |pqseeds AS (
@@ -145,6 +160,47 @@ object ExtQueries47 {
            |  JOIN codes x ON x.s = q.s AND x.vec_id != q.query_id
            |  JOIN books b ON b.s = x.s AND b.c = x.code
            |  GROUP BY q.query_id, x.vec_id),
+           |scored AS (
+           |  SELECT a.query_id, a.vec_id,
+           |         ROUND(a.dot / (sqrt(qq.qn2) * sqrt(r.recon2)), 4) AS score
+           |  FROM adc a
+           |  JOIN qnorm qq ON qq.query_id = a.query_id
+           |  JOIN recon r ON r.vec_id = a.vec_id),
+           |ranked AS (
+           |  SELECT query_id, vec_id, score,
+           |         ROW_NUMBER() OVER (PARTITION BY query_id
+           |             ORDER BY score DESC, vec_id) AS rnk
+           |  FROM scored)
+           |SELECT query_id, rnk, vec_id, score FROM ranked WHERE rnk <= 10
+           |ORDER BY query_id, rnk""".stripMargin,
+
+      // both replays share one qn; CTE names are disjoint by construction
+      // (fitq/seeds/km/fin/fdists/indexed vs pqsub/pqseeds/pqkm/books/
+      // cdists/codes/recon)
+      "ann_topk_ivfpq" ->
+        s"""WITH RECURSIVE ${ExtQueries.quantSql},
+           |${ExtQueries46.ivfReplayBody("TRUE")},
+           |$pqCtesBody,
+           |probes AS (
+           |  SELECT vec_id AS query_id, c AS cluster FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+           |    FROM fdists WHERE vec_id IN ($qIn)) x
+           |  WHERE rn <= 4),
+           |qsub AS (SELECT vec_id AS query_id, s, sq FROM pqsub
+           |         WHERE vec_id IN ($qIn)),
+           |qnorm AS (SELECT vec_id AS query_id, n2 AS qn2 FROM qn
+           |          WHERE vec_id IN ($qIn)),
+           |cand AS (
+           |  SELECT p.query_id, v.vec_id FROM probes p
+           |  JOIN indexed v ON v.cluster = p.cluster AND v.vec_id != p.query_id),
+           |adc AS (
+           |  SELECT c.query_id, c.vec_id,
+           |         SUM(list_inner_product(q.sq, b.cv)) AS dot
+           |  FROM cand c
+           |  JOIN qsub q ON q.query_id = c.query_id
+           |  JOIN codes x ON x.vec_id = c.vec_id AND x.s = q.s
+           |  JOIN books b ON b.s = x.s AND b.c = x.code
+           |  GROUP BY c.query_id, c.vec_id),
            |scored AS (
            |  SELECT a.query_id, a.vec_id,
            |         ROUND(a.dot / (sqrt(qq.qn2) * sqrt(r.recon2)), 4) AS score

@@ -144,6 +144,48 @@ object PqIndex {
     result
   }
 
+  /**
+   * IVFADC top-k — the canonical FAISS serving shape, composed from the
+   * TWO standing artifacts: the IVF index prunes the candidate set to
+   * the nProbe probed lists, PQ codes score the survivors via ADC. Per
+   * query the scan touches ~nProbe/nLists of the corpus and reads 8 B
+   * of codes per touched row — neither the vectors nor the unprobed
+   * lists move. (At deployment scale the two artifacts would be
+   * persisted as ONE table — codes partitioned by cluster; here the
+   * compose is a join of the two memoized frames, which keeps each
+   * artifact independently reusable.)
+   */
+  def ivfadcTopKFrom(centroids: Array[Array[Double]], assigned: DataFrame,
+      books: Array[Array[Array[Double]]], codes: DataFrame,
+      queryIds: Seq[Long], k: Int, nProbe: Int): DataFrame = {
+    val subDim = books(0)(0).length
+    val qAssigned = assigned.where(col("vec_id").isin(queryIds: _*))
+    val probeCols = centroids.zipWithIndex.map { case (c, i) =>
+      struct(IvfIndex.relDist2(col("qv"), c).as("d"), lit(i).as("c"))
+    }
+    val probes = qAssigned
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
+        col("norm").as("qnorm"),
+        explode(slice(array_sort(array(probeCols: _*)), 1, nProbe)).as("p"))
+      .select(col("query_id"), col("qqv"), col("qnorm"), col("p.c").as("cluster"))
+    val cand = assigned.select(col("vec_id"), col("cluster"))
+      .join(broadcast(probes), Seq("cluster"))
+      .where(col("vec_id") =!= col("query_id"))
+    val adcDot = books.zipWithIndex.map { case (book, s) =>
+      Similarity.dotQ(slice(col("qqv"), s * subDim + 1, subDim),
+        element_at(bookLit(book), col(s"code_$s") + 1))
+    }.reduce(_ + _)
+    val scored = cand.join(codes, "vec_id")
+      .select(col("query_id"), col("vec_id"),
+        round(adcDot.cast("double") /
+          (col("qnorm") * sqrt(col("recon2").cast("double"))), 4).as("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("vec_id"), col("score"))
+  }
+
   /** The code table in its query-surface shape (codes cast to long). */
   def codeTableFrom(codes: DataFrame, m: Int): DataFrame =
     codes.select(col("vec_id") +:

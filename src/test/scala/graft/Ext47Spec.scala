@@ -56,6 +56,45 @@ class Ext47Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b, "ADC ranking must be partition-independent")
   }
 
+  test("IVFADC == full ADC ranking restricted to the probed lists") {
+    import graft.operators.IvfIndex
+    val qids = Seq(0L, 1L, 2L)
+    val nProbe = 2
+    val (centroids, assigned) = IvfIndex.buildIndex(embs, 8, 2)
+    val (books, codes) = PqIndex.buildPq(embs, 8, 16, 2)
+    val got = PqIndex
+      .ivfadcTopKFrom(centroids, assigned, books, codes, qids, 5, nProbe)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+
+    // reference: the full ADC ranking (k = corpus) filtered to candidates
+    // in the query's probed clusters, re-ranked by (score desc, vec_id)
+    val fullAdc = PqIndex.adcTopKFrom(books, codes, embs, qids, 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val clusterOf = assigned.select(col("vec_id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val qvOf = assigned.where(col("vec_id").isin(qids: _*))
+      .select(col("vec_id"), col("qv")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    // probe clusters exactly as the operator computes them: nProbe
+    // smallest |c|^2 - 2<v,c> (exact integers), ties to the lower id
+    def probeClusters(q: Long): Set[Int] =
+      centroids.zipWithIndex.map { case (c, i) =>
+        val cq = c.map(math.round)
+        (cq.map(x => x * x).sum - 2L * cq.zip(qvOf(q)).map { case (a, b) => a * b }.sum, i)
+      }.sortBy(identity).take(nProbe).map(_._2).toSet
+
+    qids.foreach { q =>
+      val probed = probeClusters(q)
+      val expect = fullAdc
+        .filter(t => t._1 == q && t._2 != q && probed.contains(clusterOf(t._2)))
+        .sortBy(t => (-t._3, t._2)).take(5).toSeq
+        .zipWithIndex.map { case ((_, v, sc), i) => (q, i + 1, v, sc) }
+      val gotQ = got(q).sortBy(_._2).toSeq
+      assert(gotQ == expect, s"query $q:\n got=$gotQ\n exp=$expect")
+    }
+  }
+
   test("recall@10 vs exact scan is measurably better than random") {
     val qids = Seq(0L, 1L, 2L, 3L, 4L)
     val pq = PqIndex.adcTopK(embs, qids, 10)
