@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.IvfIndex
+import graft.streaming.AnnMaintenance
+
+/** Crash-safety contract of the streaming ANN maintenance: drained index
+  * == frozen-centroid batch rebuild; kill/resume byte-identical through
+  * every crash window (pre-marker shard, committed replay); O(batch)
+  * assign-only folds after bootstrap. */
+class AnnMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** 30 deterministic 8-dim vectors; batch b = vec_id % 3 == b. */
+  private def embsAll: DataFrame = {
+    val rows = (0L until 30L).map { i =>
+      val blob = (i % 4).toInt
+      val base = Array.fill(8)(0.05f)
+      base(blob) = (1.0 + 0.002 * i).toFloat
+      base(blob + 4) = (0.5 + 0.003 * i).toFloat
+      (i, base.toSeq)
+    }
+    spark.createDataFrame(rows).toDF("vec_id", "embedding")
+  }
+
+  private def batch(b: Int): DataFrame = embsAll.where(col("vec_id") % 3 === b)
+
+  private def pairs(df: DataFrame): Set[(Long, Int)] =
+    df.select(col("vec_id"), col("cluster")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+
+  test("drained index == frozen-centroid rebuild; later batches are assign-only") {
+    val root = Files.createTempDirectory("ann_maint").toString
+    val m = new AnnMaintenance(spark, root, nLists = 4, iters = 2)
+    (0 to 2).foreach(b => m.processBatch(b.toLong, batch(b)))
+    assert(m.committedIds.sorted == Seq(0L, 1L, 2L))
+
+    // rebuild contract: fit on batch 0, assign everything
+    val (cents, _) = IvfIndex.buildIndex(batch(0), 4, 2)
+    assert(m.centroids().map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq,
+      "published centroids must equal the batch-0 fit")
+    assert(pairs(m.currentIndex()) == pairs(IvfIndex.assignBatch(embsAll, cents)))
+  }
+
+  test("kill/resume: every crash window replays to the identical index") {
+    val rootA = Files.createTempDirectory("ann_maint_a").toString
+    val a = new AnnMaintenance(spark, rootA, nLists = 4, iters = 2)
+    (0 to 2).foreach(b => a.processBatch(b.toLong, batch(b)))
+    val expect = pairs(a.currentIndex())
+
+    // window 1: killed after batch 1's shard write but BEFORE its marker
+    val rootB = Files.createTempDirectory("ann_maint_b").toString
+    val b1 = new AnnMaintenance(spark, rootB, nLists = 4, iters = 2)
+    b1.processBatch(0L, batch(0))
+    b1.processBatch(1L, batch(1))
+    // simulate the marker loss: delete meta/1, keep the shard
+    val fs = new org.apache.hadoop.fs.Path(rootB)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$rootB/meta/1"), false)
+    assert(b1.committedIds.sorted == Seq(0L))
+    // a NEW instance (the restarted job) replays batch 1 and continues
+    val b2 = new AnnMaintenance(spark, rootB, nLists = 4, iters = 2)
+    b2.processBatch(1L, batch(1))
+    b2.processBatch(2L, batch(2))
+    assert(pairs(b2.currentIndex()) == expect, "pre-marker crash replay diverged")
+
+    // window 2: killed after the centroid publish but before batch 0's
+    // shard write — replay must take the assign-only path and still
+    // equal the bootstrap's own assignment
+    val rootC = Files.createTempDirectory("ann_maint_c").toString
+    val c1 = new AnnMaintenance(spark, rootC, nLists = 4, iters = 2)
+    c1.processBatch(0L, batch(0))
+    val fsC = new org.apache.hadoop.fs.Path(rootC)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsC.delete(new org.apache.hadoop.fs.Path(s"$rootC/meta/0"), false)
+    fsC.delete(new org.apache.hadoop.fs.Path(s"$rootC/assign/0"), true)
+    val c2 = new AnnMaintenance(spark, rootC, nLists = 4, iters = 2)
+    c2.processBatch(0L, batch(0)) // centroids already published
+    c2.processBatch(1L, batch(1))
+    c2.processBatch(2L, batch(2))
+    assert(pairs(c2.currentIndex()) == expect, "post-publish crash replay diverged")
+
+    // replay of a COMMITTED batch is a no-op (marker short-circuit)
+    val before = pairs(c2.currentIndex())
+    c2.processBatch(1L, batch(1))
+    assert(pairs(c2.currentIndex()) == before)
+  }
+}
