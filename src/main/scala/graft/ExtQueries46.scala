@@ -85,7 +85,12 @@ object ExtQueries46 {
       val schema = embs(s, dir).schema
       val root = graft.operators.Sinks.dir(
         "ann_maint/run" + annMaintRuns.incrementAndGet())
-      val maint = new graft.streaming.AnnMaintenance(s, root, NLists, Iters)
+      // compactEvery=2 puts a LIVE compaction point (snapshot + shard
+      // deletion) inside the oracled drain, so the compacted read path
+      // sits on the correctness gate every round (the stream_index_refresh
+      // discipline)
+      val maint = new graft.streaming.AnnMaintenance(s, root, NLists, Iters,
+        compactEvery = 2)
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(staged)
         .writeStream.trigger(Trigger.AvailableNow())

@@ -20,7 +20,13 @@ import graft.operators.IvfIndex
  *    batch via temp + atomic rename: visible iff complete;
  *  - `assign/<b>/` — one parquet shard per ingest batch, the batch's
  *    `(vec_id, qv, norm, cluster)` assignment;
- *  - `meta/<b>` — the batch's commit marker ([[CommitMarkers]]).
+ *  - `meta/<b>` — the batch's commit marker ([[CommitMarkers]]);
+ *  - `base/<b>/` + `basemeta/<b>` — compacted snapshots (the fold of
+ *    every shard <= b), written every `compactEvery` batches so the
+ *    index read stays O(snapshot + compactEvery shards) forever; covered
+ *    shards and superseded snapshots are deleted after the snapshot's
+ *    marker commits, and an unmarked partial snapshot (crash
+ *    mid-compaction) is ignored by readers and swept later.
  *
  * Lifecycle: the FIRST batch is the training snapshot — it fits the
  * k-means and publishes the centroids (the standard IVF posture: train
@@ -42,9 +48,12 @@ import graft.operators.IvfIndex
  * ingest batches.
  */
 final class AnnMaintenance(spark: SparkSession, root: String,
-    nLists: Int = 16, iters: Int = 3) {
+    nLists: Int = 16, iters: Int = 3, compactEvery: Int = 64) {
+
+  require(compactEvery >= 2, s"compactEvery must be >= 2, got $compactEvery")
 
   private val metaDir = new Path(s"$root/meta")
+  private val baseMetaDir = new Path(s"$root/basemeta")
   private val centroidsDir = new Path(s"$root/centroids")
   private def fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -92,16 +101,60 @@ final class AnnMaintenance(spark: SparkSession, root: String,
     shard.write.mode("overwrite").parquet(s"$root/assign/$batchId")
     CommitMarkers.commit(spark, metaDir, batchId,
       s"""{"nLists":$nLists,"iters":$iters}""")
+    // periodic shard compaction: every compactEvery committed batches,
+    // fold everything readable into one snapshot so the index read stays
+    // O(1 snapshot + compactEvery shards) forever instead of one parquet
+    // dir per batch since the dawn of the stream
+    val done = committedIds
+    if (done.size % compactEvery == 0) compact(done.max, done)
+  }
+
+  /** Batch ids with a committed COMPACTED SNAPSHOT (`base/<b>` = the fold
+    * of every shard <= b). Snapshots are derived data: a crash
+    * mid-compaction leaves an unmarked partial dir that readers ignore
+    * and the next compaction sweeps. */
+  private def compactedIds: Seq[Long] =
+    CommitMarkers.committed(spark, baseMetaDir)
+
+  private def indexAt(committed: Seq[Long]): DataFrame = {
+    require(committed.nonEmpty, "no committed batches")
+    val b0 = compactedIds.sorted.lastOption
+    val paths = b0.map(b => s"$root/base/$b").toSeq ++
+      committed.filter(id => b0.forall(id > _)).map(b => s"$root/assign/$b")
+    spark.read.parquet(paths: _*)
+      .select(col("vec_id"), col("qv"), col("norm"), col("cluster"))
+  }
+
+  private def compact(upTo: Long, ids: Seq[Long]): Unit = {
+    // sweep unmarked base debris from a previous crashed compaction —
+    // numeric names only (the r14 IndexMaintenance lesson: never let an
+    // unparsable name fall through a vacuous-truth delete)
+    val marked = compactedIds.toSet
+    val baseDir = new Path(s"$root/base")
+    if (fs.exists(baseDir)) {
+      fs.listStatus(baseDir).foreach { st =>
+        scala.util.Try(st.getPath.getName.toLong).toOption match {
+          case Some(id) => if (!marked.contains(id)) fs.delete(st.getPath, true)
+          case None => ()
+        }
+      }
+    }
+    if (marked.contains(upTo)) return // snapshot already covers the log
+    val older = compactedIds.filter(_ < upTo)
+    indexAt(ids).write.mode("overwrite").parquet(s"$root/base/$upTo")
+    CommitMarkers.commit(spark, baseMetaDir, upTo, s"""{"upTo":$upTo}""")
+    // covered shards and superseded snapshots are now unreachable
+    ids.filter(_ <= upTo).foreach(b =>
+      fs.delete(new Path(s"$root/assign/$b"), true))
+    older.foreach { b =>
+      fs.delete(new Path(s"$root/base/$b"), true)
+      fs.delete(new Path(s"$root/basemeta/$b"), false)
+    }
   }
 
   /** The standing `(vec_id, qv, norm, cluster)` index over all committed
-    * batches — a plain parquet scan of the committed shards. */
-  def currentIndex(): DataFrame = {
-    val ids = committedIds
-    require(ids.nonEmpty, "no committed batches")
-    spark.read.parquet(ids.map(b => s"$root/assign/$b"): _*)
-      .select(col("vec_id"), col("qv"), col("norm"), col("cluster"))
-  }
+    * batches — the latest compacted snapshot plus the shard tail. */
+  def currentIndex(): DataFrame = indexAt(committedIds)
 
   /** Serve approximate top-k from the maintained index. */
   def topK(queryIds: Seq[Long], k: Int, nProbe: Int): DataFrame =

@@ -104,4 +104,38 @@ class AnnMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     c2.processBatch(1L, batch(1))
     assert(pairs(c2.currentIndex()) == before)
   }
+
+  test("compaction: snapshot replaces covered shards, result unchanged, crash debris swept") {
+    val root = Files.createTempDirectory("ann_maint_cp").toString
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // uncompacted reference
+    val rootRef = Files.createTempDirectory("ann_maint_ref").toString
+    val ref = new AnnMaintenance(spark, rootRef, nLists = 4, iters = 2)
+    (0 to 2).foreach(b => ref.processBatch(b.toLong, batch(b)))
+    val expect = pairs(ref.currentIndex())
+
+    val m = new AnnMaintenance(spark, root, nLists = 4, iters = 2, compactEvery = 2)
+    // plant crash debris: an unmarked partial snapshot dir plus a
+    // non-numeric entry that must survive the sweep
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/base/7"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/base/notasnapshot"))
+    (0 to 2).foreach(b => m.processBatch(b.toLong, batch(b)))
+    assert(pairs(m.currentIndex()) == expect, "compacted read diverged")
+    // the compaction at batch 1 covered shards 0 and 1
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/assign/0")),
+      "covered shard 0 must be deleted")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/assign/1")),
+      "covered shard 1 must be deleted")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/base/1")),
+      "snapshot base/1 must exist")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/base/7")),
+      "unmarked snapshot debris must be swept")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/base/notasnapshot")),
+      "non-numeric entries must survive the sweep")
+    // and a restart over the compacted root keeps folding correctly
+    val m2 = new AnnMaintenance(spark, root, nLists = 4, iters = 2, compactEvery = 2)
+    m2.processBatch(2L, batch(2)) // committed replay: no-op
+    assert(pairs(m2.currentIndex()) == expect)
+  }
 }
