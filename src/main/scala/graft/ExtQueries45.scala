@@ -89,10 +89,11 @@ object ExtQueries45 {
     * seq, used), so per-task memory is flat in shard size. The earlier
     * `flatMapGroups` shape buffered a whole shard on the heap
     * (`it.toArray.sortBy`) — tens of GB per task at 100 TB/8 shards.
-    * One partition holds exactly one shard (partition id = pmod of the
-    * non-negative shard id), but the fold is written shard-change-aware
-    * anyway, so any future many-shards-per-partition layout stays
-    * correct. */
+    * `repartition(NShards, shard)` hash-partitions on murmur3, so shards
+    * CAN collide into one partition (leaving others empty) — achieved
+    * parallelism is <= NShards, not exactly NShards. The fold is written
+    * shard-change-aware, so a many-shards-per-partition layout is
+    * correct by construction; NShards only sizes the upper bound. */
   private def greedy(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     docToks(s, dir)

@@ -50,13 +50,14 @@ object ExtQueries47 {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
-    // IVFADC: IVF lists prune, PQ codes score — both standing artifacts
-    // composed; the DuckDB oracle stitches BOTH replays over one qn
+    // IVFADC from the SINGLE standing table (r14 verdict #3): codes
+    // stored with their IVF cluster — serving is one broadcast-probe
+    // join onto the table, never a corpus-sized code shuffle; the DuckDB
+    // oracle stitches BOTH replays over one qn
     "ann_topk_ivfpq" -> ((s, dir) => {
-      val ivf = AnnIndex.ivf(s, dir, 16, 3)
-      val art = pqArt(s, dir)
-      PqIndex.ivfadcTopKFrom(ivf.centroids, ivf.assigned, art.books, art.codes,
-          ExtQueries.AnnQueries, 10, nProbe = 4)
+      val art = AnnIndex.ivfpq(s, dir, 16, 3, M, Ksub, Iters)
+      PqIndex.ivfadcTopKFromTable(art.centroids, art.books, art.table,
+          embs(s, dir), ExtQueries.AnnQueries, 10, nProbe = 4)
         .orderBy(col("query_id"), col("rnk"))
     }),
 

@@ -118,19 +118,32 @@ object AnnIndex {
         s"[AnnIndex] durable store failed (serving session-only): $t"))
     }
 
+  // alias (session|dir|tag, fingerprint-free) -> the live full key: lets
+  // a rebuild under a NEW corpus fingerprint evict + release the
+  // superseded entry instead of pinning its localCheckpointed blocks on
+  // executors for the session lifetime (r14 advice — the same leak class
+  // the r13 soak measured at +570 MB when the context cleaner is outrun)
+  private val liveIvfKey = new ConcurrentHashMap[String, String]()
+  private val livePqKey = new ConcurrentHashMap[String, String]()
+
   private def memo(spark: SparkSession, dir: String, tag: String)
       (build: => Ivf): Ivf = {
     val sc = spark.sparkContext
     val durableKey =
       s"$tag|${DedupIndex.fingerprint(spark, s"$dir/embeddings.parquet")}"
     val key = s"${sc.applicationId}@${sc.startTime}|$dir|$durableKey"
-    cache.computeIfAbsent(key, _ =>
+    val built = cache.computeIfAbsent(key, _ =>
       durableLoad(spark, durableKey).getOrElse {
         buildCount.incrementAndGet()
-        val built = build
-        durableStore(spark, durableKey, built)
-        built
+        val b = build
+        durableStore(spark, durableKey, b)
+        b
       })
+    val prev = liveIvfKey.put(s"${sc.applicationId}@${sc.startTime}|$dir|$tag", key)
+    if (prev != null && prev != key)
+      Option(cache.remove(prev)).foreach(old =>
+        org.apache.spark.sql.graftbridge.CheckpointBridge.release(old.assigned))
+    built
   }
 
   /** Memoized standing IVF index over `<dir>/embeddings.parquet`. */
@@ -141,16 +154,27 @@ object AnnIndex {
     }
 
   /** Memoized standing IVF index over a FILTERED view of the corpus —
-    * the BASE snapshot of the ingest-refresh family. `tag` must uniquely
-    * identify `filter` (its cache identity; a Column has no stable
-    * canonical form). */
+    * the BASE snapshot of the ingest-refresh family. The key folds in
+    * the filter's canonical SQL form, so two callers reusing a `tag`
+    * with DIFFERENT filters key apart instead of silently serving each
+    * other's index (r14 verdict #4); `tag` keeps the key human-readable
+    * and names the family for [[refitIvf]]. */
   def ivfFiltered(spark: SparkSession, dir: String, nLists: Int, iters: Int,
       tag: String, filter: Column): Ivf =
-    memo(spark, dir, s"ivf:$nLists:$iters:flt:$tag") {
+    memo(spark, dir, s"ivf:$nLists:$iters:flt:$tag:${filterHash(filter)}") {
       val (c, a) = IvfIndex.buildIndex(
         Tables.table(spark, dir, "embeddings").where(filter), nLists, iters)
       Ivf(c, a)
     }
+
+  /** Canonical 12-hex digest of a filter Column: its node-tree rendering
+    * (`Column.toString`, e.g. `!(=(%(vec_id, 3), 2))`) — stable across
+    * Column instances with the same tree. (Spark 4's Column wraps a
+    * ColumnNode whose lazy Expression form renders an opaque
+    * `columnnodeexpression()`, so the Expression `.sql` path cannot
+    * serve as the identity.) */
+  private def filterHash(filter: Column): String =
+    md5Hex(filter.toString).take(12)
 
   /** Serve approximate top-k from a standing index. */
   def topK(idx: Ivf, queryIds: Seq[Long], k: Int, nProbe: Int): DataFrame =
@@ -217,18 +241,127 @@ object AnnIndex {
   def pq(spark: SparkSession, dir: String, m: Int, ksub: Int, iters: Int,
       dims: Int = 64): Pq = {
     val sc = spark.sparkContext
+    val tag = s"pq:$m:$ksub:$iters:$dims"
     val durableKey =
-      s"pq:$m:$ksub:$iters:$dims|${DedupIndex.fingerprint(spark, s"$dir/embeddings.parquet")}"
+      s"$tag|${DedupIndex.fingerprint(spark, s"$dir/embeddings.parquet")}"
     val key = s"${sc.applicationId}@${sc.startTime}|$dir|$durableKey"
-    pqCache.computeIfAbsent(key, _ =>
+    val built = pqCache.computeIfAbsent(key, _ =>
       pqDurableLoad(spark, durableKey).getOrElse {
         pqBuildCount.incrementAndGet()
         val (books, codes) = PqIndex.buildPq(
           Tables.table(spark, dir, "embeddings"), m, ksub, iters, dims)
-        val built = Pq(books, codes)
-        pqDurableStore(spark, durableKey, built)
-        built
+        val b = Pq(books, codes)
+        pqDurableStore(spark, durableKey, b)
+        b
       })
+    // evict + release the entry a changed corpus fingerprint superseded
+    // (same rationale as the IVF memo)
+    val prev = livePqKey.put(s"${sc.applicationId}@${sc.startTime}|$dir|$tag", key)
+    if (prev != null && prev != key)
+      Option(pqCache.remove(prev)).foreach(old =>
+        org.apache.spark.sql.graftbridge.CheckpointBridge.release(old.codes))
+    built
+  }
+
+  // ------------------------------------------------------------------
+  // IVFADC artifact — the single-table deployment layout (r14 verdict
+  // #3): PQ codes stored WITH their IVF cluster id, so serving prunes
+  // lists without ever joining the corpus-sized code table per query
+  // ------------------------------------------------------------------
+
+  /** A standing IVFADC artifact: IVF centroids + PQ codebooks + the ONE
+    * table `(vec_id, cluster, recon2, code_0..code_{m-1})`. */
+  case class IvfPq(centroids: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], table: DataFrame)
+
+  private val ivfpqCache = new ConcurrentHashMap[String, IvfPq]()
+  private val liveIvfPqKey = new ConcurrentHashMap[String, String]()
+
+  /** Test-visible count of actual IVFADC table stitches. */
+  private[graft] val ivfpqBuildCount = new java.util.concurrent.atomic.AtomicLong()
+
+  private def ivfpqDurableLoad(spark: SparkSession, durableKey: String): Option[IvfPq] =
+    durableRoot.flatMap { root =>
+      val d = new Path(root, md5Hex(durableKey))
+      val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(d) && fs.getFileStatus(d).isDirectory) {
+        val cents = spark.read.schema(centroidSchema)
+          .parquet(new Path(d, "centroids").toString)
+          .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+        val rows = spark.read.schema(bookSchema)
+          .parquet(new Path(d, "books").toString).collect()
+        val m = rows.map(_.getInt(0)).max + 1
+        val books = Array.tabulate(m) { s =>
+          rows.filter(_.getInt(0) == s).sortBy(_.getInt(1))
+            .map(_.getSeq[Double](2).toArray)
+        }
+        // partition column comes back typed from directory names —
+        // normalize to the stitch layout/types, codes back in order
+        val table = spark.read.parquet(new Path(d, "table").toString)
+          .select(col("vec_id").cast("long") +: col("cluster").cast("int") +:
+            col("recon2") +: (0 until m).map(s => col(s"code_$s")): _*)
+        Some(IvfPq(cents, books, table))
+      } else None
+    }
+
+  private def ivfpqDurableStore(spark: SparkSession, durableKey: String,
+      built: IvfPq): Unit =
+    durableRoot.foreach { root =>
+      scala.util.Try {
+        val d = new Path(root, md5Hex(durableKey))
+        val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(d)) {
+          val tmp = new Path(root,
+            s".tmp_${md5Hex(durableKey)}_${java.lang.ProcessHandle.current.pid}")
+          val centRows = built.centroids.zipWithIndex.map { case (cv, i) =>
+            Row(i, cv.toSeq)
+          }
+          spark.createDataFrame(
+              spark.sparkContext.parallelize(centRows.toSeq, 1), centroidSchema)
+            .write.mode("overwrite").parquet(new Path(tmp, "centroids").toString)
+          val bookRows = for {
+            (book, s) <- built.books.zipWithIndex
+            (cv, c) <- book.zipWithIndex
+          } yield Row(s, c, cv.toSeq)
+          spark.createDataFrame(
+              spark.sparkContext.parallelize(bookRows.toSeq, 1), bookSchema)
+            .write.mode("overwrite").parquet(new Path(tmp, "books").toString)
+          // the inverted-file layout: a probe's read prunes to its lists
+          built.table.write.mode("overwrite")
+            .partitionBy("cluster").parquet(new Path(tmp, "table").toString)
+          try graft.streaming.CommitMarkers.renameOverwrite(spark, fs, tmp, d)
+          catch { case _: Exception => fs.delete(tmp, true) }
+        }
+      }.failed.foreach(t => System.err.println(
+        s"[AnnIndex] IVFADC durable store failed (serving session-only): $t"))
+    }
+
+  /** Memoized standing IVFADC artifact: composes the [[ivf]] and [[pq]]
+    * memos (sharing their builds with the rest of the ANN family) and
+    * pays the corpus-sized stitch join ONCE — every later serve is the
+    * broadcast-probe read. */
+  def ivfpq(spark: SparkSession, dir: String, nLists: Int, iters: Int,
+      m: Int, ksub: Int, pqIters: Int, dims: Int = 64): IvfPq = {
+    val sc = spark.sparkContext
+    val tag = s"ivfpq:$nLists:$iters:$m:$ksub:$pqIters:$dims"
+    val durableKey =
+      s"$tag|${DedupIndex.fingerprint(spark, s"$dir/embeddings.parquet")}"
+    val key = s"${sc.applicationId}@${sc.startTime}|$dir|$durableKey"
+    val built = ivfpqCache.computeIfAbsent(key, _ =>
+      ivfpqDurableLoad(spark, durableKey).getOrElse {
+        ivfpqBuildCount.incrementAndGet()
+        val i = ivf(spark, dir, nLists, iters)
+        val p = pq(spark, dir, m, ksub, pqIters, dims)
+        val table = PqIndex.ivfpqTable(i.assigned, p.codes).localCheckpoint(true)
+        val b = IvfPq(i.centroids, p.books, table)
+        ivfpqDurableStore(spark, durableKey, b)
+        b
+      })
+    val prev = liveIvfPqKey.put(s"${sc.applicationId}@${sc.startTime}|$dir|$tag", key)
+    if (prev != null && prev != key)
+      Option(ivfpqCache.remove(prev)).foreach(old =>
+        org.apache.spark.sql.graftbridge.CheckpointBridge.release(old.table))
+    built
   }
 
   /** Ingest refresh: the standing assignment grown by one batch —
@@ -239,6 +372,9 @@ object AnnIndex {
   def refreshedAssign(idx: Ivf, batch: DataFrame): DataFrame =
     idx.assigned.unionByName(IvfIndex.assignBatch(batch, idx.centroids))
 
-  /** Test hook: drop all memoized entries (both artifact caches). */
-  private[graft] def invalidateAll(): Unit = { cache.clear(); pqCache.clear() }
+  /** Test hook: drop all memoized entries (all three artifact caches). */
+  private[graft] def invalidateAll(): Unit = {
+    cache.clear(); pqCache.clear(); ivfpqCache.clear()
+    liveIvfKey.clear(); livePqKey.clear(); liveIvfPqKey.clear()
+  }
 }

@@ -88,7 +88,17 @@ object PqIndex {
    */
   def buildPq(embeddings: DataFrame, m: Int, ksub: Int,
       iters: Int, dims: Int = 64): (Array[Array[Array[Double]]], DataFrame) = {
+    require(m > 0 && dims % m == 0,
+      s"dims ($dims) must be a positive multiple of m ($m) — " +
+        "subspace slicing needs equal-width subvectors")
     val corpus = Similarity.quantizedWithNorm(embeddings).persist()
+    // a dims mismatched with the corpus would make slice() silently yield
+    // short/empty subvectors (degenerate codebooks, wrong codes) — fail
+    // fast on one sampled row instead
+    corpus.select(size(col("qv")).as("len")).limit(1).collect().foreach { r =>
+      require(r.getInt(0) == dims,
+        s"corpus vectors have ${r.getInt(0)} dims, caller claimed $dims")
+    }
     val subDim = dims / m
     val books = fitCodebooks(corpus.select(col("vec_id"), col("qv")), m, subDim, ksub, iters)
     val codes = encode(corpus, books, subDim)
@@ -145,37 +155,48 @@ object PqIndex {
   }
 
   /**
-   * IVFADC top-k — the canonical FAISS serving shape, composed from the
-   * TWO standing artifacts: the IVF index prunes the candidate set to
-   * the nProbe probed lists, PQ codes score the survivors via ADC. Per
-   * query the scan touches ~nProbe/nLists of the corpus and reads 8 B
-   * of codes per touched row — neither the vectors nor the unprobed
-   * lists move. (At deployment scale the two artifacts would be
-   * persisted as ONE table — codes partitioned by cluster; here the
-   * compose is a join of the two memoized frames, which keeps each
-   * artifact independently reusable.)
+   * The SINGLE-TABLE IVFADC layout — the canonical FAISS deployment
+   * shape (r14 verdict #3): every vector's PQ codes stored WITH its IVF
+   * cluster id, `(vec_id, cluster, recon2, code_0..code_{m-1})`. One
+   * corpus-sized join at BUILD time (amortized into the standing
+   * artifact, exactly like the index build itself); serving then needs
+   * NO corpus-sized join at all — the probe set broadcasts onto the
+   * table and unprobed clusters never move (with the durable layer's
+   * partition-by-cluster layout, they are never even read).
    */
-  def ivfadcTopKFrom(centroids: Array[Array[Double]], assigned: DataFrame,
-      books: Array[Array[Array[Double]]], codes: DataFrame,
-      queryIds: Seq[Long], k: Int, nProbe: Int): DataFrame = {
+  def ivfpqTable(assigned: DataFrame, codes: DataFrame): DataFrame =
+    assigned.select(col("vec_id"), col("cluster")).join(codes, "vec_id")
+
+  /**
+   * IVFADC top-k SERVED from the single standing table: the IVF half
+   * prunes (broadcast probes onto `cluster`), the PQ half scores (ADC
+   * against broadcast-literal codebooks) — one join, ~nProbe/nLists of
+   * the corpus scanned, 8 B of codes read per touched row. Queries use
+   * their FULL vectors (asymmetric), re-read from the embeddings table
+   * with a pushed-down vec_id filter — same discipline as
+   * [[adcTopKFrom]].
+   */
+  def ivfadcTopKFromTable(centroids: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], table: DataFrame,
+      embeddings: DataFrame, queryIds: Seq[Long], k: Int, nProbe: Int): DataFrame = {
     val subDim = books(0)(0).length
-    val qAssigned = assigned.where(col("vec_id").isin(queryIds: _*))
+    val q = Similarity.quantizedWithNorm(
+      embeddings.where(col("vec_id").isin(queryIds: _*)))
     val probeCols = centroids.zipWithIndex.map { case (c, i) =>
       struct(IvfIndex.relDist2(col("qv"), c).as("d"), lit(i).as("c"))
     }
-    val probes = qAssigned
+    val probes = q
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
         col("norm").as("qnorm"),
         explode(slice(array_sort(array(probeCols: _*)), 1, nProbe)).as("p"))
       .select(col("query_id"), col("qqv"), col("qnorm"), col("p.c").as("cluster"))
-    val cand = assigned.select(col("vec_id"), col("cluster"))
-      .join(broadcast(probes), Seq("cluster"))
-      .where(col("vec_id") =!= col("query_id"))
     val adcDot = books.zipWithIndex.map { case (book, s) =>
       Similarity.dotQ(slice(col("qqv"), s * subDim + 1, subDim),
         element_at(bookLit(book), col(s"code_$s") + 1))
     }.reduce(_ + _)
-    val scored = cand.join(codes, "vec_id")
+    val scored = table
+      .join(broadcast(probes), Seq("cluster"))
+      .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(adcDot.cast("double") /
           (col("qnorm") * sqrt(col("recon2").cast("double"))), 4).as("score"))
@@ -185,6 +206,16 @@ object PqIndex {
       .where(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("vec_id"), col("score"))
   }
+
+  /** Two-artifact IVFADC compose (specs/ablations): stitches the table
+    * inline and serves through [[ivfadcTopKFromTable]] — the query
+    * surface serves from the MEMOIZED single table in
+    * [[AnnIndex.ivfpq]], which pays the stitch join once per corpus. */
+  def ivfadcTopKFrom(centroids: Array[Array[Double]], assigned: DataFrame,
+      books: Array[Array[Array[Double]]], codes: DataFrame,
+      embeddings: DataFrame, queryIds: Seq[Long], k: Int, nProbe: Int): DataFrame =
+    ivfadcTopKFromTable(centroids, books, ivfpqTable(assigned, codes),
+      embeddings, queryIds, k, nProbe)
 
   /** The code table in its query-surface shape (codes cast to long). */
   def codeTableFrom(codes: DataFrame, m: Int): DataFrame =

@@ -44,6 +44,26 @@ import graft.operators.IvfIndex
  *    the shard and commits;
  *  - replay of a committed batch → short-circuits on the marker.
  *
+ * Commit markers ROLL UP at compaction (r14 verdict #1): the snapshot's
+ * `basemeta/<b>` marker records the covered batch count, every id <= b
+ * is committed by construction (batch ids are monotone), and the covered
+ * `meta/<id>` files are deleted after the snapshot marker commits — so
+ * the marker log is bounded by compactEvery forever instead of one file
+ * per batch since the dawn of the stream. The committed state is cached
+ * in-instance and advanced by this instance's own commits; the
+ * filesystem is listed once, at first use.
+ *
+ * SINGLE WRITER, DRAIN-THEN-READ: exactly one live instance may write a
+ * given `root` (the foreachBatch contract — one stream, one driver), and
+ * the cached commit state assumes it. Serving reads ([[currentIndex]]/
+ * [[topK]]) resolve parquet file listings at PLAN time, and a compaction
+ * triggered by a concurrent `processBatch` deletes covered shards and
+ * superseded snapshots — a DataFrame planned before that compaction can
+ * fail at execution with FileNotFoundException. Read between batches
+ * (drain-then-read, which is what the oracled query does), or eagerly
+ * materialize (`localCheckpoint(true)`) the frame before the next batch
+ * folds.
+ *
  * PRECONDITION (same as IndexMaintenance): vec_ids are unique across
  * ingest batches.
  */
@@ -61,16 +81,45 @@ final class AnnMaintenance(spark: SparkSession, root: String,
     StructField("cluster", IntegerType, nullable = false),
     StructField("cv", ArrayType(DoubleType, containsNull = false), nullable = false)))
 
-  /** Batch ids whose marker committed — the restorable prefix. */
-  def committedIds: Seq[Long] = CommitMarkers.committed(spark, metaDir)
+  // cached rolled-up commit state (single-writer contract — see class doc)
+  @volatile private var logState: CommitMarkers.LogState = _
+  private def state: CommitMarkers.LogState = {
+    if (logState == null)
+      logState = CommitMarkers.loadState(spark, metaDir, baseMetaDir)
+    logState
+  }
 
-  private def centroidsPublished: Boolean = fs.exists(centroidsDir)
+  /** Committed batch ids still individually listed — the post-snapshot
+    * TAIL. Ids <= [[coveredUpTo]] are committed but rolled into the
+    * snapshot marker; use [[isCommitted]]/[[committedCount]] for the full
+    * picture. */
+  def committedIds: Seq[Long] = state.tail
+
+  /** Max batch id summarized by the latest compacted snapshot. */
+  def coveredUpTo: Option[Long] = state.coveredUpTo
+
+  def isCommitted(id: Long): Boolean = state.isCommitted(id)
+
+  /** Total committed batches (covered prefix + tail). */
+  def committedCount: Long = state.count
+
+  private def centroidsPublished: Boolean =
+    centroidsMemo != null || fs.exists(centroidsDir)
+
+  // the codebook is WRITE-ONCE by contract (publish happens exactly once,
+  // behind an atomic rename), so it is loaded at most once per instance —
+  // without this, every post-bootstrap batch paid one parquet-read Spark
+  // job for an immutable artifact (r14 advice)
+  @volatile private var centroidsMemo: Array[Array[Double]] = _
 
   /** The frozen codebook (exact integer-valued doubles). */
   def centroids(): Array[Array[Double]] = {
-    require(centroidsPublished, "no centroids published yet (no batch processed)")
-    spark.read.schema(centroidSchema).parquet(centroidsDir.toString)
-      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+    if (centroidsMemo == null) {
+      require(centroidsPublished, "no centroids published yet (no batch processed)")
+      centroidsMemo = spark.read.schema(centroidSchema).parquet(centroidsDir.toString)
+        .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+    }
+    centroidsMemo
   }
 
   private def publishCentroids(cents: Array[Array[Double]]): Unit = {
@@ -81,8 +130,10 @@ final class AnnMaintenance(spark: SparkSession, root: String,
     spark.createDataFrame(
         spark.sparkContext.parallelize(rows.toSeq, 1), centroidSchema)
       .write.mode("overwrite").parquet(tmp.toString)
-    try CommitMarkers.renameOverwrite(spark, fs, tmp, centroidsDir)
-    catch { case _: Exception => fs.delete(tmp, true); () }
+    try {
+      CommitMarkers.renameOverwrite(spark, fs, tmp, centroidsDir)
+      centroidsMemo = cents // published: the bootstrap skips the re-read
+    } catch { case _: Exception => fs.delete(tmp, true); () }
   }
 
   /**
@@ -90,7 +141,7 @@ final class AnnMaintenance(spark: SparkSession, root: String,
    * the index. Idempotent; O(batch) after the bootstrap.
    */
   def processBatch(batchId: Long, embs: DataFrame): Unit = {
-    if (committedIds.contains(batchId)) return
+    if (state.isCommitted(batchId)) return
     val shard =
       if (!centroidsPublished) {
         // bootstrap: this batch IS the training snapshot
@@ -101,31 +152,44 @@ final class AnnMaintenance(spark: SparkSession, root: String,
     shard.write.mode("overwrite").parquet(s"$root/assign/$batchId")
     CommitMarkers.commit(spark, metaDir, batchId,
       s"""{"nLists":$nLists,"iters":$iters}""")
+    logState = state.withCommitted(batchId)
     // periodic shard compaction: every compactEvery committed batches,
     // fold everything readable into one snapshot so the index read stays
     // O(1 snapshot + compactEvery shards) forever instead of one parquet
     // dir per batch since the dawn of the stream
-    val done = committedIds
-    if (done.size % compactEvery == 0) compact(done.max, done)
+    if (state.count % compactEvery == 0) compact(state.maxId.get)
   }
 
   /** Batch ids with a committed COMPACTED SNAPSHOT (`base/<b>` = the fold
     * of every shard <= b). Snapshots are derived data: a crash
     * mid-compaction leaves an unmarked partial dir that readers ignore
-    * and the next compaction sweeps. */
+    * and the next compaction sweeps. Bounded listing: superseded
+    * snapshots are deleted at each compaction. */
   private def compactedIds: Seq[Long] =
     CommitMarkers.committed(spark, baseMetaDir)
 
-  private def indexAt(committed: Seq[Long]): DataFrame = {
-    require(committed.nonEmpty, "no committed batches")
-    val b0 = compactedIds.sorted.lastOption
-    val paths = b0.map(b => s"$root/base/$b").toSeq ++
-      committed.filter(id => b0.forall(id > _)).map(b => s"$root/assign/$b")
+  private def indexFrom(snapshot: Option[Long], tail: Seq[Long]): DataFrame = {
+    val paths = snapshot.map(b => s"$root/base/$b").toSeq ++
+      tail.map(b => s"$root/assign/$b")
+    require(paths.nonEmpty, "no committed batches")
     spark.read.parquet(paths: _*)
       .select(col("vec_id"), col("qv"), col("norm"), col("cluster"))
   }
 
-  private def compact(upTo: Long, ids: Seq[Long]): Unit = {
+  /** Delete numeric entries <= `upTo` under `dir` (covered shards or
+    * rolled-up markers — including leftovers of an earlier compaction
+    * that crashed mid-sweep). */
+  private def sweepCovered(dir: Path, upTo: Long, recursive: Boolean): Unit =
+    if (fs.exists(dir)) {
+      fs.listStatus(dir).foreach { st =>
+        scala.util.Try(st.getPath.getName.toLong).toOption match {
+          case Some(id) => if (id <= upTo) fs.delete(st.getPath, recursive)
+          case None => ()
+        }
+      }
+    }
+
+  private def compact(upTo: Long): Unit = {
     // sweep unmarked base debris from a previous crashed compaction —
     // numeric names only (the r14 IndexMaintenance lesson: never let an
     // unparsable name fall through a vacuous-truth delete)
@@ -140,12 +204,22 @@ final class AnnMaintenance(spark: SparkSession, root: String,
       }
     }
     if (marked.contains(upTo)) return // snapshot already covers the log
-    val older = compactedIds.filter(_ < upTo)
-    indexAt(ids).write.mode("overwrite").parquet(s"$root/base/$upTo")
-    CommitMarkers.commit(spark, baseMetaDir, upTo, s"""{"upTo":$upTo}""")
-    // covered shards and superseded snapshots are now unreachable
-    ids.filter(_ <= upTo).foreach(b =>
-      fs.delete(new Path(s"$root/assign/$b"), true))
+    val older = marked.filter(_ < upTo)
+    indexFrom(state.coveredUpTo, state.tail)
+      .write.mode("overwrite").parquet(s"$root/base/$upTo")
+    // the marker carries the covered COUNT — with the covered meta/<b>
+    // files deleted below, this is the only surviving record of how many
+    // batches ever committed (the compaction-cadence counter)
+    CommitMarkers.commit(spark, baseMetaDir, upTo,
+      s"""{"upTo":$upTo,"count":${state.count}}""")
+    logState = state.rolledUp(upTo)
+    // covered shards, rolled-up markers, and superseded snapshots are now
+    // unreachable — deletions strictly AFTER the snapshot marker commit,
+    // so a crash anywhere leaves either the old log or a committed
+    // snapshot plus leftovers that loadState ignores and this sweep
+    // (running on every later compaction) removes
+    sweepCovered(new Path(s"$root/assign"), upTo, recursive = true)
+    sweepCovered(metaDir, upTo, recursive = false)
     older.foreach { b =>
       fs.delete(new Path(s"$root/base/$b"), true)
       fs.delete(new Path(s"$root/basemeta/$b"), false)
@@ -153,8 +227,10 @@ final class AnnMaintenance(spark: SparkSession, root: String,
   }
 
   /** The standing `(vec_id, qv, norm, cluster)` index over all committed
-    * batches — the latest compacted snapshot plus the shard tail. */
-  def currentIndex(): DataFrame = indexAt(committedIds)
+    * batches — the latest compacted snapshot plus the shard tail.
+    * Plan-time file resolution: see the drain-then-read note in the
+    * class doc before serving concurrently with ingest. */
+  def currentIndex(): DataFrame = indexFrom(state.coveredUpTo, state.tail)
 
   /** Serve approximate top-k from the maintained index. */
   def topK(queryIds: Seq[Long], k: Int, nProbe: Int): DataFrame =

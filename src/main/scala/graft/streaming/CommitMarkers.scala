@@ -73,4 +73,69 @@ object CommitMarkers {
       .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
       .sorted
   }
+
+  /** Read a marker's content (the JSON written by [[commit]]). */
+  def readMarker(spark: SparkSession, metaDir: Path, id: Long): String = {
+    val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new Path(metaDir, id.toString))
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](4096)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
+  private val CountField = """"count"\s*:\s*(\d+)""".r
+
+  /**
+   * ROLLED-UP commit-log state (r14 verdict #1): the latest snapshot
+   * marker under `baseMetaDir` summarizes every batch id <= its own id
+   * (batch ids are monotone — a crashed microbatch is replayed under the
+   * SAME id before any later id can commit, so "id <= upTo" == committed)
+   * and records how many batches it covers; `metaDir` then only lists
+   * the post-snapshot TAIL, and covered `meta/<b>` files are deleted
+   * after the snapshot marker commits. Without the rollup a months-old
+   * stream pays one `listStatus` over every marker it ever wrote, per
+   * batch — O(lifetime) control-plane cost and unbounded small-file
+   * pressure.
+   *
+   * Instances of this state are CACHED by the maintenance classes
+   * (single-writer contract) and advanced by their own commits; the
+   * filesystem is consulted once, at [[loadState]].
+   */
+  final case class LogState(coveredUpTo: Option[Long], coveredCount: Long,
+      tail: Vector[Long]) {
+    def isCommitted(id: Long): Boolean =
+      coveredUpTo.exists(id <= _) || tail.contains(id)
+    /** Total committed batches (covered prefix + tail). */
+    def count: Long = coveredCount + tail.size
+    def maxId: Option[Long] = tail.lastOption.orElse(coveredUpTo)
+    def withCommitted(id: Long): LogState =
+      if (isCommitted(id)) this
+      else copy(tail = (tail :+ id).sorted)
+    /** Fold everything <= `upTo` into the covered prefix. */
+    def rolledUp(upTo: Long): LogState = LogState(Some(upTo),
+      coveredCount + tail.count(_ <= upTo), tail.filter(_ > upTo))
+  }
+
+  /** Load the rolled-up state: latest snapshot marker (its name = the
+    * covered max id, its `count` field = covered batches) + the marker
+    * tail past it. Marker files <= the covered id are leftovers of a
+    * crash between the snapshot commit and the covered-marker sweep —
+    * already summarized, so they are excluded here and swept at the next
+    * compaction. */
+  def loadState(spark: SparkSession, metaDir: Path, baseMetaDir: Path): LogState = {
+    val snap = committed(spark, baseMetaDir).lastOption
+    val coveredCount = snap.map { b =>
+      CountField.findFirstMatchIn(readMarker(spark, baseMetaDir, b))
+        .map(_.group(1).toLong)
+        .getOrElse(throw new IllegalStateException(
+          s"snapshot marker $baseMetaDir/$b lacks a count field"))
+    }.getOrElse(0L)
+    val tail = committed(spark, metaDir)
+      .filter(id => snap.forall(id > _)).toVector
+    LogState(snap, coveredCount, tail)
+  }
 }

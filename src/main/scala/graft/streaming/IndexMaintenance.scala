@@ -36,13 +36,26 @@ import graft.operators.Dedup
  *                batch changed or created (the algo's delta refresh),
  *                O(ingest activity), never O(index).
  *   meta/<b>     commit marker, written LAST via [[CommitMarkers]]; a
- *                batch is part of the index iff its marker exists.
+ *                batch is part of the index iff its marker exists OR its
+ *                id <= the latest snapshot marker (markers ROLL UP at
+ *                compaction — see below).
  *   base/<b>     compacted snapshot = the fold of every delta <= b,
  *                written every `compactEvery` batches (then the covered
- *                delta dirs are truncated); basemeta/<b> is its marker.
- *                Snapshots are DERIVED data — correctness never depends
- *                on one existing, they only bound the fold's read set.
+ *                delta dirs are truncated); basemeta/<b> is its marker
+ *                and records the covered batch COUNT. Snapshots are
+ *                DERIVED data — correctness never depends on one
+ *                existing, they only bound the fold's read set.
  * }}}
+ *
+ * Commit markers ROLL UP at compaction (r14 verdict #1): batch ids are
+ * monotone (a crashed microbatch is replayed under the SAME id before a
+ * later id can commit), so the snapshot marker's own id summarizes every
+ * committed id <= it and the covered `meta/<b>` files are deleted once
+ * it commits — the marker log stays bounded by compactEvery forever. The
+ * committed state is cached in-instance (this class is the SINGLE WRITER
+ * of `root/` — the foreachBatch contract) and advanced by its own
+ * commits; the filesystem is listed once, at first use, instead of one
+ * full `meta/` listStatus per batch over an ever-growing marker log.
  *
  * Exactly-once under foreachBatch replay: Spark commits source offsets
  * AFTER foreachBatch returns, so a crash can leave batch b fully or
@@ -80,14 +93,61 @@ final class IndexMaintenance(spark: SparkSession, root: String,
 
   private val metaDir = new Path(s"$root/meta")
   private val baseMetaDir = new Path(s"$root/basemeta")
+  private def fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Batch ids whose marker committed — the restorable prefix. */
-  def committedIds: Seq[Long] = CommitMarkers.committed(spark, metaDir)
+  // Cached rolled-up commit state (r14 verdict #1): the snapshot marker
+  // summarizes every batch <= its id (count recorded in its content),
+  // covered meta/<b> files are deleted at compaction, and this instance —
+  // the SINGLE WRITER of root/, per the foreachBatch contract — advances
+  // the state on its own commits. The filesystem is listed once, here,
+  // instead of one full meta/ listStatus per batch over a marker log that
+  // grew since the dawn of the stream.
+  @volatile private var logState: CommitMarkers.LogState = _
+  // committed batch ids whose fps/<b> shard is part of the standing
+  // corpus scan — unlike deltas, fps shards are never compacted (they ARE
+  // the corpus-side stored columns), so their enumeration is cached from
+  // one startup listing and advanced per commit
+  @volatile private var fpsIdsMemo: Vector[Long] = _
+  private def state: CommitMarkers.LogState = {
+    if (logState == null)
+      logState = CommitMarkers.loadState(spark, metaDir, baseMetaDir)
+    logState
+  }
+  private def fpsIds: Vector[Long] = {
+    if (fpsIdsMemo == null) {
+      val st = state
+      val fpsDir = new Path(s"$root/fps")
+      fpsIdsMemo =
+        if (!fs.exists(fpsDir)) Vector.empty
+        else fs.listStatus(fpsDir).toVector
+          .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+          // an fps dir without a committed marker is a crashed batch's
+          // debris — its replay overwrites it; never scan it as standing
+          .filter(st.isCommitted)
+          .sorted
+    }
+    fpsIdsMemo
+  }
+
+  /** Committed batch ids still individually listed — the post-snapshot
+    * TAIL. Ids <= [[coveredUpTo]] are committed but rolled into the
+    * snapshot marker; use [[isCommitted]]/[[committedCount]] for the full
+    * picture. */
+  def committedIds: Seq[Long] = state.tail
+
+  /** Max batch id summarized by the latest compacted snapshot. */
+  def coveredUpTo: Option[Long] = state.coveredUpTo
+
+  def isCommitted(id: Long): Boolean = state.isCommitted(id)
+
+  /** Total committed batches (covered prefix + tail). */
+  def committedCount: Long = state.count
 
   /** Batch ids with a committed COMPACTED SNAPSHOT (`base/<b>` = the
     * fold of every delta <= b). Snapshots are derived data: a crash
     * mid-compaction leaves an unmarked partial dir that is simply
-    * ignored. */
+    * ignored. Bounded listing: superseded snapshots are deleted at each
+    * compaction. */
   private def compactedIds: Seq[Long] =
     CommitMarkers.committed(spark, baseMetaDir)
 
@@ -96,7 +156,7 @@ final class IndexMaintenance(spark: SparkSession, root: String,
     new StructType().add("node", LongType).add("comp", LongType))
 
   /** The standing `(node, comp)` index over all committed batches. */
-  def currentIndex(): DataFrame = indexAt(committedIds)
+  def currentIndex(): DataFrame = indexFrom(state.coveredUpTo, state.tail)
 
   // deltas carry their batch id as a stored column so the fold is ONE
   // multi-path FileScan, not an N-way union (a per-batch relation would
@@ -105,15 +165,13 @@ final class IndexMaintenance(spark: SparkSession, root: String,
   private val deltaSchema = new StructType()
     .add("node", LongType).add("comp", LongType).add("b", LongType)
 
-  private def indexAt(ids: Seq[Long]): DataFrame =
-    if (ids.isEmpty) emptyIndex
+  /** The fold at (snapshot, tail): the newest committed snapshot plus
+    * only the deltas past it — the read is O(index + recent deltas),
+    * bounded by compactEvery, instead of the whole delta log since
+    * batch 0. */
+  private def indexFrom(base: Option[Long], tailIds: Seq[Long]): DataFrame =
+    if (base.isEmpty && tailIds.isEmpty) emptyIndex
     else {
-      // start from the newest committed snapshot at or below the fold
-      // horizon, then apply only the deltas past it — the fold reads
-      // O(index + recent deltas), bounded by compactEvery, instead of
-      // the whole delta log since batch 0
-      val base = compactedIds.filter(_ <= ids.max).sorted.lastOption
-      val tailIds = base.fold(ids)(b0 => ids.filter(_ > b0))
       // explicit schema: a batch whose delta is EMPTY (no new pairs) is
       // legal, and schema inference over an empty parquet dir would fail
       def read(paths: Seq[String]): DataFrame =
@@ -132,7 +190,7 @@ final class IndexMaintenance(spark: SparkSession, root: String,
       (snap, tailFold) match {
         case (Some(s), None) => s
         case (None, Some(t)) => t
-        case (None, None) => emptyIndex // unreachable: ids is non-empty
+        case (None, None) => emptyIndex // unreachable: guarded above
         case (Some(s), Some(t)) =>
           // the snapshot holds ONE row per node, so "latest wins" reduces
           // to an anti-join against the tail's node set — the snapshot is
@@ -149,24 +207,42 @@ final class IndexMaintenance(spark: SparkSession, root: String,
     }
 
   /** Compact the delta log at `batchId`: persist the current fold as a
-    * snapshot, commit its marker, then TRUNCATE the now-redundant delta
-    * dirs (and any older snapshot). Ordering makes every step crash-safe:
-    * the snapshot is unreadable until its marker commits, and deletions
-    * only start after it — a crash anywhere leaves either the old log or
-    * a committed snapshot plus ignorable leftovers. */
-  private def compact(batchId: Long, ids: Seq[Long]): Unit = {
+    * snapshot, commit its marker (which records the covered batch COUNT
+    * — after the covered meta/<b> sweep below it is the only surviving
+    * record of it), then TRUNCATE the now-redundant delta dirs, the
+    * rolled-up meta markers, and any older snapshot. Ordering makes
+    * every step crash-safe: the snapshot is unreadable until its marker
+    * commits, and deletions only start after it — a crash anywhere
+    * leaves either the old log or a committed snapshot plus leftovers
+    * that loadState ignores and a later compaction's sweep removes. */
+  private def compact(batchId: Long): Unit = {
     val older = compactedIds
     sweepUnmarkedSnapshots(older.toSet)
-    indexAt(ids).withColumn("b", lit(batchId))
+    indexFrom(state.coveredUpTo, state.tail).withColumn("b", lit(batchId))
       .write.mode("overwrite").parquet(s"$root/base/$batchId")
-    CommitMarkers.commit(spark, baseMetaDir, batchId, s"""{"upTo":$batchId}""")
-    val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    ids.foreach(b => fs.delete(new Path(s"$root/delta/$b"), true))
+    CommitMarkers.commit(spark, baseMetaDir, batchId,
+      s"""{"upTo":$batchId,"count":${state.count}}""")
+    logState = state.rolledUp(batchId)
+    sweepCovered(new Path(s"$root/delta"), batchId, recursive = true)
+    sweepCovered(metaDir, batchId, recursive = false)
     older.foreach { b =>
       fs.delete(new Path(s"$root/base/$b"), true)
       fs.delete(new Path(s"$root/basemeta/$b"), false)
     }
   }
+
+  /** Delete numeric entries <= `upTo` under `dir` (covered delta dirs or
+    * rolled-up markers — including leftovers of an earlier compaction
+    * that crashed mid-sweep). */
+  private def sweepCovered(dir: Path, upTo: Long, recursive: Boolean): Unit =
+    if (fs.exists(dir)) {
+      fs.listStatus(dir).foreach { st =>
+        scala.util.Try(st.getPath.getName.toLong).toOption match {
+          case Some(id) => if (id <= upTo) fs.delete(st.getPath, recursive)
+          case None => ()
+        }
+      }
+    }
 
   /** Sweep UNMARKED `base/<b>` debris: a crash between a snapshot's
     * parquet write and its basemeta commit leaves a partial dir that the
@@ -176,7 +252,6 @@ final class IndexMaintenance(spark: SparkSession, root: String,
     * (r12 advice). Runs at each compaction point, before the new
     * snapshot is written. */
   private def sweepUnmarkedSnapshots(marked: Set[Long]): Unit = {
-    val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val baseDir = new Path(s"$root/base")
     if (fs.exists(baseDir)) {
       fs.listStatus(baseDir).foreach { st =>
@@ -199,8 +274,8 @@ final class IndexMaintenance(spark: SparkSession, root: String,
    * touched subgraph — independent of HOW MANY batches preceded.
    */
   def processBatch(batchId: Long, docs: DataFrame): Unit = {
-    val done = committedIds
-    if (done.contains(batchId)) return
+    if (state.isCommitted(batchId)) return
+    val standingFps = fpsIds
     // stage ONLY this batch's docs into the algo's stored columns and
     // persist them once — the lakehouse regime where fingerprints /
     // signatures are stored columns of the doc table
@@ -227,9 +302,9 @@ final class IndexMaintenance(spark: SparkSession, root: String,
     // incoming estimate — flipping the banded join to sort-merge and
     // re-shuffling every standing fingerprint per batch
     val standingRaw =
-      if (done.isEmpty) None
+      if (standingFps.isEmpty) None
       else Some(spark.read.schema(algo.stagedSchema)
-        .parquet(done.map(b => s"$root/fps/$b"): _*).persist())
+        .parquet(standingFps.map(b => s"$root/fps/$b"): _*).persist())
     // transient per-batch caches: the banded join scans the standing fps
     // once per simhash chunk and the delta tail scans `base` three times;
     // both are released before the batch commits, so no cross-batch
@@ -237,7 +312,7 @@ final class IndexMaintenance(spark: SparkSession, root: String,
     val all = standingRaw
       .map(_.withColumn("inc", lit(false)).unionByName(newFps))
       .getOrElse(newFps)
-    val base = indexAt(done).persist()
+    val base = indexFrom(state.coveredUpTo, state.tail).persist()
     try {
       algo.refreshDelta(all, base)
         .withColumn("b", lit(batchId))
@@ -247,14 +322,16 @@ final class IndexMaintenance(spark: SparkSession, root: String,
       base.unpersist()
     }
     CommitMarkers.commit(spark, metaDir, batchId, s"""{"batch":$batchId}""")
+    logState = state.withCommitted(batchId)
+    if (fpsIdsMemo != null) fpsIdsMemo = (fpsIdsMemo :+ batchId).sorted
     // periodic delta-log compaction: every compactEvery committed
     // batches, fold the log into a snapshot and truncate it, so the
     // per-batch index read stays O(index + compactEvery deltas) forever.
     // Compaction is an optimization of DERIVED data — skipping it (e.g.
     // this batch was replayed and short-circuited above) only defers
     // truncation to a later compaction point.
-    if ((done.size + 1) % compactEvery == 0)
-      compact(batchId, done :+ batchId)
+    if (state.count % compactEvery == 0)
+      compact(batchId)
   }
 }
 

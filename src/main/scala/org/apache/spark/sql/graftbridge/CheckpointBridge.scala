@@ -32,4 +32,13 @@ object CheckpointBridge {
     * frame some upstream stage already pinned. */
   def isMaterialized(ds: Dataset[_]): Boolean =
     ds.queryExecution.analyzed.isInstanceOf[LogicalRDD]
+
+  /** True iff the Dataset is a bare LogicalRDD whose blocks have been
+    * unpersisted (storage level NONE) — test support for observing
+    * [[release]]. */
+  def isReleased(ds: Dataset[_]): Boolean = ds.queryExecution.analyzed match {
+    case l: LogicalRDD =>
+      l.rdd.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE
+    case _ => false
+  }
 }

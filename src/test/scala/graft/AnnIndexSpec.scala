@@ -161,4 +161,103 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       AnnIndex.invalidateAll()
     }
   }
+
+  test("IVFADC single-table memo: one stitch per key; durable layout partitioned by cluster") {
+    val cacheDir = Files.createTempDirectory("graft_ivfpq_cache").toString
+    System.setProperty("graft.index.cache", cacheDir)
+    try {
+      writeEmbs()
+      AnnIndex.invalidateAll()
+      val stitches0 = AnnIndex.ivfpqBuildCount.get()
+      val art = AnnIndex.ivfpq(spark, dir, nLists = 4, iters = 2,
+        m = 2, ksub = 4, pqIters = 2, dims = 4)
+      val again = AnnIndex.ivfpq(spark, dir, nLists = 4, iters = 2,
+        m = 2, ksub = 4, pqIters = 2, dims = 4)
+      assert(art eq again)
+      assert(AnnIndex.ivfpqBuildCount.get() == stitches0 + 1)
+      // the table carries BOTH halves: cluster (IVF) + codes/recon2 (PQ)
+      assert(art.table.columns.toSet ==
+        Set("vec_id", "cluster", "recon2", "code_0", "code_1"))
+      val expect = art.table.collect().map(_.toSeq).toSet
+
+      // durable entry: table/ partitioned by cluster — the probe's
+      // pruned read shape
+      val entry = new java.io.File(cacheDir).listFiles()
+        .filter(_.getName.matches("[0-9a-f]{32}"))
+        .find(e => new java.io.File(e, "table").isDirectory)
+        .getOrElse(fail(s"no ivfpq durable entry under $cacheDir"))
+      val clusterDirs = new java.io.File(entry, "table").listFiles()
+        .map(_.getName).filter(_.startsWith("cluster="))
+      assert(clusterDirs.nonEmpty,
+        s"table/ must be partitioned by cluster, found: ${clusterDirs.toSeq}")
+
+      // fresh session -> durable load: no re-stitch, identical table
+      AnnIndex.invalidateAll()
+      val loaded = AnnIndex.ivfpq(spark, dir, nLists = 4, iters = 2,
+        m = 2, ksub = 4, pqIters = 2, dims = 4)
+      assert(AnnIndex.ivfpqBuildCount.get() == stitches0 + 1, "durable hit re-stitched")
+      assert(loaded.table.select(expectCols(loaded.table): _*)
+        .collect().map(_.toSeq).toSet == expect)
+      assert(loaded.centroids.map(_.toSeq).toSeq == art.centroids.map(_.toSeq).toSeq)
+      assert(loaded.books.map(_.map(_.toSeq).toSeq).toSeq ==
+        art.books.map(_.map(_.toSeq).toSeq).toSeq)
+    } finally {
+      System.clearProperty("graft.index.cache")
+      AnnIndex.invalidateAll()
+    }
+  }
+
+  /** Columns of `df` reordered to the stitch layout for set comparison. */
+  private def expectCols(df: org.apache.spark.sql.DataFrame) =
+    Seq(col("vec_id"), col("cluster"), col("recon2"), col("code_0"), col("code_1"))
+
+  test("one tag, two filters: entries key apart (filter hash in the memo key)") {
+    writeEmbs()
+    AnnIndex.invalidateAll()
+    val builds0 = AnnIndex.buildCount.get()
+    val a = AnnIndex.ivfFiltered(spark, dir, nLists = 2, iters = 1,
+      "sharedtag", col("vec_id") % 3 =!= 2)
+    val b = AnnIndex.ivfFiltered(spark, dir, nLists = 2, iters = 1,
+      "sharedtag", col("vec_id") % 3 =!= 1)
+    assert(!(a eq b), "a reused tag with a different filter must not " +
+      "silently serve the other filter's standing index")
+    assert(AnnIndex.buildCount.get() == builds0 + 2)
+    def ids(idx: AnnIndex.Ivf): Set[Long] =
+      idx.assigned.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(ids(a) == (0L until 24L).filter(_ % 3 != 2).toSet)
+    assert(ids(b) == (0L until 24L).filter(_ % 3 != 1).toSet)
+    // and the same (tag, filter) pair still memo-hits
+    val a2 = AnnIndex.ivfFiltered(spark, dir, nLists = 2, iters = 1,
+      "sharedtag", col("vec_id") % 3 =!= 2)
+    assert(a2 eq a)
+    assert(AnnIndex.buildCount.get() == builds0 + 2)
+  }
+
+  test("a changed corpus evicts AND releases the superseded session entry") {
+    writeEmbs()
+    AnnIndex.invalidateAll()
+    val old = AnnIndex.ivf(spark, dir, nLists = 4, iters = 2)
+    import org.apache.spark.sql.graftbridge.CheckpointBridge
+    assert(CheckpointBridge.isMaterialized(old.assigned) &&
+      !CheckpointBridge.isReleased(old.assigned),
+      "a fresh session build is an eagerly-checkpointed frame")
+    val oldPq = AnnIndex.pq(spark, dir, m = 2, ksub = 4, iters = 2, dims = 4)
+    assert(!CheckpointBridge.isReleased(oldPq.codes))
+
+    // same (dir, params) alias, new corpus fingerprint: the rebuild must
+    // drop the superseded entry and unpersist its checkpoint blocks
+    // instead of pinning them for the session lifetime (r14 advice)
+    writeEmbs(shift = 0.25)
+    val fresh = AnnIndex.ivf(spark, dir, nLists = 4, iters = 2)
+    assert(!(fresh eq old))
+    assert(CheckpointBridge.isReleased(old.assigned),
+      "superseded IVF entry's checkpoint blocks must be released")
+    val freshPq = AnnIndex.pq(spark, dir, m = 2, ksub = 4, iters = 2, dims = 4)
+    assert(!(freshPq eq oldPq))
+    assert(CheckpointBridge.isReleased(oldPq.codes),
+      "superseded PQ entry's checkpoint blocks must be released")
+    assert(!CheckpointBridge.isReleased(fresh.assigned) &&
+      !CheckpointBridge.isReleased(freshPq.codes),
+      "the live entries must keep their blocks")
+  }
 }

@@ -76,7 +76,10 @@ class AnnMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val fs = new org.apache.hadoop.fs.Path(rootB)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$rootB/meta/1"), false)
-    assert(b1.committedIds.sorted == Seq(0L))
+    // the dead process's in-memory state is gone with it — the restart
+    // view is what a FRESH instance reads from the filesystem
+    assert(new AnnMaintenance(spark, rootB, nLists = 4, iters = 2)
+      .committedIds.sorted == Seq(0L))
     // a NEW instance (the restarted job) replays batch 1 and continues
     val b2 = new AnnMaintenance(spark, rootB, nLists = 4, iters = 2)
     b2.processBatch(1L, batch(1))
@@ -137,5 +140,60 @@ class AnnMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val m2 = new AnnMaintenance(spark, root, nLists = 4, iters = 2, compactEvery = 2)
     m2.processBatch(2L, batch(2)) // committed replay: no-op
     assert(pairs(m2.currentIndex()) == expect)
+
+    // marker ROLLUP (r14 verdict #1): the compaction at batch 1 swept the
+    // covered meta/0, meta/1 — the snapshot marker is their only record;
+    // the restart sees them as committed without their files
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/meta/0")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$root/meta/1")),
+      "covered meta markers must roll up into the snapshot marker")
+    assert(m2.coveredUpTo.contains(1L) && m2.committedCount == 3 &&
+      m2.isCommitted(0L) && m2.isCommitted(1L) && m2.isCommitted(2L),
+      "rolled-up state must still count/contain the covered batches")
+  }
+
+  test("rollup crash windows: leftover covered markers ignored; unmarked snapshot falls back") {
+    // window A: crash AFTER the snapshot marker commit but BEFORE the
+    // covered-marker sweep — simulated by re-creating the covered meta
+    // files a clean compaction already swept
+    val root = Files.createTempDirectory("ann_maint_rw").toString
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = new AnnMaintenance(spark, root, nLists = 4, iters = 2, compactEvery = 2)
+    (0 to 2).foreach(b => m.processBatch(b.toLong, batch(b)))
+    val expect = pairs(m.currentIndex())
+    graft.streaming.CommitMarkers.commit(spark,
+      new org.apache.hadoop.fs.Path(s"$root/meta"), 0L, "{}")
+    graft.streaming.CommitMarkers.commit(spark,
+      new org.apache.hadoop.fs.Path(s"$root/meta"), 1L, "{}")
+    val mA = new AnnMaintenance(spark, root, nLists = 4, iters = 2, compactEvery = 2)
+    assert(mA.committedIds == Seq(2L),
+      "leftover covered markers must not re-enter the tail")
+    assert(mA.committedCount == 3 && pairs(mA.currentIndex()) == expect)
+    // the next compaction point sweeps the leftovers (fresh vec_id —
+    // ids are unique across batches per the class precondition)
+    mA.processBatch(3L, spark.createDataFrame(
+      Seq((100L, Seq.fill(8)(0.05f)))).toDF("vec_id", "embedding"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/meta/0")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$root/meta/1")),
+      "a later compaction must sweep leftover covered markers")
+
+    // window B: crash AFTER the snapshot parquet write but BEFORE its
+    // basemeta marker — the restart must ignore the unmarked snapshot and
+    // keep folding from the previous snapshot + intact tail markers
+    val rootB = Files.createTempDirectory("ann_maint_rwb").toString
+    val fsB = new org.apache.hadoop.fs.Path(rootB)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mB = new AnnMaintenance(spark, rootB, nLists = 4, iters = 2)
+    (0 to 2).foreach(b => mB.processBatch(b.toLong, batch(b)))
+    val expectB = pairs(mB.currentIndex())
+    // fake the partial compaction: snapshot dir written, no marker, and
+    // (per the crash ordering) NO deletions happened yet
+    mB.currentIndex().write.mode("overwrite").parquet(s"$rootB/base/2")
+    val mB2 = new AnnMaintenance(spark, rootB, nLists = 4, iters = 2)
+    assert(mB2.coveredUpTo.isEmpty && mB2.committedIds == Seq(0L, 1L, 2L),
+      "an unmarked snapshot must not roll anything up")
+    assert(pairs(mB2.currentIndex()) == expectB)
+    assert(fsB.exists(new org.apache.hadoop.fs.Path(s"$rootB/base/2")))
   }
 }

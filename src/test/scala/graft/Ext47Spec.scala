@@ -63,9 +63,18 @@ class Ext47Spec extends AnyFunSuite with BeforeAndAfterAll {
     val (centroids, assigned) = IvfIndex.buildIndex(embs, 8, 2)
     val (books, codes) = PqIndex.buildPq(embs, 8, 16, 2)
     val got = PqIndex
-      .ivfadcTopKFrom(centroids, assigned, books, codes, qids, 5, nProbe)
+      .ivfadcTopKFrom(centroids, assigned, books, codes, embs, qids, 5, nProbe)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
       .groupBy(_._1)
+    // the single-table layout serves the identical ranking (the compose
+    // above IS a stitch + FromTable; this pins the table path explicitly)
+    val gotTable = PqIndex
+      .ivfadcTopKFromTable(centroids, books,
+        PqIndex.ivfpqTable(assigned, codes), embs, qids, 5, nProbe)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sorted
+    assert(got.values.flatten.toSeq.sorted == gotTable,
+      "single-table IVFADC diverged from the compose")
 
     // reference: the full ADC ranking (k = corpus) filtered to candidates
     // in the query's probed clusters, re-ranked by (score desc, vec_id)

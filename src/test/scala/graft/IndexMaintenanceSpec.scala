@@ -166,6 +166,19 @@ class IndexMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val baseDirs = new java.io.File(s"$root/base").listFiles().map(_.getName).toSet
     assert(baseDirs == Set("11"), s"expected only snapshot 11, got $baseDirs")
 
+    // marker ROLLUP (r14 verdict #1): the covered meta/<b> files are
+    // swept with the deltas — the snapshot marker (upTo=11, count=12) is
+    // their only record, and a fresh instance restores from it alone
+    val metaFiles = Option(new java.io.File(s"$root/meta").listFiles())
+      .map(_.map(_.getName).toSet).getOrElse(Set.empty[String])
+    assert(metaFiles.isEmpty,
+      s"batch 11's compaction must roll up every covered marker, left: $metaFiles")
+    val restored = new IndexMaintenance(spark, root, IndexMaintenance.Simhash(3), compactEvery = 4)
+    assert(restored.coveredUpTo.contains(11L) && restored.committedCount == 12
+      && restored.committedIds.isEmpty && restored.isCommitted(0L)
+      && restored.isCommitted(11L) && !restored.isCommitted(12L),
+      "rolled-up state must restore from the snapshot marker alone")
+
     // plant UNMARKED snapshot debris (a crash between a snapshot write
     // and its basemeta commit): the next compaction point must sweep it
     // — it has no marker, so only the sweep covers it (r12 advice)
