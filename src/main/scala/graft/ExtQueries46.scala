@@ -36,6 +36,17 @@ import graft.operators.{AnnIndex, Tables}
  *    per trigger; batch 0 BOOTSTRAPS the index (fit + assign), every
  *    later batch folds in assign-only. Drained index must equal the
  *    frozen-centroid rebuild (fit on chunk 0, assign all).
+ *
+ * Round 15 closes the lifecycle (r14 verdict, missing #1):
+ *  - ann_recall_drift: recall@10 of the AGED standing index (base-fit
+ *    centroids, grown corpus) against the exact scan over the grown
+ *    corpus — the drift signal a deployment watches to decide WHEN to
+ *    refit. Oracle: aged replay + exact ranking, recall join.
+ *  - ann_index_refit: the refit-and-swap itself — retrain on the full
+ *    grown corpus under the standard index key, atomically swap (drop +
+ *    release the aged session entry; AnnIndexSpec proves the release),
+ *    output the refit assignment. Oracle: k-means replay fit on ALL
+ *    vectors.
  */
 object ExtQueries46 {
 
@@ -71,6 +82,37 @@ object ExtQueries46 {
     "ann_index_refresh_topk" -> ((s, dir) =>
       AnnIndex.topK(refreshed(s, dir), ExtQueries.AnnQueries, 10, NProbe)
         .orderBy(col("query_id"), col("rnk"))),
+
+    // DRIFT RECALL: how well does the AGED standing index (centroids
+    // frozen on the 80% base, corpus grown to 100%) still answer exact
+    // top-10 on the grown corpus? A deployment alerts on this number
+    // dropping and triggers ann_index_refit. Both rankings replayed in
+    // the oracle.
+    "ann_recall_drift" -> ((s, dir) => {
+      val aged = AnnIndex.topK(refreshed(s, dir), ExtQueries.AnnQueries, 10, NProbe)
+      val exact = graft.operators.Similarity
+        .bruteForceTopK(embs(s, dir), ExtQueries.AnnQueries, 10)
+        .select(col("query_id"), col("vec_id")).withColumn("hit", lit(1))
+      aged.select(col("query_id"), col("vec_id"))
+        .join(exact, Seq("query_id", "vec_id"), "left_outer")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"),
+          round(sum(coalesce(col("hit"), lit(0))) / lit(10.0), 4).as("recall"))
+        .orderBy(col("query_id"))
+    }),
+
+    // REFIT-AND-SWAP: retrain on the grown corpus under the standard
+    // index key, swap out the aged entry (built here under its own key
+    // so the swap is observable end-to-end), serve the refit assignment.
+    "ann_index_refit" -> ((s, dir) => {
+      // the aged artifact this cycle supersedes — its key is released by
+      // the swap, ready for the next cycle's base snapshot
+      AnnIndex.ivfFiltered(s, dir, NLists, Iters, "agedr15", !isIngest)
+      val refit = AnnIndex.refitIvfTo(s, dir, NLists, Iters, "agedr15", !isIngest)
+      refit.assigned
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+        .orderBy(col("vec_id"))
+    }),
 
     // CRASH-SAFE streaming ANN maintenance (r14): per-batch assignment
     // shards + commit markers on the filesystem via
@@ -225,6 +267,54 @@ object ExtQueries46 {
          |  FROM scored)
          |SELECT query_id, rnk, vec_id, cos FROM ranked WHERE rnk <= 10
          |ORDER BY query_id, rnk""".stripMargin,
+
+    // aged-index recall vs the exact scan over the grown corpus: both
+    // rankings replayed — the aged probe/score tail over the base-fit
+    // replay, and the brute-force cosine ranking over qn
+    "ann_recall_drift" ->
+      s"""WITH RECURSIVE ${ivfReplayCtes("vec_id % 5 != 4")},
+         |probes AS (
+         |  SELECT vec_id AS query_id, qv AS qqv, n2 AS qn2, c AS cluster FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+         |    FROM fdists WHERE vec_id IN (${ExtQueries.AnnQueries.mkString(", ")})) x
+         |  WHERE rn <= $NProbe),
+         |scored AS (
+         |  SELECT p.query_id, v.vec_id,
+         |         ROUND(list_inner_product(p.qqv, v.qv)
+         |               / (sqrt(p.qn2) * sqrt(v.n2)), 4) AS cos
+         |  FROM probes p JOIN indexed v
+         |    ON v.cluster = p.cluster AND v.vec_id != p.query_id),
+         |agedranked AS (
+         |  SELECT query_id, vec_id,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |             ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM scored),
+         |exact AS (
+         |  SELECT qq.vec_id AS query_id, c.vec_id,
+         |         ROUND(list_inner_product(qq.qv, c.qv)
+         |               / (sqrt(qq.n2) * sqrt(c.n2)), 4) AS cos
+         |  FROM qn qq JOIN qn c ON c.vec_id != qq.vec_id
+         |  WHERE qq.vec_id IN (${ExtQueries.AnnQueries.mkString(", ")})),
+         |exranked AS (
+         |  SELECT query_id, vec_id,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |             ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM exact)
+         |SELECT a.query_id,
+         |       CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_hits,
+         |       ROUND(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |             / 10.0, 4) AS recall
+         |FROM (SELECT query_id, vec_id FROM agedranked WHERE rnk <= 10) a
+         |LEFT JOIN (SELECT query_id, vec_id FROM exranked WHERE rnk <= 10) e
+         |  ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+         |GROUP BY a.query_id ORDER BY a.query_id""".stripMargin,
+
+    // refit == a full rebuild fit on the whole grown corpus
+    "ann_index_refit" ->
+      s"""WITH RECURSIVE ${ivfReplayCtes("TRUE")}
+         |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM indexed
+         |ORDER BY vec_id""".stripMargin,
 
     // streamed drain == frozen-centroid rebuild with fit on batch 0
     "stream_ann_index_refresh" ->

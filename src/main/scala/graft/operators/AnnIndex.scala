@@ -180,6 +180,41 @@ object AnnIndex {
   def topK(idx: Ivf, queryIds: Seq[Long], k: Int, nProbe: Int): DataFrame =
     IvfIndex.topKFrom(idx.centroids, idx.assigned, queryIds, k, nProbe)
 
+  /** Drop + release the standing FILTERED entry under (dir, params, tag,
+    * filter) — the swap half of [[refitIvfTo]]. No-op if absent. Only
+    * the session layer is dropped: a durable entry stays keyed by its
+    * corpus fingerprint (a refit over a grown corpus publishes under a
+    * new fingerprint anyway). */
+  def dropIvfFiltered(spark: SparkSession, dir: String, nLists: Int,
+      iters: Int, tag: String, filter: Column): Unit = {
+    val sc = spark.sparkContext
+    val alias = s"${sc.applicationId}@${sc.startTime}|$dir|" +
+      s"ivf:$nLists:$iters:flt:$tag:${filterHash(filter)}"
+    Option(liveIvfKey.remove(alias))
+      .flatMap(k => Option(cache.remove(k)))
+      .foreach(old =>
+        org.apache.spark.sql.graftbridge.CheckpointBridge.release(old.assigned))
+  }
+
+  /**
+   * REFIT-AND-SWAP (r14 verdict, missing #1) — the periodic maintenance
+   * operation the frozen-centroid ingest contract defers to. The aged
+   * index under (dir, agedTag, agedFilter) was fit on a base snapshot
+   * and has only ASSIGNED everything ingested since; refit retrains on
+   * the CURRENT full corpus under the standard [[ivf]] key and then
+   * drops + releases the aged entry. Build-then-swap ordering: the new
+   * index is fully built (and durably published when the durable layer
+   * is on) before the aged one is released, so there is never a moment
+   * with no servable index. The aged (tag, filter) key is free for the
+   * NEXT maintenance cycle (whose base snapshot is today's corpus).
+   */
+  def refitIvfTo(spark: SparkSession, dir: String, nLists: Int, iters: Int,
+      agedTag: String, agedFilter: Column): Ivf = {
+    val fresh = ivf(spark, dir, nLists, iters)
+    dropIvfFiltered(spark, dir, nLists, iters, agedTag, agedFilter)
+    fresh
+  }
+
   // ------------------------------------------------------------------
   // PQ artifact — same lifecycle, second cache (books + code table)
   // ------------------------------------------------------------------

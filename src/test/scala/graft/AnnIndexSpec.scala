@@ -233,6 +233,36 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(AnnIndex.buildCount.get() == builds0 + 2)
   }
 
+  test("refit-and-swap: new index == full-corpus fit; aged entry dropped and released") {
+    writeEmbs()
+    AnnIndex.invalidateAll()
+    import org.apache.spark.sql.graftbridge.CheckpointBridge
+    val agedFilter = col("vec_id") % 3 =!= 2
+    val aged = AnnIndex.ivfFiltered(spark, dir, nLists = 4, iters = 2,
+      "agedtest", agedFilter)
+    assert(!CheckpointBridge.isReleased(aged.assigned))
+    val builds0 = AnnIndex.buildCount.get()
+
+    val refit = AnnIndex.refitIvfTo(spark, dir, nLists = 4, iters = 2,
+      "agedtest", agedFilter)
+    // the refit IS the standard full-corpus index (shared memo)
+    val full = AnnIndex.ivf(spark, dir, nLists = 4, iters = 2)
+    assert(refit eq full)
+    assert(AnnIndex.buildCount.get() == builds0 + 1)
+    assert(pairs(refit.assigned) ==
+      pairs(IvfIndex.assignBatch(Tables.table(spark, dir, "embeddings"),
+        refit.centroids)))
+    // swap semantics: the aged entry is gone and its blocks are released
+    assert(CheckpointBridge.isReleased(aged.assigned),
+      "the swap must release the aged entry's checkpoint blocks")
+    val rebuilt = AnnIndex.ivfFiltered(spark, dir, nLists = 4, iters = 2,
+      "agedtest", agedFilter)
+    assert(!(rebuilt eq aged) && AnnIndex.buildCount.get() == builds0 + 2,
+      "the aged key must be free for the next maintenance cycle")
+    // the refit index itself must survive the swap untouched
+    assert(!CheckpointBridge.isReleased(refit.assigned))
+  }
+
   test("a changed corpus evicts AND releases the superseded session entry") {
     writeEmbs()
     AnnIndex.invalidateAll()
