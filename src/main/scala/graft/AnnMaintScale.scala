@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.IvfIndex
+import graft.streaming.AnnMaintenance
+
+/**
+ * Measurement main for the streaming ANN maintenance loop
+ * ([[graft.streaming.AnnMaintenance]]) — the ANN twin of
+ * [[IndexMaintScale]], run under the same decade protocol (r14 verdict
+ * item 6): split the embeddings corpus into N equal ingest batches, fold
+ * them into a standing IVF index, and record per batch
+ *
+ *  - wall seconds (must stay FLAT in the batch index: the fold is
+ *    O(batch) assignment against frozen centroids + one shard write +
+ *    one marker; nothing scans the standing state except compaction),
+ *  - total shuffle-write bytes (task-level sums),
+ *  - retained executor storage (cached/checkpointed blocks — the
+ *    maintenance loop holds NO driver/executor state between batches;
+ *    its state is the filesystem),
+ *  - `meta/` marker-file count (r14 verdict item 1: markers ROLL UP at
+ *    compaction, so under `compact` mode the count is bounded by
+ *    compactEvery forever; under `nocompact` it grows one per batch but
+ *    is LISTED only once, at instance startup),
+ *  - retained bytes under the index root (snapshot-plus-tail vs
+ *    one-dir-per-batch storage shape).
+ *
+ * After the drain the final index is asserted byte-equal (as a
+ * (vec_id, cluster) set) to the frozen-centroid batch rebuild — the
+ * same contract the `stream_ann_index_refresh` oracle replays — and a
+ * FRESH instance is constructed over the drained root to time the
+ * resume state-load (one `meta/` + `basemeta/` listing; the quantity
+ * the marker rollup bounds).
+ *
+ * One JSON line per mode. Env: SPARK_GRAFT_SF_DIR (corpus),
+ * SPARK_GRAFT_BATCHES (default 24), SPARK_GRAFT_MODE
+ * (compact | nocompact | both, default both), SPARK_GRAFT_COMPACT_EVERY
+ * (cadence for `compact` mode, default 8), SPARK_GRAFT_NLISTS /
+ * SPARK_GRAFT_ITERS (index params, defaults 16 / 3).
+ */
+object AnnMaintScale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val batches = sys.env.getOrElse("SPARK_GRAFT_BATCHES", "24").toInt
+    val mode = sys.env.getOrElse("SPARK_GRAFT_MODE", "both")
+    val compactEvery = sys.env.getOrElse("SPARK_GRAFT_COMPACT_EVERY", "8").toInt
+    val nLists = sys.env.getOrElse("SPARK_GRAFT_NLISTS", "16").toInt
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val nVecs = embs.count()
+    def chunk(b: Int): DataFrame =
+      embs.where(pmod(col("vec_id"), lit(batches)) === b)
+
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          shuffleWrite.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+    def shuffleDelta(f: => Unit): Long = {
+      org.apache.spark.sql.graftbridge.ListenerBridge.waitUntilEmpty(spark.sparkContext)
+      val s0 = shuffleWrite.get()
+      f
+      org.apache.spark.sql.graftbridge.ListenerBridge.waitUntilEmpty(spark.sparkContext)
+      shuffleWrite.get() - s0
+    }
+    def storageMb(): Double =
+      spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum / 1e6
+    val fs = new Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fileCount(dir: Path): Int =
+      if (fs.exists(dir)) fs.listStatus(dir).length else 0
+    def bytesUnder(dir: Path): Long =
+      if (fs.exists(dir)) fs.getContentSummary(dir).getLength else 0L
+
+    // the frozen-centroid batch-rebuild contract: centroids fit on the
+    // bootstrap batch alone, the whole corpus assigned against them
+    val (bootCents, _) = IvfIndex.buildIndex(chunk(0), nLists, iters)
+    val expect = IvfIndex.assignBatch(embs, bootCents)
+      .select("vec_id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+
+    def run(tag: String, every: Int): Unit = {
+      val root = java.nio.file.Files.createTempDirectory(s"ann_maint_$tag").toString
+      val m = new AnnMaintenance(spark, root, nLists, iters, every)
+      val ws = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Long, Int)]
+      (0 until batches).foreach { b =>
+        var w = 0.0
+        val sh = shuffleDelta { w = timed(m.processBatch(b, chunk(b))) }
+        ws += ((w, storageMb(), sh, fileCount(new Path(s"$root/meta"))))
+      }
+      val got = m.currentIndex().select("vec_id", "cluster").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      require(got == expect, s"$tag drained index diverged from the batch rebuild")
+      // resume cost: a fresh instance's one-time state load over the
+      // drained root (this is what the marker rollup keeps bounded)
+      var resumeS = 0.0
+      val resume = new AnnMaintenance(spark, root, nLists, iters, every)
+      resumeS = timed { require(resume.committedCount == batches.toLong) }
+      val walls = ws.map(_._1).toSeq
+      def fmt(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString(",")
+      def med(xs: Seq[Double]) = xs.sorted.apply((xs.size - 1) / 2)
+      val q = math.max(1, batches / 4)
+      println(
+        s"""{"metric":"ann_maint_scale","mode":"$tag","sf":"$sfDir","n_vecs":$nVecs,""" +
+        s""""batches":$batches,"compact_every":$every,"n_lists":$nLists,""" +
+        s""""walls":[${fmt(walls)}],""" +
+        s""""first_quartile_median":${f"${med(walls.take(q))}%.3f"},""" +
+        s""""last_quartile_median":${f"${med(walls.takeRight(q))}%.3f"},""" +
+        s""""total":${f"${walls.sum}%.2f"},""" +
+        s""""storage_mb":[${fmt(ws.map(_._2).toSeq)}],""" +
+        s""""storage_growth_mb":${f"${ws.last._2 - ws.head._2}%.3f"},""" +
+        s""""shuffle_write_total_mb":${f"${ws.map(_._3).sum / 1e6}%.1f"},""" +
+        s""""meta_files":[${ws.map(_._4).mkString(",")}],""" +
+        s""""meta_files_final":${ws.last._4},""" +
+        s""""assign_dirs_final":${fileCount(new Path(s"$root/assign"))},""" +
+        s""""root_mb_final":${f"${bytesUnder(new Path(root)) / 1e6}%.1f"},""" +
+        s""""resume_state_load_s":${f"$resumeS%.3f"}}""")
+    }
+
+    if (mode == "compact" || mode == "both") run("compact", compactEvery)
+    if (mode == "nocompact" || mode == "both")
+      run("nocompact", Int.MaxValue / 2)
+    spark.stop()
+  }
+}

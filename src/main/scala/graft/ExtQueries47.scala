@@ -25,10 +25,10 @@ import graft.operators.{AnnIndex, PqIndex, Similarity, Tables}
  */
 object ExtQueries47 {
 
-  private val M = 8        // subspaces
-  private val SubDim = 8   // dims per subspace (64 / M)
-  private val Ksub = 16    // codes per subspace
-  private val Iters = 2    // Lloyd iterations per sub-codebook
+  private[graft] val M = 8        // subspaces
+  private[graft] val SubDim = 8   // dims per subspace (64 / M)
+  private[graft] val Ksub = 16    // codes per subspace
+  private[graft] val Iters = 2    // Lloyd iterations per sub-codebook
 
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "embeddings")
@@ -85,15 +85,26 @@ object ExtQueries47 {
 
   /** The PQ replay WITHOUT the leading quantSql — composable next to the
     * IVF replay body over the same `qn` (the IVFADC oracle). */
-  private[graft] def pqCtesBody: String = {
+  private[graft] def pqCtesBody: String = pqReplayBody("TRUE")
+
+  /** The PQ replay parametrized by the FIT predicate (which rows the
+    * codebooks are trained on — the PQ twin of
+    * [[ExtQueries46.ivfReplayBody]]): seeds are the ksub lowest vec_ids
+    * OF THE FIT SHARD, the sub-k-means trains on the fit shard only, and
+    * `codes`/`recon` encode ALL vectors against the final books — the
+    * frozen-codebook ingest-refresh contract. */
+  private[graft] def pqReplayBody(fitPred: String): String = {
     s"""pqsub AS (
        |  SELECT vec_id, s, qv[s*$SubDim+1 : s*$SubDim+$SubDim] AS sq
        |  FROM qn, UNNEST(range(0, $M)) t(s)),
+       |pqfit AS (SELECT vec_id, s, sq FROM pqsub
+       |          WHERE vec_id IN (SELECT vec_id FROM qn WHERE $fitPred)),
        |pqseeds AS (
        |  SELECT s, CAST(ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1
        |           AS BIGINT) AS c, sq AS cv
-       |  FROM pqsub
-       |  WHERE vec_id IN (SELECT vec_id FROM qn ORDER BY vec_id LIMIT $Ksub)),
+       |  FROM pqfit
+       |  WHERE vec_id IN (SELECT vec_id FROM qn WHERE $fitPred
+       |                   ORDER BY vec_id LIMIT $Ksub)),
        |pqkm(iter, s, c, cv) AS (
        |  SELECT CAST(0 AS BIGINT), s, c, cv FROM pqseeds
        |  UNION ALL
@@ -102,7 +113,7 @@ object ExtQueries47 {
        |    SELECT v.vec_id, v.s, v.sq, k2.c,
        |           list_inner_product(k2.cv, k2.cv)
        |             - 2 * list_inner_product(v.sq, k2.cv) AS d
-       |    FROM pqsub v JOIN pqkm k2 ON k2.s = v.s),
+       |    FROM pqfit v JOIN pqkm k2 ON k2.s = v.s),
        |  asg AS (
        |    SELECT vec_id, s, sq, c AS cl FROM (
        |      SELECT *, ROW_NUMBER() OVER (PARTITION BY s, vec_id ORDER BY d, c) AS rn

@@ -272,31 +272,83 @@ object AnnIndex {
         s"[AnnIndex] PQ durable store failed (serving session-only): $t"))
     }
 
-  /** Memoized standing PQ artifact over `<dir>/embeddings.parquet`. */
-  def pq(spark: SparkSession, dir: String, m: Int, ksub: Int, iters: Int,
-      dims: Int = 64): Pq = {
+  /** PQ twin of [[memo]]: session+durable layers, plus eviction+release
+    * of the entry a changed corpus fingerprint superseded (same
+    * rationale as the IVF memo). */
+  private def pqMemo(spark: SparkSession, dir: String, tag: String)
+      (build: => Pq): Pq = {
     val sc = spark.sparkContext
-    val tag = s"pq:$m:$ksub:$iters:$dims"
     val durableKey =
       s"$tag|${DedupIndex.fingerprint(spark, s"$dir/embeddings.parquet")}"
     val key = s"${sc.applicationId}@${sc.startTime}|$dir|$durableKey"
     val built = pqCache.computeIfAbsent(key, _ =>
       pqDurableLoad(spark, durableKey).getOrElse {
         pqBuildCount.incrementAndGet()
-        val (books, codes) = PqIndex.buildPq(
-          Tables.table(spark, dir, "embeddings"), m, ksub, iters, dims)
-        val b = Pq(books, codes)
+        val b = build
         pqDurableStore(spark, durableKey, b)
         b
       })
-    // evict + release the entry a changed corpus fingerprint superseded
-    // (same rationale as the IVF memo)
     val prev = livePqKey.put(s"${sc.applicationId}@${sc.startTime}|$dir|$tag", key)
     if (prev != null && prev != key)
       Option(pqCache.remove(prev)).foreach(old =>
         org.apache.spark.sql.graftbridge.CheckpointBridge.release(old.codes))
     built
   }
+
+  /** Memoized standing PQ artifact over `<dir>/embeddings.parquet`. */
+  def pq(spark: SparkSession, dir: String, m: Int, ksub: Int, iters: Int,
+      dims: Int = 64): Pq =
+    pqMemo(spark, dir, s"pq:$m:$ksub:$iters:$dims") {
+      val (books, codes) = PqIndex.buildPq(
+        Tables.table(spark, dir, "embeddings"), m, ksub, iters, dims)
+      Pq(books, codes)
+    }
+
+  /** Memoized standing PQ artifact over a FILTERED view of the corpus —
+    * the BASE snapshot of the PQ ingest-refresh family (the PQ twin of
+    * [[ivfFiltered]], same filter-hash keying). */
+  def pqFiltered(spark: SparkSession, dir: String, m: Int, ksub: Int,
+      iters: Int, tag: String, filter: Column, dims: Int = 64): Pq =
+    pqMemo(spark, dir,
+        s"pq:$m:$ksub:$iters:$dims:flt:$tag:${filterHash(filter)}") {
+      val (books, codes) = PqIndex.buildPq(
+        Tables.table(spark, dir, "embeddings").where(filter), m, ksub, iters, dims)
+      Pq(books, codes)
+    }
+
+  /** Drop + release the standing FILTERED PQ entry — the swap half of
+    * [[refitPqTo]]. No-op if absent; session layer only (same contract
+    * as [[dropIvfFiltered]]). */
+  def dropPqFiltered(spark: SparkSession, dir: String, m: Int, ksub: Int,
+      iters: Int, tag: String, filter: Column, dims: Int = 64): Unit = {
+    val sc = spark.sparkContext
+    val alias = s"${sc.applicationId}@${sc.startTime}|$dir|" +
+      s"pq:$m:$ksub:$iters:$dims:flt:$tag:${filterHash(filter)}"
+    Option(livePqKey.remove(alias))
+      .flatMap(k => Option(pqCache.remove(k)))
+      .foreach(old =>
+        org.apache.spark.sql.graftbridge.CheckpointBridge.release(old.codes))
+  }
+
+  /** PQ refit-and-swap: retrain codebooks on the CURRENT full corpus
+    * under the standard [[pq]] key, then drop + release the aged
+    * filtered entry — build-then-swap ordering, same contract as
+    * [[refitIvfTo]]. */
+  def refitPqTo(spark: SparkSession, dir: String, m: Int, ksub: Int,
+      iters: Int, agedTag: String, agedFilter: Column, dims: Int = 64): Pq = {
+    val fresh = pq(spark, dir, m, ksub, iters, dims)
+    dropPqFiltered(spark, dir, m, ksub, iters, agedTag, agedFilter, dims)
+    fresh
+  }
+
+  /** PQ ingest refresh: the standing code table grown by one batch —
+    * encodes ONLY `batch` against the frozen codebooks (O(batch), one
+    * projection pass) and unions with the standing codes. Equal by
+    * construction to encoding the whole grown corpus against the same
+    * books (encoding is per-row) — the contract the `ann_pq_refresh`
+    * oracle replays. */
+  def refreshedCodes(art: Pq, batch: DataFrame): DataFrame =
+    art.codes.unionByName(PqIndex.encodeBatch(batch, art.books))
 
   // ------------------------------------------------------------------
   // IVFADC artifact — the single-table deployment layout (r14 verdict
@@ -371,24 +423,17 @@ object AnnIndex {
         s"[AnnIndex] IVFADC durable store failed (serving session-only): $t"))
     }
 
-  /** Memoized standing IVFADC artifact: composes the [[ivf]] and [[pq]]
-    * memos (sharing their builds with the rest of the ANN family) and
-    * pays the corpus-sized stitch join ONCE — every later serve is the
-    * broadcast-probe read. */
-  def ivfpq(spark: SparkSession, dir: String, nLists: Int, iters: Int,
-      m: Int, ksub: Int, pqIters: Int, dims: Int = 64): IvfPq = {
+  /** IVFADC twin of [[pqMemo]]. */
+  private def ivfpqMemo(spark: SparkSession, dir: String, tag: String)
+      (build: => IvfPq): IvfPq = {
     val sc = spark.sparkContext
-    val tag = s"ivfpq:$nLists:$iters:$m:$ksub:$pqIters:$dims"
     val durableKey =
       s"$tag|${DedupIndex.fingerprint(spark, s"$dir/embeddings.parquet")}"
     val key = s"${sc.applicationId}@${sc.startTime}|$dir|$durableKey"
     val built = ivfpqCache.computeIfAbsent(key, _ =>
       ivfpqDurableLoad(spark, durableKey).getOrElse {
         ivfpqBuildCount.incrementAndGet()
-        val i = ivf(spark, dir, nLists, iters)
-        val p = pq(spark, dir, m, ksub, pqIters, dims)
-        val table = PqIndex.ivfpqTable(i.assigned, p.codes).localCheckpoint(true)
-        val b = IvfPq(i.centroids, p.books, table)
+        val b = build
         ivfpqDurableStore(spark, durableKey, b)
         b
       })
@@ -398,6 +443,44 @@ object AnnIndex {
         org.apache.spark.sql.graftbridge.CheckpointBridge.release(old.table))
     built
   }
+
+  /** Memoized standing IVFADC artifact: composes the [[ivf]] and [[pq]]
+    * memos (sharing their builds with the rest of the ANN family) and
+    * pays the corpus-sized stitch join ONCE — every later serve is the
+    * broadcast-probe read. */
+  def ivfpq(spark: SparkSession, dir: String, nLists: Int, iters: Int,
+      m: Int, ksub: Int, pqIters: Int, dims: Int = 64): IvfPq =
+    ivfpqMemo(spark, dir, s"ivfpq:$nLists:$iters:$m:$ksub:$pqIters:$dims") {
+      val i = ivf(spark, dir, nLists, iters)
+      val p = pq(spark, dir, m, ksub, pqIters, dims)
+      IvfPq(i.centroids, p.books,
+        PqIndex.ivfpqTable(i.assigned, p.codes).localCheckpoint(true))
+    }
+
+  /** Memoized standing IVFADC artifact over a FILTERED view — the BASE
+    * snapshot of the IVFADC ingest-refresh family: composes
+    * [[ivfFiltered]] and [[pqFiltered]] (same tag + filter-hash keying)
+    * and stitches their single table once. */
+  def ivfpqFiltered(spark: SparkSession, dir: String, nLists: Int,
+      iters: Int, m: Int, ksub: Int, pqIters: Int, tag: String,
+      filter: Column, dims: Int = 64): IvfPq =
+    ivfpqMemo(spark, dir, s"ivfpq:$nLists:$iters:$m:$ksub:$pqIters:$dims" +
+        s":flt:$tag:${filterHash(filter)}") {
+      val i = ivfFiltered(spark, dir, nLists, iters, tag, filter)
+      val p = pqFiltered(spark, dir, m, ksub, pqIters, tag, filter, dims)
+      IvfPq(i.centroids, p.books,
+        PqIndex.ivfpqTable(i.assigned, p.codes).localCheckpoint(true))
+    }
+
+  /** IVFADC ingest refresh: the standing single table grown by one batch
+    * — assigns AND encodes only `batch` against the frozen centroids +
+    * codebooks (O(batch): one scan, one batch-sized stitch join) and
+    * unions with the standing rows. Equal by construction to stitching
+    * the grown corpus against the same artifacts. */
+  def refreshedIvfPqTable(art: IvfPq, batch: DataFrame): DataFrame =
+    art.table.unionByName(PqIndex.ivfpqTable(
+      IvfIndex.assignBatch(batch, art.centroids),
+      PqIndex.encodeBatch(batch, art.books)))
 
   /** Ingest refresh: the standing assignment grown by one batch —
     * assigns ONLY `batch` against the standing centroids (O(batch)) and

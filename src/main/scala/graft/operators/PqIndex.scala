@@ -111,6 +111,25 @@ object PqIndex {
   }
 
   /**
+   * INGEST-path encode: the code rows of one batch against FROZEN
+   * codebooks — the PQ twin of [[IvfIndex.assignBatch]]. O(batch): one
+   * projection pass (M x ksub broadcast-literal argmins), no shuffle, no
+   * refit, no corpus re-scan. Unioned with a standing code table this is
+   * byte-equal to encoding the grown corpus against the same books
+   * (encoding is per-row), which is the full-rebuild contract the
+   * `ann_pq_refresh` oracle replays.
+   */
+  def encodeBatch(embeddings: DataFrame,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val m = books.length
+    val subDim = books(0)(0).length
+    encode(Similarity.quantizedWithNorm(embeddings), books, subDim)
+      .withColumn("recon2", recon2(books))
+      .select(col("vec_id") +: col("recon2") +:
+        (0 until m).map(s => col(s"code_$s")): _*)
+  }
+
+  /**
    * ADC approximate top-k SERVED from a standing PQ artifact: score =
    * exact-integer ADC dot (sum of subspace dots against the
    * reconstructed codewords) normalized by query norm x reconstructed
