@@ -490,9 +490,69 @@ object AnnIndex {
   def refreshedAssign(idx: Ivf, batch: DataFrame): DataFrame =
     idx.assigned.unionByName(IvfIndex.assignBatch(batch, idx.centroids))
 
-  /** Test hook: drop all memoized entries (all three artifact caches). */
+  // ------------------------------------------------------------------
+  // SQ8 artifact — same lifecycle, SESSION layer only: the build is one
+  // aggregate scan + one projection (no k-means), cheaper than a durable
+  // parquet round-trip at every gate SF, so the durable layer would buy
+  // nothing (at 100 TB the code table itself is what a deployment
+  // persists, through the same machinery as the other artifacts if ever
+  // needed)
+  // ------------------------------------------------------------------
+
+  /** A standing SQ8 artifact: per-dimension min/max stats + the
+    * materialized code table `(vec_id, codes, recon2)`. */
+  case class Sq(stats: SqIndex.Stats, codes: DataFrame)
+
+  private val sqCache = new ConcurrentHashMap[String, Sq]()
+  private val liveSqKey = new ConcurrentHashMap[String, String]()
+
+  /** Test-visible count of actual SQ builds. */
+  private[graft] val sqBuildCount = new java.util.concurrent.atomic.AtomicLong()
+
+  private def sqMemo(spark: SparkSession, dir: String, tag: String)
+      (build: => Sq): Sq = {
+    val sc = spark.sparkContext
+    val key = s"${sc.applicationId}@${sc.startTime}|$dir|$tag|" +
+      DedupIndex.fingerprint(spark, s"$dir/embeddings.parquet")
+    val built = sqCache.computeIfAbsent(key, _ => {
+      sqBuildCount.incrementAndGet()
+      build
+    })
+    val prev = liveSqKey.put(s"${sc.applicationId}@${sc.startTime}|$dir|$tag", key)
+    if (prev != null && prev != key)
+      Option(sqCache.remove(prev)).foreach(old =>
+        org.apache.spark.sql.graftbridge.CheckpointBridge.release(old.codes))
+    built
+  }
+
+  /** Memoized standing SQ8 artifact over `<dir>/embeddings.parquet`. */
+  def sq(spark: SparkSession, dir: String, dims: Int = 64): Sq =
+    sqMemo(spark, dir, s"sq:$dims") {
+      val (stats, codes) = SqIndex.buildSq(Tables.table(spark, dir, "embeddings"), dims)
+      Sq(stats, codes)
+    }
+
+  /** Memoized standing SQ8 artifact over a FILTERED view — the BASE
+    * snapshot of the SQ ingest-refresh family (same filter-hash keying
+    * as the IVF/PQ memos). */
+  def sqFiltered(spark: SparkSession, dir: String, tag: String,
+      filter: Column, dims: Int = 64): Sq =
+    sqMemo(spark, dir, s"sq:$dims:flt:$tag:${filterHash(filter)}") {
+      val (stats, codes) = SqIndex.buildSq(
+        Tables.table(spark, dir, "embeddings").where(filter), dims)
+      Sq(stats, codes)
+    }
+
+  /** SQ ingest refresh: the standing code table grown by one batch —
+    * encodes ONLY `batch` against the frozen stats (O(batch), values
+    * outside the frozen range saturate to the nearest byte) and unions
+    * with the standing codes. */
+  def refreshedSqCodes(art: Sq, batch: DataFrame): DataFrame =
+    art.codes.unionByName(SqIndex.encodeBatch(batch, art.stats))
+
+  /** Test hook: drop all memoized entries (all four artifact caches). */
   private[graft] def invalidateAll(): Unit = {
-    cache.clear(); pqCache.clear(); ivfpqCache.clear()
-    liveIvfKey.clear(); livePqKey.clear(); liveIvfPqKey.clear()
+    cache.clear(); pqCache.clear(); ivfpqCache.clear(); sqCache.clear()
+    liveIvfKey.clear(); livePqKey.clear(); liveIvfPqKey.clear(); liveSqKey.clear()
   }
 }

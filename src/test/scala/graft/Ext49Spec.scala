@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.{AnnIndex, Similarity, SqIndex}
+
+/** SQ8 semantics: code range + reconstruction bounds, round-trip error
+  * bounded by the quantization step, refresh == full re-encode under
+  * frozen stats (with saturation), partition independence, and a recall
+  * floor that must beat PQ8's (64 B/vector vs 8 B/vector). */
+class Ext49Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private var spark: SparkSession = _
+  private var dir: String = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    dir = Files.createTempDirectory("sq_life").toString
+    val rows = (0L until 40L).map { i =>
+      val blob = (i % 4).toInt
+      val base = Array.fill(8)(0.05f)
+      base(blob) = (1.0 + 0.001 * i).toFloat
+      base((blob + 1) % 8) = (-0.5 - 0.002 * i).toFloat
+      (i, base.toSeq)
+    }
+    spark.createDataFrame(rows).toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def embs: DataFrame = spark.read.parquet(s"$dir/embeddings.parquet")
+  private val isIngest = col("vec_id") % 5 === 4
+
+  test("codes in [0,255]; reconstruction within one step of the original") {
+    val (stats, codes) = SqIndex.buildSq(embs, dims = 8)
+    val q = Similarity.quantizedWithNorm(embs).select(col("vec_id"), col("qv"))
+    val rows = codes.join(q, "vec_id").collect()
+    assert(rows.length == 40)
+    rows.foreach { r =>
+      val cs = r.getSeq[Long](r.fieldIndex("codes"))
+      val qv = r.getSeq[Long](r.fieldIndex("qv"))
+      cs.foreach(c => assert(c >= 0 && c <= 255, s"code out of byte range: $c"))
+      // |recon - v| <= step (= rg/255 rounded up): the SQ8 error bound
+      cs.indices.foreach { i =>
+        val rg = stats.maxs(i) - stats.mins(i)
+        val recon = if (rg <= 0) stats.mins(i)
+          else stats.mins(i) + (cs(i) * rg) / 255
+        val step = if (rg <= 0) 0L else rg / 255 + 1
+        assert(math.abs(recon - qv(i)) <= step,
+          s"dim $i: recon $recon vs ${qv(i)} exceeds step $step")
+      }
+    }
+  }
+
+  test("frozen-stats refresh == re-encoding the grown corpus (saturation included)") {
+    AnnIndex.invalidateAll()
+    val art = AnnIndex.sqFiltered(spark, dir, "notmod5", !isIngest, dims = 8)
+    val grown = AnnIndex.refreshedSqCodes(art, embs.where(isIngest))
+    val full = SqIndex.encodeBatch(embs, art.stats)
+    def rows(df: DataFrame): Set[Seq[Any]] =
+      SqIndex.codeTableFrom(df).collect().map(_.toSeq.toVector: Seq[Any]).toSet
+    assert(rows(grown) == rows(full))
+    // the base stats genuinely exclude the ingest shard: at least one
+    // ingest value saturates or lands on a boundary code — prove the
+    // clamp is live by checking every code is still a byte
+    assert(grown.where(isIngest).count() == embs.where(isIngest).count())
+    val bad = SqIndex.codeTableFrom(grown)
+      .where(col("code") < 0 || col("code") > 255).count()
+    assert(bad == 0, "refresh produced out-of-byte codes")
+  }
+
+  test("ranking is partition-independent; memo serves one build per key") {
+    AnnIndex.invalidateAll()
+    val b0 = AnnIndex.sqBuildCount.get()
+    val a1 = AnnIndex.sq(spark, dir, dims = 8)
+    val a2 = AnnIndex.sq(spark, dir, dims = 8)
+    assert(a1 eq a2)
+    assert(AnnIndex.sqBuildCount.get() == b0 + 1)
+    val qids = Seq(0L, 1L, 2L)
+    val r1 = SqIndex.sqTopKFrom(a1.stats, a1.codes, embs, qids, 5)
+      .orderBy(col("query_id"), col("rnk")).collect().toSeq
+    val (st2, codes2) = SqIndex.buildSq(embs.repartition(7), dims = 8)
+    val r2 = SqIndex.sqTopKFrom(st2, codes2, embs, qids, 5)
+      .orderBy(col("query_id"), col("rnk")).collect().toSeq
+    assert(r1 == r2, "SQ ranking must be partition-independent")
+  }
+
+  test("recall@10 vs exact scan beats the PQ8 floor on the shared corpus") {
+    val real = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val (stats, codes) = SqIndex.buildSq(real)
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val sq = SqIndex.sqTopKFrom(stats, codes, real, qids, 10)
+      .select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.bruteForceTopK(real, qids, 10)
+      .select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (sq & exact).size.toDouble / exact.size
+    // 64 B/vector keeps ~1/255-of-range resolution per dimension — on a
+    // 500-vector corpus the top-10 should be nearly exact (PQ8's floor
+    // in Ext47Spec is 0.2; SQ8 must clear 0.8)
+    assert(recall >= 0.8, f"SQ8 recall@10 $recall%.2f below floor")
+    info(f"SQ8 recall@10 = $recall%.2f")
+  }
+}
