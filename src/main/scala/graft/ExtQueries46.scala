@@ -156,7 +156,7 @@ object ExtQueries46 {
     * mod-times (chunk c = vec_id % 3 == c) — the file-per-ingest-batch
     * corpus for the streaming ANN maintenance query; same pattern as
     * ExtQueries43.stagedDocChunks, keyed by content fingerprint. */
-  private def stagedEmbChunks(s: SparkSession, dir: String): String = {
+  private[graft] def stagedEmbChunks(s: SparkSession, dir: String): String = {
     val fp = graft.operators.DedupIndex.fingerprint(s, s"$dir/embeddings.parquet")
     stageCache.computeIfAbsent(s"$dir|$fp", { _ =>
       val digest = java.security.MessageDigest.getInstance("SHA-256")

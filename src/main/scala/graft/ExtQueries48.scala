@@ -120,8 +120,42 @@ object ExtQueries48 {
       PqIndex.ivfadcTopKFromTable(art.centroids, art.books, grown,
           embs(s, dir), ExtQueries.AnnQueries, 10, NProbe)
         .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // CRASH-SAFE streaming IVFADC maintenance
+    // ([[graft.streaming.IvfPqMaintenance]]): batch 0 bootstraps BOTH
+    // models (IVF fit + M sub-k-means, one atomic models/ publish), every
+    // later batch is one O(batch) assign+encode stitch shard; markers
+    // roll up and compactEvery=2 puts a live compaction point inside the
+    // oracled drain (the stream_ann_index_refresh discipline). Drained
+    // table must equal the frozen-models batch rebuild (fit on chunk 0,
+    // assign+encode all).
+    "stream_ivfpq_refresh" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val staged = ExtQueries46.stagedEmbChunks(s, dir)
+      val schema = embs(s, dir).schema
+      val root = graft.operators.Sinks.dir(
+        "ivfpq_maint/run" + ivfpqMaintRuns.incrementAndGet())
+      val maint = new graft.streaming.IvfPqMaintenance(s, root, NLists,
+        IvfIters, M, Ksub, Iters, compactEvery = 2)
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          maint.processBatch(id, b)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      maint.currentTable()
+        .select(col("vec_id") +: col("cluster").cast("long").as("cluster") +:
+          (0 until M).map(i => col(s"code_$i").cast("long").as(s"code_$i")) :+
+          col("recon2"): _*)
+        .orderBy(col("vec_id"))
     })
   )
+
+  private val ivfpqMaintRuns = new java.util.concurrent.atomic.AtomicLong()
 
   def oracleSql: Map[String, String] = {
     val base = "vec_id % 5 != 4"
@@ -211,6 +245,21 @@ object ExtQueries48 {
            |       MAX(r.recon2) AS recon2
            |FROM codes c JOIN recon r ON r.vec_id = c.vec_id
            |GROUP BY c.vec_id ORDER BY c.vec_id""".stripMargin,
+
+      // streamed drain == frozen-models rebuild with BOTH fits on batch 0
+      // (chunk c = vec_id % 3 == c): assignment from the IVF replay,
+      // codes from the PQ replay, stitched over one qn
+      "stream_ivfpq_refresh" ->
+        s"""WITH RECURSIVE ${ExtQueries.quantSql},
+           |${ExtQueries46.ivfReplayBody("vec_id % 3 = 0")},
+           |${ExtQueries47.pqReplayBody("vec_id % 3 = 0")}
+           |SELECT i.vec_id, CAST(i.cluster AS BIGINT) AS cluster,
+           |       $codeCols,
+           |       MAX(r.recon2) AS recon2
+           |FROM indexed i
+           |JOIN codes c ON c.vec_id = i.vec_id
+           |JOIN recon r ON r.vec_id = i.vec_id
+           |GROUP BY i.vec_id, i.cluster ORDER BY i.vec_id""".stripMargin,
 
       // both base-fit replays share one qn (CTE names disjoint by
       // construction); the IVFADC tail is ann_topk_ivfpq's

@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.operators.IvfIndex
@@ -10,23 +9,15 @@ import graft.operators.IvfIndex
 /**
  * Crash-safe streaming maintenance of the STANDING ANN INDEX — the ANN
  * twin of [[IndexMaintenance]]: per-batch state lives on the filesystem
- * behind commit markers, so a killed job resumes exactly where it
- * stopped and the drained index is byte-identical to the uninterrupted
- * run (and to the frozen-centroid batch rebuild — the
+ * behind commit markers ([[ShardLog]]), so a killed job resumes exactly
+ * where it stopped and the drained index is byte-identical to the
+ * uninterrupted run (and to the frozen-centroid batch rebuild — the
  * `stream_ann_index_refresh` oracle).
  *
- * Layout under `root/`:
- *  - `centroids/` — the frozen codebook, written ONCE by the bootstrap
- *    batch via temp + atomic rename: visible iff complete;
- *  - `assign/<b>/` — one parquet shard per ingest batch, the batch's
- *    `(vec_id, qv, norm, cluster)` assignment;
- *  - `meta/<b>` — the batch's commit marker ([[CommitMarkers]]);
- *  - `base/<b>/` + `basemeta/<b>` — compacted snapshots (the fold of
- *    every shard <= b), written every `compactEvery` batches so the
- *    index read stays O(snapshot + compactEvery shards) forever; covered
- *    shards and superseded snapshots are deleted after the snapshot's
- *    marker commits, and an unmarked partial snapshot (crash
- *    mid-compaction) is ignored by readers and swept later.
+ * Layout under `root/`: the [[ShardLog]] layout with `assign/<b>/` data
+ * shards (the batch's `(vec_id, qv, norm, cluster)` assignment), plus
+ * `centroids/` — the frozen codebook, written ONCE by the bootstrap batch
+ * via temp + atomic rename: visible iff complete.
  *
  * Lifecycle: the FIRST batch is the training snapshot — it fits the
  * k-means and publishes the centroids (the standard IVF posture: train
@@ -44,25 +35,15 @@ import graft.operators.IvfIndex
  *    the shard and commits;
  *  - replay of a committed batch → short-circuits on the marker.
  *
- * Commit markers ROLL UP at compaction (r14 verdict #1): the snapshot's
- * `basemeta/<b>` marker records the covered batch count, every id <= b
- * is committed by construction (batch ids are monotone), and the covered
- * `meta/<id>` files are deleted after the snapshot marker commits — so
- * the marker log is bounded by compactEvery forever instead of one file
- * per batch since the dawn of the stream. The committed state is cached
- * in-instance and advanced by this instance's own commits; the
- * filesystem is listed once, at first use.
- *
- * SINGLE WRITER, DRAIN-THEN-READ: exactly one live instance may write a
- * given `root` (the foreachBatch contract — one stream, one driver), and
- * the cached commit state assumes it. Serving reads ([[currentIndex]]/
- * [[topK]]) resolve parquet file listings at PLAN time, and a compaction
- * triggered by a concurrent `processBatch` deletes covered shards and
- * superseded snapshots — a DataFrame planned before that compaction can
- * fail at execution with FileNotFoundException. Read between batches
- * (drain-then-read, which is what the oracled query does), or eagerly
- * materialize (`localCheckpoint(true)`) the frame before the next batch
- * folds.
+ * Commit markers ROLL UP at compaction and the marker log stays bounded
+ * by compactEvery forever — see [[ShardLog]]. SINGLE WRITER,
+ * DRAIN-THEN-READ: exactly one live instance may write a given `root`
+ * (the foreachBatch contract); serving reads ([[currentIndex]]/[[topK]])
+ * resolve parquet file listings at PLAN time, and a compaction triggered
+ * by a concurrent `processBatch` deletes covered shards — read between
+ * batches (drain-then-read, which is what the oracled query does), or
+ * eagerly materialize (`localCheckpoint(true)`) the frame before the
+ * next batch folds.
  *
  * PRECONDITION (same as IndexMaintenance): vec_ids are unique across
  * ingest batches.
@@ -70,38 +51,29 @@ import graft.operators.IvfIndex
 final class AnnMaintenance(spark: SparkSession, root: String,
     nLists: Int = 16, iters: Int = 3, compactEvery: Int = 64) {
 
-  require(compactEvery >= 2, s"compactEvery must be >= 2, got $compactEvery")
+  private val log = new ShardLog(spark, root, "assign", compactEvery,
+    Seq("vec_id", "qv", "norm", "cluster"))
 
-  private val metaDir = new Path(s"$root/meta")
-  private val baseMetaDir = new Path(s"$root/basemeta")
   private val centroidsDir = new Path(s"$root/centroids")
-  private def fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def fs = centroidsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private val centroidSchema = StructType(Seq(
     StructField("cluster", IntegerType, nullable = false),
     StructField("cv", ArrayType(DoubleType, containsNull = false), nullable = false)))
 
-  // cached rolled-up commit state (single-writer contract — see class doc)
-  @volatile private var logState: CommitMarkers.LogState = _
-  private def state: CommitMarkers.LogState = {
-    if (logState == null)
-      logState = CommitMarkers.loadState(spark, metaDir, baseMetaDir)
-    logState
-  }
-
   /** Committed batch ids still individually listed — the post-snapshot
     * TAIL. Ids <= [[coveredUpTo]] are committed but rolled into the
     * snapshot marker; use [[isCommitted]]/[[committedCount]] for the full
     * picture. */
-  def committedIds: Seq[Long] = state.tail
+  def committedIds: Seq[Long] = log.committedIds
 
   /** Max batch id summarized by the latest compacted snapshot. */
-  def coveredUpTo: Option[Long] = state.coveredUpTo
+  def coveredUpTo: Option[Long] = log.coveredUpTo
 
-  def isCommitted(id: Long): Boolean = state.isCommitted(id)
+  def isCommitted(id: Long): Boolean = log.isCommitted(id)
 
   /** Total committed batches (covered prefix + tail). */
-  def committedCount: Long = state.count
+  def committedCount: Long = log.committedCount
 
   private def centroidsPublished: Boolean =
     centroidsMemo != null || fs.exists(centroidsDir)
@@ -141,7 +113,7 @@ final class AnnMaintenance(spark: SparkSession, root: String,
    * the index. Idempotent; O(batch) after the bootstrap.
    */
   def processBatch(batchId: Long, embs: DataFrame): Unit = {
-    if (state.isCommitted(batchId)) return
+    if (log.isCommitted(batchId)) return
     val shard =
       if (!centroidsPublished) {
         // bootstrap: this batch IS the training snapshot
@@ -149,88 +121,14 @@ final class AnnMaintenance(spark: SparkSession, root: String,
         publishCentroids(c)
         a
       } else IvfIndex.assignBatch(embs, centroids())
-    shard.write.mode("overwrite").parquet(s"$root/assign/$batchId")
-    CommitMarkers.commit(spark, metaDir, batchId,
-      s"""{"nLists":$nLists,"iters":$iters}""")
-    logState = state.withCommitted(batchId)
-    // periodic shard compaction: every compactEvery committed batches,
-    // fold everything readable into one snapshot so the index read stays
-    // O(1 snapshot + compactEvery shards) forever instead of one parquet
-    // dir per batch since the dawn of the stream
-    if (state.count % compactEvery == 0) compact(state.maxId.get)
-  }
-
-  /** Batch ids with a committed COMPACTED SNAPSHOT (`base/<b>` = the fold
-    * of every shard <= b). Snapshots are derived data: a crash
-    * mid-compaction leaves an unmarked partial dir that readers ignore
-    * and the next compaction sweeps. Bounded listing: superseded
-    * snapshots are deleted at each compaction. */
-  private def compactedIds: Seq[Long] =
-    CommitMarkers.committed(spark, baseMetaDir)
-
-  private def indexFrom(snapshot: Option[Long], tail: Seq[Long]): DataFrame = {
-    val paths = snapshot.map(b => s"$root/base/$b").toSeq ++
-      tail.map(b => s"$root/assign/$b")
-    require(paths.nonEmpty, "no committed batches")
-    spark.read.parquet(paths: _*)
-      .select(col("vec_id"), col("qv"), col("norm"), col("cluster"))
-  }
-
-  /** Delete numeric entries <= `upTo` under `dir` (covered shards or
-    * rolled-up markers — including leftovers of an earlier compaction
-    * that crashed mid-sweep). */
-  private def sweepCovered(dir: Path, upTo: Long, recursive: Boolean): Unit =
-    if (fs.exists(dir)) {
-      fs.listStatus(dir).foreach { st =>
-        scala.util.Try(st.getPath.getName.toLong).toOption match {
-          case Some(id) => if (id <= upTo) fs.delete(st.getPath, recursive)
-          case None => ()
-        }
-      }
-    }
-
-  private def compact(upTo: Long): Unit = {
-    // sweep unmarked base debris from a previous crashed compaction —
-    // numeric names only (the r14 IndexMaintenance lesson: never let an
-    // unparsable name fall through a vacuous-truth delete)
-    val marked = compactedIds.toSet
-    val baseDir = new Path(s"$root/base")
-    if (fs.exists(baseDir)) {
-      fs.listStatus(baseDir).foreach { st =>
-        scala.util.Try(st.getPath.getName.toLong).toOption match {
-          case Some(id) => if (!marked.contains(id)) fs.delete(st.getPath, true)
-          case None => ()
-        }
-      }
-    }
-    if (marked.contains(upTo)) return // snapshot already covers the log
-    val older = marked.filter(_ < upTo)
-    indexFrom(state.coveredUpTo, state.tail)
-      .write.mode("overwrite").parquet(s"$root/base/$upTo")
-    // the marker carries the covered COUNT — with the covered meta/<b>
-    // files deleted below, this is the only surviving record of how many
-    // batches ever committed (the compaction-cadence counter)
-    CommitMarkers.commit(spark, baseMetaDir, upTo,
-      s"""{"upTo":$upTo,"count":${state.count}}""")
-    logState = state.rolledUp(upTo)
-    // covered shards, rolled-up markers, and superseded snapshots are now
-    // unreachable — deletions strictly AFTER the snapshot marker commit,
-    // so a crash anywhere leaves either the old log or a committed
-    // snapshot plus leftovers that loadState ignores and this sweep
-    // (running on every later compaction) removes
-    sweepCovered(new Path(s"$root/assign"), upTo, recursive = true)
-    sweepCovered(metaDir, upTo, recursive = false)
-    older.foreach { b =>
-      fs.delete(new Path(s"$root/base/$b"), true)
-      fs.delete(new Path(s"$root/basemeta/$b"), false)
-    }
+    log.commitShard(batchId, shard, s"""{"nLists":$nLists,"iters":$iters}""")
   }
 
   /** The standing `(vec_id, qv, norm, cluster)` index over all committed
     * batches — the latest compacted snapshot plus the shard tail.
     * Plan-time file resolution: see the drain-then-read note in the
     * class doc before serving concurrently with ingest. */
-  def currentIndex(): DataFrame = indexFrom(state.coveredUpTo, state.tail)
+  def currentIndex(): DataFrame = log.currentRows()
 
   /** Serve approximate top-k from the maintained index. */
   def topK(queryIds: Seq[Long], k: Int, nProbe: Int): DataFrame =
