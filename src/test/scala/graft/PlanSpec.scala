@@ -434,6 +434,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     buf.toSeq
   }
 
+  test("ANN serving shapes (r15): probes broadcast, the standing artifact never sort-merge-joins") {
+    // IVFADC: the probe set (queries x nProbe rows) must broadcast onto
+    // the single standing table — a SortMergeJoin here means the
+    // corpus-sized code table is being shuffled per serving batch, the
+    // exact r14 What's-wrong #3 shape this layout was built to kill.
+    Seq("ann_topk_ivfpq", "ann_topk_ivfpq_refreshed").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: probe join must be broadcast-hash:\n${p.take(1500)}")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: standing table must not shuffle for a serve")
+    }
+    // SQ8 serve: tiny broadcast query side against the code scan (the
+    // non-equi self-exclusion join), reconstruction from codes + literal
+    // stats — the raw embedding column must not appear on the corpus
+    // side of the join (the codes ARE the corpus at serve time).
+    val p = plan("ann_topk_sq")
+    assert(p.contains("BroadcastNestedLoopJoin") && !p.contains("SortMergeJoin"),
+      s"ann_topk_sq: expected broadcast self-exclusion join:\n${p.take(1500)}")
+  }
+
   test("span family: the span string never crosses an exchange (r12 verdict #1)") {
     // spans are hashed the moment they form; counting, the repeated-set
     // join, and the coverage join all move 16-byte (128-bit) keys. A span-named
