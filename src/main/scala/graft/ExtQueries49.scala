@@ -84,13 +84,39 @@ object ExtQueries49 {
       val (art, codes) = refreshedCodes(s, dir)
       SqIndex.sqTopKFrom(art.stats, codes, embs(s, dir), ExtQueries.AnnQueries, 10)
         .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // SQ DRIFT RECALL: recall@10 of the AGED artifact (stats frozen on
+    // the 80% base, corpus grown to 100% — out-of-range ingest values
+    // saturate) vs the exact scan; the signal that triggers ann_sq_refit.
+    "ann_sq_recall_drift" -> ((s, dir) => {
+      val (art, codes) = refreshedCodes(s, dir)
+      val aged = SqIndex.sqTopKFrom(art.stats, codes, embs(s, dir),
+        ExtQueries.AnnQueries, 10)
+      val exact = Similarity.bruteForceTopK(embs(s, dir), ExtQueries.AnnQueries, 10)
+        .select(col("query_id"), col("vec_id")).withColumn("hit", lit(1))
+      aged.select(col("query_id"), col("vec_id"))
+        .join(exact, Seq("query_id", "vec_id"), "left_outer")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"),
+          round(sum(coalesce(col("hit"), lit(0))) / lit(10.0), 4).as("recall"))
+        .orderBy(col("query_id"))
+    }),
+
+    // SQ REFIT-AND-SWAP: re-derive the stats on the grown corpus (one
+    // aggregate scan - the family's cheapest refit) under the standard
+    // key, swap out the aged entry, serve the refit code table.
+    "ann_sq_refit" -> ((s, dir) => {
+      AnnIndex.sqFiltered(s, dir, "agedsqr15", !isIngest)
+      val refit = AnnIndex.refitSqTo(s, dir, "agedsqr15", !isIngest)
+      SqIndex.codeTableFrom(refit.codes).orderBy(col("vec_id"), col("i"))
     })
   )
 
   /** The SQ replay parametrized by the FIT predicate: stats over the fit
     * shard only, codes/reconstructions over ALL vectors — the
     * frozen-stats refresh contract. Non-recursive (no iterative fit). */
-  private def sqReplayBody(fitPred: String): String =
+  private[graft] def sqReplayBody(fitPred: String): String =
     s"""st AS (
        |  SELECT i, MIN(qv[i]) AS mn, MAX(qv[i]) AS mx
        |  FROM qn, UNNEST(range(1, len(qv) + 1)) t(i)
@@ -147,6 +173,44 @@ object ExtQueries49 {
       "ann_topk_sq" -> topkSql("TRUE"),
       "ann_sq_refresh" -> codesSql("vec_id % 5 != 4"),
       "ann_topk_sq_refreshed" -> topkSql("vec_id % 5 != 4"),
+      // refit == a full rebuild fit on the whole grown corpus
+      "ann_sq_refit" -> codesSql("TRUE"),
+
+      // aged-stats recall vs the exact scan over the grown corpus
+      "ann_sq_recall_drift" ->
+        s"""WITH ${ExtQueries.quantSql},
+           |${sqReplayBody("vec_id % 5 != 4")},
+           |scored AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id,
+           |         ROUND(list_inner_product(q.qv, c.rv)
+           |               / (sqrt(q.n2) * sqrt(c.recon2)), 4) AS score
+           |  FROM qn q JOIN rv c ON c.vec_id != q.vec_id
+           |  WHERE q.vec_id IN ($qIn)),
+           |sqranked AS (
+           |  SELECT query_id, vec_id,
+           |         ROW_NUMBER() OVER (PARTITION BY query_id
+           |             ORDER BY score DESC, vec_id) AS rnk
+           |  FROM scored),
+           |exact AS (
+           |  SELECT qq.vec_id AS query_id, c.vec_id,
+           |         ROUND(list_inner_product(qq.qv, c.qv)
+           |               / (sqrt(qq.n2) * sqrt(c.n2)), 4) AS cos
+           |  FROM qn qq JOIN qn c ON c.vec_id != qq.vec_id
+           |  WHERE qq.vec_id IN ($qIn)),
+           |exranked AS (
+           |  SELECT query_id, vec_id,
+           |         ROW_NUMBER() OVER (PARTITION BY query_id
+           |             ORDER BY cos DESC, vec_id) AS rnk
+           |  FROM exact)
+           |SELECT a.query_id,
+           |       CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+           |            AS BIGINT) AS n_hits,
+           |       ROUND(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+           |             / 10.0, 4) AS recall
+           |FROM (SELECT query_id, vec_id FROM sqranked WHERE rnk <= 10) a
+           |LEFT JOIN (SELECT query_id, vec_id FROM exranked WHERE rnk <= 10) e
+           |  ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+           |GROUP BY a.query_id ORDER BY a.query_id""".stripMargin,
 
       "ann_sq_recall" ->
         s"""WITH ${ExtQueries.quantSql},

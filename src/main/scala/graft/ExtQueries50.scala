@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AnnIndex, SqIndex, Tables}
+
+/**
+ * Round 15, wave 3: the IVF x SQ COMPOSE — the remaining cell of the ANN
+ * compose matrix (IVFADC = lists x PQ codes landed in r14; this is
+ * FAISS's IVF-SQ8: lists prune, BYTE-resolution codes score). The
+ * trade-off it exists for: IVFADC reads 8 B/candidate at recall ~0.4,
+ * IVF-SQ reads 64 B/candidate at near-exact recall — the middle rung of
+ * the serving-cost ladder (exact 512 B / SQ 64 B / PQ 8 B per row), all
+ * three now standing single-table artifacts with the same lifecycle.
+ *
+ *  - ann_topk_ivfsq: top-10 served from the single standing
+ *    `(vec_id, cluster, codes, recon2)` table — broadcast probes prune
+ *    lists, reconstruction from codes + broadcast-literal stats scores.
+ *  - ann_topk_ivfsq_refreshed: the ingest-refresh verb — base-fit
+ *    models frozen, the ingest shard assigned + encoded in one O(batch)
+ *    stitch, appended, served.
+ *
+ * Oracles stitch the IVF recursive replay (ExtQueries46) and the
+ * non-recursive SQ replay (ExtQueries49) over one quantized CTE, fit
+ * predicate parametrized per query — the same composition discipline as
+ * the IVFADC oracles.
+ */
+object ExtQueries50 {
+
+  private val NLists = 16
+  private val IvfIters = 3
+  private val NProbe = 4
+
+  private def isIngest = col("vec_id") % 5 === 4 // 20% ingest shard
+
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "embeddings")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "ann_topk_ivfsq" -> ((s, dir) => {
+      val art = AnnIndex.ivfsq(s, dir, NLists, IvfIters)
+      SqIndex.ivfsqTopKFromTable(art.centroids, art.stats, art.table,
+          embs(s, dir), ExtQueries.AnnQueries, 10, NProbe)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    "ann_topk_ivfsq_refreshed" -> ((s, dir) => {
+      val art = AnnIndex.ivfsqFiltered(s, dir, NLists, IvfIters,
+        "notmod5", !isIngest)
+      val grown = AnnIndex.refreshedIvfSqTable(art, embs(s, dir).where(isIngest))
+      SqIndex.ivfsqTopKFromTable(art.centroids, art.stats, grown,
+          embs(s, dir), ExtQueries.AnnQueries, 10, NProbe)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // CROSS-FAMILY: near-dup candidate generation FROM THE STANDING IVF
+    // INDEX — the coarse quantizer as the blocking key (the classic
+    // cluster-then-pair pipeline move): pairs form only within an IVF
+    // cell, exact cosine verifies. Reuses the memoized index the ANN
+    // serves run on — at 100 TB the blocking artifact is already built
+    // and cluster-partitioned, so the pair join co-locates by cluster
+    // instead of needing a fresh LSH pass.
+    "dedup_embedding_ivf" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val idx = AnnIndex.ivf(s, dir, NLists, IvfIters)
+      val x = idx.assigned.select(col("vec_id").as("vec_a"),
+        col("qv").as("qa"), col("norm").as("na"), col("cluster"))
+      val y = idx.assigned.select(col("vec_id").as("vec_b"),
+        col("qv").as("qb"), col("norm").as("nb"), col("cluster"))
+      x.join(y, Seq("cluster"))
+        .where(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          (Similarity.dotQ(col("qa"), col("qb")).cast("double") /
+            (col("na") * col("nb"))).as("cosr"))
+        .where(col("cosr") >= 0.30)
+        .select(col("vec_a"), col("vec_b"), round(col("cosr"), 4).as("cos"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    })
+  )
+
+  /** The IVF-SQ serve tail over stitched `indexed` (IVF replay) and `rv`
+    * (SQ replay): probes from fdists, candidates from the probed lists,
+    * scores from the SQ reconstruction. */
+  private def ivfsqTopkSql(fitPred: String): String = {
+    val qIn = ExtQueries.AnnQueries.mkString(", ")
+    s"""WITH RECURSIVE ${ExtQueries.quantSql},
+       |${ExtQueries46.ivfReplayBody(fitPred)},
+       |${ExtQueries49.sqReplayBody(fitPred)},
+       |probes AS (
+       |  SELECT vec_id AS query_id, qv AS qqv, n2 AS qn2, c AS cluster FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+       |    FROM fdists WHERE vec_id IN ($qIn)) x
+       |  WHERE rn <= $NProbe),
+       |scored AS (
+       |  SELECT p.query_id, v.vec_id,
+       |         ROUND(list_inner_product(p.qqv, r.rv)
+       |               / (sqrt(p.qn2) * sqrt(r.recon2)), 4) AS score
+       |  FROM probes p
+       |  JOIN indexed v ON v.cluster = p.cluster AND v.vec_id != p.query_id
+       |  JOIN rv r ON r.vec_id = v.vec_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, score,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |             ORDER BY score DESC, vec_id) AS rnk
+       |  FROM scored)
+       |SELECT query_id, rnk, vec_id, score FROM ranked WHERE rnk <= 10
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "ann_topk_ivfsq" -> ivfsqTopkSql("TRUE"),
+    "ann_topk_ivfsq_refreshed" -> ivfsqTopkSql("vec_id % 5 != 4"),
+
+    // candidates within an IVF cell, exact-cosine verified — threshold on
+    // the unrounded ratio, ROUND(4) in the output (the dedup_embedding
+    // discipline)
+    "dedup_embedding_ivf" ->
+      s"""WITH RECURSIVE ${ExtQueries.quantSql},
+         |${ExtQueries46.ivfReplayBody("TRUE")},
+         |pairs AS (
+         |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |         list_inner_product(x.qv, y.qv) / (sqrt(x.n2) * sqrt(y.n2)) AS cosr
+         |  FROM indexed x JOIN indexed y
+         |    ON x.cluster = y.cluster AND x.vec_id < y.vec_id)
+         |SELECT vec_a, vec_b, ROUND(cosr, 4) AS cos FROM pairs
+         |WHERE cosr >= 0.30 ORDER BY vec_a, vec_b""".stripMargin
+  )
+}

@@ -550,9 +550,86 @@ object AnnIndex {
   def refreshedSqCodes(art: Sq, batch: DataFrame): DataFrame =
     art.codes.unionByName(SqIndex.encodeBatch(batch, art.stats))
 
-  /** Test hook: drop all memoized entries (all four artifact caches). */
+  /** Drop + release the standing FILTERED SQ entry — the swap half of
+    * [[refitSqTo]]. No-op if absent. */
+  def dropSqFiltered(spark: SparkSession, dir: String, tag: String,
+      filter: Column, dims: Int = 64): Unit = {
+    val sc = spark.sparkContext
+    val alias = s"${sc.applicationId}@${sc.startTime}|$dir|" +
+      s"sq:$dims:flt:$tag:${filterHash(filter)}"
+    Option(liveSqKey.remove(alias))
+      .flatMap(k => Option(sqCache.remove(k)))
+      .foreach(old =>
+        org.apache.spark.sql.graftbridge.CheckpointBridge.release(old.codes))
+  }
+
+  /** SQ refit-and-swap: re-derive the stats on the CURRENT full corpus
+    * under the standard [[sq]] key (one aggregate scan — the cheapest
+    * refit in the family), then drop + release the aged filtered entry.
+    * Build-then-swap, same contract as [[refitIvfTo]]/[[refitPqTo]]. */
+  def refitSqTo(spark: SparkSession, dir: String, agedTag: String,
+      agedFilter: Column, dims: Int = 64): Sq = {
+    val fresh = sq(spark, dir, dims)
+    dropSqFiltered(spark, dir, agedTag, agedFilter, dims)
+    fresh
+  }
+
+  /** A standing IVF-SQ artifact: IVF centroids + SQ stats + the ONE
+    * table `(vec_id, cluster, codes, recon2)`. */
+  case class IvfSq(centroids: Array[Array[Double]], stats: SqIndex.Stats,
+      table: DataFrame)
+
+  private val ivfsqCache = new ConcurrentHashMap[String, IvfSq]()
+  private val liveIvfSqKey = new ConcurrentHashMap[String, String]()
+
+  private def ivfsqMemo(spark: SparkSession, dir: String, tag: String)
+      (build: => IvfSq): IvfSq = {
+    val sc = spark.sparkContext
+    val key = s"${sc.applicationId}@${sc.startTime}|$dir|$tag|" +
+      DedupIndex.fingerprint(spark, s"$dir/embeddings.parquet")
+    val built = ivfsqCache.computeIfAbsent(key, _ => build)
+    val prev = liveIvfSqKey.put(s"${sc.applicationId}@${sc.startTime}|$dir|$tag", key)
+    if (prev != null && prev != key)
+      Option(ivfsqCache.remove(prev)).foreach(old =>
+        org.apache.spark.sql.graftbridge.CheckpointBridge.release(old.table))
+    built
+  }
+
+  /** Memoized standing IVF-SQ artifact: composes the [[ivf]] and [[sq]]
+    * memos and pays the stitch join once (session layer, like [[sq]]). */
+  def ivfsq(spark: SparkSession, dir: String, nLists: Int, iters: Int,
+      dims: Int = 64): IvfSq =
+    ivfsqMemo(spark, dir, s"ivfsq:$nLists:$iters:$dims") {
+      val i = ivf(spark, dir, nLists, iters)
+      val s = sq(spark, dir, dims)
+      IvfSq(i.centroids, s.stats,
+        SqIndex.ivfsqTable(i.assigned, s.codes).localCheckpoint(true))
+    }
+
+  /** Memoized standing IVF-SQ artifact over a FILTERED view — the BASE
+    * snapshot of the IVF-SQ ingest-refresh family. */
+  def ivfsqFiltered(spark: SparkSession, dir: String, nLists: Int,
+      iters: Int, tag: String, filter: Column, dims: Int = 64): IvfSq =
+    ivfsqMemo(spark, dir,
+        s"ivfsq:$nLists:$iters:$dims:flt:$tag:${filterHash(filter)}") {
+      val i = ivfFiltered(spark, dir, nLists, iters, tag, filter)
+      val s = sqFiltered(spark, dir, tag, filter, dims)
+      IvfSq(i.centroids, s.stats,
+        SqIndex.ivfsqTable(i.assigned, s.codes).localCheckpoint(true))
+    }
+
+  /** IVF-SQ ingest refresh: the standing single table grown by one
+    * O(batch) assign+encode stitch against the frozen models. */
+  def refreshedIvfSqTable(art: IvfSq, batch: DataFrame): DataFrame =
+    art.table.unionByName(SqIndex.ivfsqTable(
+      IvfIndex.assignBatch(batch, art.centroids),
+      SqIndex.encodeBatch(batch, art.stats)))
+
+  /** Test hook: drop all memoized entries (all five artifact caches). */
   private[graft] def invalidateAll(): Unit = {
     cache.clear(); pqCache.clear(); ivfpqCache.clear(); sqCache.clear()
-    liveIvfKey.clear(); livePqKey.clear(); liveIvfPqKey.clear(); liveSqKey.clear()
+    ivfsqCache.clear()
+    liveIvfKey.clear(); livePqKey.clear(); liveIvfPqKey.clear()
+    liveSqKey.clear(); liveIvfSqKey.clear()
   }
 }

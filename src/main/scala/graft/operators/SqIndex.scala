@@ -138,4 +138,47 @@ object SqIndex {
         posexplode(col("codes")).as(Seq("pos", "code")), col("recon2"))
       .select(col("vec_id"), (col("pos") + 1).cast("long").as("i"),
         col("code"), col("recon2"))
+
+  /**
+   * The SINGLE-TABLE IVF-SQ layout — the remaining cell of the compose
+   * matrix next to IVFADC ([[PqIndex.ivfpqTable]]): every vector's SQ
+   * codes stored WITH its IVF cluster id, `(vec_id, cluster, codes,
+   * recon2)`. One corpus-sized join at build time; serving is the
+   * broadcast-probe read (FAISS's IVF-SQ8 deployment shape: list
+   * pruning + byte-resolution scoring — higher recall than IVFADC at
+   * 8x the code size, still 8x smaller than raw vectors).
+   */
+  def ivfsqTable(assigned: DataFrame, codes: DataFrame): DataFrame =
+    assigned.select(col("vec_id"), col("cluster")).join(codes, "vec_id")
+
+  /** IVF-SQ top-k SERVED from the single standing table: the IVF half
+    * prunes (broadcast probes onto `cluster`), the SQ half scores
+    * (reconstruction from codes + broadcast-literal stats). Queries use
+    * their FULL vectors (asymmetric), re-read with a pushed-down vec_id
+    * filter — the family's shared serve discipline. */
+  def ivfsqTopKFromTable(centroids: Array[Array[Double]], stats: Stats,
+      table: DataFrame, embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      nProbe: Int): DataFrame = {
+    val q = Similarity.quantizedWithNorm(
+      embeddings.where(col("vec_id").isin(queryIds: _*)))
+    val probeCols = centroids.zipWithIndex.map { case (c, i) =>
+      struct(IvfIndex.relDist2(col("qv"), c).as("d"), lit(i).as("c"))
+    }
+    val probes = q
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
+        col("norm").as("qnorm"),
+        explode(slice(array_sort(array(probeCols: _*)), 1, nProbe)).as("p"))
+      .select(col("query_id"), col("qqv"), col("qnorm"), col("p.c").as("cluster"))
+    val scored = table
+      .join(broadcast(probes), Seq("cluster"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(Similarity.dotQ(col("qqv"), reconArr(stats)).cast("double") /
+          (col("qnorm") * sqrt(col("recon2").cast("double"))), 4).as("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("vec_id"), col("score"))
+  }
 }

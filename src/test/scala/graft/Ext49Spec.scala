@@ -98,6 +98,25 @@ class Ext49Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r1 == r2, "SQ ranking must be partition-independent")
   }
 
+  test("SQ refit-and-swap: refit shares the standard memo; aged entry dropped + released") {
+    AnnIndex.invalidateAll()
+    val aged = AnnIndex.sqFiltered(spark, dir, "agedsq", !isIngest, dims = 8)
+    val agedRows = SqIndex.codeTableFrom(aged.codes).collect()
+      .map(_.toSeq.toVector).toSet
+    val fullBefore = AnnIndex.sq(spark, dir, dims = 8)
+    val b0 = AnnIndex.sqBuildCount.get()
+    val refit = AnnIndex.refitSqTo(spark, dir, "agedsq", !isIngest, dims = 8)
+    assert(refit eq fullBefore, "refit must share the standard full-corpus memo")
+    assert(AnnIndex.sqBuildCount.get() == b0, "refit must not rebuild a warm full index")
+    val b1 = AnnIndex.sqBuildCount.get()
+    val rebuilt = AnnIndex.sqFiltered(spark, dir, "agedsq", !isIngest, dims = 8)
+    assert(AnnIndex.sqBuildCount.get() == b1 + 1, "aged entry must be dropped by the swap")
+    assert(!(rebuilt eq aged))
+    assert(SqIndex.codeTableFrom(rebuilt.codes).collect()
+      .map(_.toSeq.toVector).toSet == agedRows,
+      "rebuild over the unchanged corpus must reproduce the aged codes")
+  }
+
   test("recall@10 vs exact scan beats the PQ8 floor on the shared corpus") {
     val real = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val (stats, codes) = SqIndex.buildSq(real)
