@@ -4,8 +4,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.IvfIndex
-import graft.streaming.AnnMaintenance
+import graft.operators.{IvfIndex, PqIndex}
+import graft.streaming.{AnnMaintenance, IvfPqMaintenance}
 
 /**
  * Measurement main for the streaming ANN maintenance loop
@@ -39,7 +39,11 @@ import graft.streaming.AnnMaintenance
  * SPARK_GRAFT_BATCHES (default 24), SPARK_GRAFT_MODE
  * (compact | nocompact | both, default both), SPARK_GRAFT_COMPACT_EVERY
  * (cadence for `compact` mode, default 8), SPARK_GRAFT_NLISTS /
- * SPARK_GRAFT_ITERS (index params, defaults 16 / 3).
+ * SPARK_GRAFT_ITERS (index params, defaults 16 / 3),
+ * SPARK_GRAFT_KIND=ivf|ivfpq (which maintenance loop: the IVF
+ * assignment index, or the full IVFADC single table — batch 0 then
+ * additionally fits the PQ codebooks and every later batch also
+ * encodes; default ivf).
  */
 object AnnMaintScale {
   def main(args: Array[String]): Unit = {
@@ -89,8 +93,11 @@ object AnnMaintScale {
     def bytesUnder(dir: Path): Long =
       if (fs.exists(dir)) fs.getContentSummary(dir).getLength else 0L
 
-    // the frozen-centroid batch-rebuild contract: centroids fit on the
-    // bootstrap batch alone, the whole corpus assigned against them
+    val kind = sys.env.getOrElse("SPARK_GRAFT_KIND", "ivf")
+
+    // the frozen-models batch-rebuild contract: models fit on the
+    // bootstrap batch alone, the whole corpus assigned (+encoded for
+    // ivfpq) against them
     val (bootCents, _) = IvfIndex.buildIndex(chunk(0), nLists, iters)
     val expect = IvfIndex.assignBatch(embs, bootCents)
       .select("vec_id", "cluster").collect()
@@ -98,27 +105,48 @@ object AnnMaintScale {
 
     def run(tag: String, every: Int): Unit = {
       val root = java.nio.file.Files.createTempDirectory(s"ann_maint_$tag").toString
-      val m = new AnnMaintenance(spark, root, nLists, iters, every)
+      val (process, drained, committed) =
+        if (kind == "ivfpq") {
+          val m = new IvfPqMaintenance(spark, root, nLists, iters,
+            compactEvery = every)
+          (m.processBatch _, () => m.currentTable(),
+            () => new IvfPqMaintenance(spark, root, nLists, iters,
+              compactEvery = every).committedCount)
+        } else {
+          val m = new AnnMaintenance(spark, root, nLists, iters, every)
+          (m.processBatch _, () => m.currentIndex(),
+            () => new AnnMaintenance(spark, root, nLists, iters,
+              every).committedCount)
+        }
       val ws = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Long, Int)]
       (0 until batches).foreach { b =>
         var w = 0.0
-        val sh = shuffleDelta { w = timed(m.processBatch(b, chunk(b))) }
+        val sh = shuffleDelta { w = timed(process(b, chunk(b))) }
         ws += ((w, storageMb(), sh, fileCount(new Path(s"$root/meta"))))
       }
-      val got = m.currentIndex().select("vec_id", "cluster").collect()
+      val got = drained().select("vec_id", "cluster").collect()
         .map(r => (r.getLong(0), r.getInt(1))).toSet
       require(got == expect, s"$tag drained index diverged from the batch rebuild")
+      // the ivfpq table's codes must also equal the frozen-books encode
+      if (kind == "ivfpq") {
+        val (books, _) = PqIndex.buildPq(chunk(0), 8, 16, 2)
+        val expCodes = PqIndex.encodeBatch(embs, books)
+          .select("vec_id", "code_0").collect()
+          .map(r => (r.getLong(0), r.getInt(1))).toSet
+        val gotCodes = drained().select("vec_id", "code_0").collect()
+          .map(r => (r.getLong(0), r.getInt(1))).toSet
+        require(gotCodes == expCodes, s"$tag drained codes diverged")
+      }
       // resume cost: a fresh instance's one-time state load over the
       // drained root (this is what the marker rollup keeps bounded)
       var resumeS = 0.0
-      val resume = new AnnMaintenance(spark, root, nLists, iters, every)
-      resumeS = timed { require(resume.committedCount == batches.toLong) }
+      resumeS = timed { require(committed() == batches.toLong) }
       val walls = ws.map(_._1).toSeq
       def fmt(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString(",")
       def med(xs: Seq[Double]) = xs.sorted.apply((xs.size - 1) / 2)
       val q = math.max(1, batches / 4)
       println(
-        s"""{"metric":"ann_maint_scale","mode":"$tag","sf":"$sfDir","n_vecs":$nVecs,""" +
+        s"""{"metric":"ann_maint_scale","kind":"$kind","mode":"$tag","sf":"$sfDir","n_vecs":$nVecs,""" +
         s""""batches":$batches,"compact_every":$every,"n_lists":$nLists,""" +
         s""""walls":[${fmt(walls)}],""" +
         s""""first_quartile_median":${f"${med(walls.take(q))}%.3f"},""" +
@@ -129,7 +157,8 @@ object AnnMaintScale {
         s""""shuffle_write_total_mb":${f"${ws.map(_._3).sum / 1e6}%.1f"},""" +
         s""""meta_files":[${ws.map(_._4).mkString(",")}],""" +
         s""""meta_files_final":${ws.last._4},""" +
-        s""""assign_dirs_final":${fileCount(new Path(s"$root/assign"))},""" +
+        s""""shard_dirs_final":${fileCount(new Path(
+          s"$root/${if (kind == "ivfpq") "codes" else "assign"}"))},""" +
         s""""root_mb_final":${f"${bytesUnder(new Path(root)) / 1e6}%.1f"},""" +
         s""""resume_state_load_s":${f"$resumeS%.3f"}}""")
     }

@@ -55,6 +55,34 @@ object ExtQueries50 {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // CRASH-SAFE streaming SQ8 maintenance
+    // ([[graft.streaming.SqMaintenance]]): batch 0 derives + atomically
+    // publishes the per-dimension stats, every later batch is one
+    // O(batch) encode shard; same ShardLog durability (rolled-up
+    // markers, live compaction inside the oracled drain). Drained table
+    // must equal the frozen-stats batch rebuild (stats on chunk 0,
+    // encode all — ingest values outside the frozen range saturate).
+    "stream_sq_refresh" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val staged = ExtQueries46.stagedEmbChunks(s, dir)
+      val schema = embs(s, dir).schema
+      val root = graft.operators.Sinks.dir(
+        "sq_maint/run" + sqMaintRuns.incrementAndGet())
+      val maint = new graft.streaming.SqMaintenance(s, root, dims = 64,
+        compactEvery = 2)
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          maint.processBatch(id, b)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      SqIndex.codeTableFrom(maint.currentCodes())
+        .orderBy(col("vec_id"), col("i"))
+    }),
+
     // CROSS-FAMILY: near-dup candidate generation FROM THE STANDING IVF
     // INDEX — the coarse quantizer as the blocking key (the classic
     // cluster-then-pair pipeline move): pairs form only within an IVF
@@ -109,9 +137,20 @@ object ExtQueries50 {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  private val sqMaintRuns = new java.util.concurrent.atomic.AtomicLong()
+
   def oracleSql: Map[String, String] = Map(
     "ann_topk_ivfsq" -> ivfsqTopkSql("TRUE"),
     "ann_topk_ivfsq_refreshed" -> ivfsqTopkSql("vec_id % 5 != 4"),
+
+    // streamed drain == frozen-stats rebuild with the fit on batch 0
+    // (chunk c = vec_id % 3 == c)
+    "stream_sq_refresh" ->
+      s"""WITH ${ExtQueries.quantSql},
+         |${ExtQueries49.sqReplayBody("vec_id % 3 = 0")}
+         |SELECT c.vec_id, c.i, CAST(c.code AS BIGINT) AS code, r.recon2
+         |FROM sqc c JOIN rv r ON r.vec_id = c.vec_id
+         |ORDER BY c.vec_id, c.i""".stripMargin,
 
     // candidates within an IVF cell, exact-cosine verified — threshold on
     // the unrounded ratio, ROUND(4) in the output (the dedup_embedding

@@ -61,3 +61,14 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
   || echo "[soak_r15] FAILED: pq_lifecycle"
 
 echo "[soak_r15] done."
+
+# 5. IVFADC streaming maintenance decade (the round's new loop measured
+#    under the same protocol; appended after the first soak run).
+for sf in sf0.1 sf1 sf10; do
+  echo "[soak_r15] ivfpq_maint decade @ $sf ..."
+  SPARK_GRAFT_SF_DIR="$(dirfor $sf)" SPARK_GRAFT_BATCHES=24 \
+    SPARK_GRAFT_COMPACT_EVERY=8 SPARK_GRAFT_KIND=ivfpq \
+    "$REPO/tools/runmain.sh" graft.AnnMaintScale \
+    >"$OUT/ivfpq_maint_${sf}.json" 2>"$OUT/ivfpq_maint_${sf}.log" \
+    || echo "[soak_r15] FAILED: ivfpq_maint @ $sf"
+done
