@@ -30,6 +30,9 @@ import graft.operators.{AnnIndex, Similarity, SqIndex, Tables}
  *    (out-of-range values saturate, the standard SQ posture until a
  *    refit); output is the grown code table.
  *  - ann_topk_sq_refreshed: serving from the refreshed table.
+ *  - ann_sq_recall_drift / ann_sq_refit: the last two lifecycle verbs
+ *    (aged-stats recall vs exact; stats refit-and-swap) — with these,
+ *    IVF, PQ and SQ all carry the full five-verb lifecycle.
  */
 object ExtQueries49 {
 
