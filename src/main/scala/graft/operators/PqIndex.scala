@@ -94,11 +94,14 @@ object PqIndex {
     val corpus = Similarity.quantizedWithNorm(embeddings).persist()
     // a dims mismatched with the corpus would make slice() silently yield
     // short/empty subvectors (degenerate codebooks, wrong codes) — fail
-    // fast on one sampled row instead
-    corpus.select(size(col("qv")).as("len")).limit(1).collect().foreach { r =>
-      require(r.getInt(0) == dims,
-        s"corpus vectors have ${r.getInt(0)} dims, caller claimed $dims")
-    }
+    // fast on one sampled row instead; an EMPTY corpus likewise fails
+    // here rather than as a degenerate zero-seed fit (same discipline as
+    // SqIndex.buildSq)
+    val probe = corpus.select(size(col("qv")).as("len")).limit(1).collect()
+    require(probe.nonEmpty,
+      "corpus is empty — nothing to fit PQ codebooks on (check the filter)")
+    require(probe(0).getInt(0) == dims,
+      s"corpus vectors have ${probe(0).getInt(0)} dims, caller claimed $dims")
     val subDim = dims / m
     val books = fitCodebooks(corpus.select(col("vec_id"), col("qv")), m, subDim, ksub, iters)
     val codes = encode(corpus, books, subDim)

@@ -89,10 +89,14 @@ object SqIndex {
     * one scan. */
   def buildSq(embeddings: DataFrame, dims: Int = 64): (Stats, DataFrame) = {
     val corpus = Similarity.quantizedWithNorm(embeddings).persist()
-    corpus.select(size(col("qv")).as("len")).limit(1).collect().foreach { r =>
-      require(r.getInt(0) == dims,
-        s"corpus vectors have ${r.getInt(0)} dims, caller claimed $dims")
-    }
+    // an EMPTY corpus (e.g. a filter matching nothing) must fail here with
+    // a real message, not as an opaque NPE on fitStats' null MIN/MAX
+    // aggregates (r15 advice)
+    val probe = corpus.select(size(col("qv")).as("len")).limit(1).collect()
+    require(probe.nonEmpty,
+      "corpus is empty — nothing to fit SQ stats on (check the filter)")
+    require(probe(0).getInt(0) == dims,
+      s"corpus vectors have ${probe(0).getInt(0)} dims, caller claimed $dims")
     val stats = fitStats(corpus, dims)
     val codes = encode(corpus, stats).localCheckpoint(true)
     corpus.unpersist()

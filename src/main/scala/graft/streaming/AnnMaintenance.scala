@@ -88,8 +88,14 @@ final class AnnMaintenance(spark: SparkSession, root: String,
   def centroids(): Array[Array[Double]] = {
     if (centroidsMemo == null) {
       require(centroidsPublished, "no centroids published yet (no batch processed)")
-      centroidsMemo = spark.read.schema(centroidSchema).parquet(centroidsDir.toString)
+      val cents = spark.read.schema(centroidSchema).parquet(centroidsDir.toString)
         .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+      // fail fast on parameter drift (mirrors IvfPqMaintenance.models)
+      require(cents.length == nLists,
+        s"$centroidsDir holds ${cents.length} centroids, instance expects " +
+          s"nLists=$nLists — constructor params disagree with the " +
+          "published codebook")
+      centroidsMemo = cents
     }
     centroidsMemo
   }
@@ -105,7 +111,16 @@ final class AnnMaintenance(spark: SparkSession, root: String,
     try {
       CommitMarkers.renameOverwrite(spark, fs, tmp, centroidsDir)
       centroidsMemo = cents // published: the bootstrap skips the re-read
-    } catch { case _: Exception => fs.delete(tmp, true); () }
+    } catch {
+      case e: Exception =>
+        // PROPAGATE (r15 advice, same pattern as IvfPqMaintenance): a
+        // swallowed publish failure would still commit the bootstrap
+        // shard, and the next batch would re-bootstrap on different data —
+        // a standing index assigned against two codebooks. Fail the batch;
+        // the replay refits deterministically and republishes.
+        fs.delete(tmp, true)
+        throw e
+    }
   }
 
   /**

@@ -68,9 +68,25 @@ final class IvfPqMaintenance(spark: SparkSession, root: String,
         .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
       val rows = spark.read.schema(bookSchema)
         .parquet(new Path(modelsDir, "books").toString).collect()
+      // fail fast on parameter drift (r15 advice): an instance constructed
+      // with different m/ksub over an existing root would otherwise yield
+      // truncated or empty sub-codebooks and silently wrong codes
+      require(cents.length == nLists,
+        s"$modelsDir/centroids holds ${cents.length} centroids, instance " +
+          s"expects nLists=$nLists — constructor params disagree with the " +
+          "published models")
+      require(rows.length == m * ksub,
+        s"$modelsDir/books holds ${rows.length} codewords, instance " +
+          s"expects m*ksub=${m * ksub} (m=$m, ksub=$ksub) — constructor " +
+          "params disagree with the published models")
       val books = Array.tabulate(m) { s =>
         rows.filter(_.getInt(0) == s).sortBy(_.getInt(1))
           .map(_.getSeq[Double](2).toArray)
+      }
+      books.zipWithIndex.foreach { case (b, s) =>
+        require(b.length == ksub,
+          s"$modelsDir/books subspace $s has ${b.length} codewords, " +
+            s"expected ksub=$ksub")
       }
       modelsMemo = (cents, books)
     }
@@ -94,7 +110,17 @@ final class IvfPqMaintenance(spark: SparkSession, root: String,
     try {
       CommitMarkers.renameOverwrite(spark, fs, tmp, modelsDir)
       modelsMemo = (cents, books)
-    } catch { case _: Exception => fs.delete(tmp, true); () }
+    } catch {
+      case e: Exception =>
+        // PROPAGATE (r15 advice): a swallowed publish failure would still
+        // let the bootstrap shard+marker commit, and the next batch (or a
+        // restart) would re-bootstrap on DIFFERENT data — a standing table
+        // mixing codes from two model fits, decoded with one: silent wrong
+        // results. Failing the batch means nothing commits and the replay
+        // refits deterministically.
+        fs.delete(tmp, true)
+        throw e
+    }
   }
 
   /**

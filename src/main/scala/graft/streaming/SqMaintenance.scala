@@ -52,6 +52,13 @@ final class SqMaintenance(spark: SparkSession, root: String,
       require(statsPublished, "no stats published yet (no batch processed)")
       val rows = spark.read.schema(statsSchema).parquet(statsDir.toString)
         .collect().sortBy(_.getInt(0))
+      // fail fast on parameter drift (mirrors IvfPqMaintenance.models):
+      // an instance constructed with a different dims over an existing
+      // root would silently reconstruct against truncated stats
+      require(rows.length == dims,
+        s"$statsDir holds ${rows.length} per-dimension stats, instance " +
+          s"expects dims=$dims — constructor params disagree with the " +
+          "published stats")
       statsMemo = SqIndex.Stats(rows.map(_.getLong(1)), rows.map(_.getLong(2)))
     }
     statsMemo
@@ -66,7 +73,16 @@ final class SqMaintenance(spark: SparkSession, root: String,
     try {
       CommitMarkers.renameOverwrite(spark, fs, tmp, statsDir)
       statsMemo = st
-    } catch { case _: Exception => fs.delete(tmp, true); () }
+    } catch {
+      case e: Exception =>
+        // PROPAGATE (r15 advice): a swallowed publish failure would still
+        // commit batch 0's codes, and a later re-bootstrap would freeze
+        // DIFFERENT stats — earlier codes reconstructed against the wrong
+        // min/max at serve time. Fail the batch; the replay re-derives
+        // identical stats (exact MIN/MAX) and republishes.
+        fs.delete(tmp, true)
+        throw e
+    }
   }
 
   /**
