@@ -125,11 +125,12 @@ class AnnMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/base/notasnapshot"))
     (0 to 2).foreach(b => m.processBatch(b.toLong, batch(b)))
     assert(pairs(m.currentIndex()) == expect, "compacted read diverged")
-    // the compaction at batch 1 covered shards 0 and 1
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/assign/0")),
-      "covered shard 0 must be deleted")
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/assign/1")),
-      "covered shard 1 must be deleted")
+    // DEFERRED sweep (r15 verdict #1, serve-while-compact): the
+    // compaction at batch 1 keeps shards 0 and 1 one more cycle — a
+    // serve plan resolved before it stays executable
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/assign/0")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(s"$root/assign/1")),
+      "covered shards must survive their own compaction by one cycle")
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/base/1")),
       "snapshot base/1 must exist")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/base/7")),
@@ -140,15 +141,29 @@ class AnnMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val m2 = new AnnMaintenance(spark, root, nLists = 4, iters = 2, compactEvery = 2)
     m2.processBatch(2L, batch(2)) // committed replay: no-op
     assert(pairs(m2.currentIndex()) == expect)
+    // the NEXT compaction sweeps what the previous snapshot covered
+    val extra = spark.createDataFrame(Seq((100L, Seq.fill(8)(0.05f))))
+      .toDF("vec_id", "embedding")
+    m2.processBatch(3L, extra) // count=4 -> compaction at 3, prev=1
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/assign/0")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$root/assign/1")),
+      "shards covered by the PREVIOUS snapshot sweep at the next compaction")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/base/1")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(s"$root/base/3")),
+      "the previous snapshot itself survives one more cycle")
+    assert(pairs(m2.currentIndex()) ==
+      pairs(IvfIndex.assignBatch(embsAll.unionByName(extra), m2.centroids())))
 
-    // marker ROLLUP (r14 verdict #1): the compaction at batch 1 swept the
-    // covered meta/0, meta/1 — the snapshot marker is their only record;
-    // the restart sees them as committed without their files
+    // marker ROLLUP (r14 verdict #1): the compactions swept the covered
+    // meta markers — the snapshot marker is their only record; a restart
+    // sees them as committed without their files
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/meta/0")) &&
       !fs.exists(new org.apache.hadoop.fs.Path(s"$root/meta/1")),
       "covered meta markers must roll up into the snapshot marker")
-    assert(m2.coveredUpTo.contains(1L) && m2.committedCount == 3 &&
-      m2.isCommitted(0L) && m2.isCommitted(1L) && m2.isCommitted(2L),
+    val m3 = new AnnMaintenance(spark, root, nLists = 4, iters = 2, compactEvery = 2)
+    assert(m3.coveredUpTo.contains(3L) && m3.committedCount == 4 &&
+      m3.isCommitted(0L) && m3.isCommitted(1L) && m3.isCommitted(2L) &&
+      m3.isCommitted(3L),
       "rolled-up state must still count/contain the covered batches")
   }
 

@@ -157,14 +157,17 @@ class IndexMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val m1 = new IndexMaintenance(spark, root, IndexMaintenance.Simhash(3), compactEvery = 4)
     (0 until 12).foreach(b => m1.processBatch(b, mb(b)))
 
-    // batch 11 was a compaction point: the log is fully truncated and
-    // exactly one committed snapshot survives
+    // batch 11 was a compaction point. With the DEFERRED sweep
+    // (r15 verdict #1, serve-while-compact) the snapshot at 11 keeps
+    // everything the PREVIOUS snapshot (7) still covered for one cycle:
+    // deltas 8..11 and base/7 survive; deltas <= 7 and base/3 are gone
     val deltaDirs = Option(new java.io.File(s"$root/delta").listFiles())
       .map(_.map(_.getName).toSet).getOrElse(Set.empty[String])
-    assert(deltaDirs.isEmpty,
-      s"batch 11 is a compaction point — the whole log should be truncated, left: $deltaDirs")
+    assert(deltaDirs == Set("8", "9", "10", "11"),
+      s"compaction at 11 must keep only the post-prev-snapshot deltas, got: $deltaDirs")
     val baseDirs = new java.io.File(s"$root/base").listFiles().map(_.getName).toSet
-    assert(baseDirs == Set("11"), s"expected only snapshot 11, got $baseDirs")
+    assert(baseDirs == Set("7", "11"),
+      s"expected snapshots 7 (deferred) and 11, got $baseDirs")
 
     // marker ROLLUP (r14 verdict #1): the covered meta/<b> files are
     // swept with the deltas — the snapshot marker (upTo=11, count=12) is
@@ -181,21 +184,24 @@ class IndexMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // plant UNMARKED snapshot debris (a crash between a snapshot write
     // and its basemeta commit): the next compaction point must sweep it
-    // — it has no marker, so only the sweep covers it (r12 advice)
-    Files.createDirectories(Paths.get(s"$root/base/7"))
-    Files.write(Paths.get(s"$root/base/7/part-junk.parquet"), Array[Byte](1, 2, 3))
+    // — it has no marker, so only the sweep covers it (r12 advice).
+    // id 9 is never a real snapshot id in this cadence (3,7,11,...)
+    Files.createDirectories(Paths.get(s"$root/base/9"))
+    Files.write(Paths.get(s"$root/base/9/part-junk.parquet"), Array[Byte](1, 2, 3))
 
     val m2 = new IndexMaintenance(spark, root, IndexMaintenance.Simhash(3), compactEvery = 4)
     (12 until batches).foreach(b => m2.processBatch(b, mb(b)))
 
     // the fold is byte-identical to the full rebuild, and only the last
-    // snapshot plus post-snapshot deltas remain on disk
+    // snapshot plus its deferred predecessor remain on disk (the debris
+    // at base/9 was swept by the first m2 compaction)
     val full = comps(Dedup.simhashComponents(docs, 3))
     val folded = comps(m2.currentIndex())
     assert(folded == full, s"compacted fold diverged: " +
       s"missing=${(full -- folded).take(5)} extra=${(folded -- full).take(5)}")
     val baseDirs2 = new java.io.File(s"$root/base").listFiles().map(_.getName).toSet
-    assert(baseDirs2 == Set("23"), s"expected only snapshot 23, got $baseDirs2")
+    assert(baseDirs2 == Set("19", "23"),
+      s"expected snapshots 19 (deferred) and 23, got $baseDirs2")
   }
 
   test("streaming kill/resume lands byte-identical to the uninterrupted run") {

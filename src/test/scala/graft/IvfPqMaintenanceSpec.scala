@@ -136,9 +136,11 @@ class IvfPqMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val m = mk(root, every = 2)
     (0 to 2).foreach(b => m.processBatch(b.toLong, batch(b)))
     assert(rows(m.currentTable()) == expect, "compacted read diverged")
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/codes/0")) &&
-      !fs.exists(new org.apache.hadoop.fs.Path(s"$root/codes/1")),
-      "covered shards must be deleted")
+    // DEFERRED sweep (r15 verdict #1, serve-while-compact): covered
+    // shards survive their own compaction by one cycle; markers roll up
+    // immediately (plans never read them)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/codes/0")),
+      "covered shards must survive their own compaction by one cycle")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/meta/0")) &&
       !fs.exists(new org.apache.hadoop.fs.Path(s"$root/meta/1")),
       "covered markers must roll up into the snapshot marker")
@@ -146,5 +148,19 @@ class IvfPqMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m2.coveredUpTo.contains(1L) && m2.committedCount == 3 &&
       m2.isCommitted(0L) && m2.isCommitted(2L))
     assert(rows(m2.currentTable()) == expect)
+    // the NEXT compaction sweeps what the previous snapshot covered
+    val extra = spark.createDataFrame(Seq((100L, Seq.fill(8)(0.05f))))
+      .toDF("vec_id", "embedding")
+    m2.processBatch(3L, extra) // count=4 -> compaction at 3, prev=1
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/codes/0")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$root/codes/1")),
+      "shards covered by the PREVIOUS snapshot sweep at the next compaction")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/base/1")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(s"$root/base/3")),
+      "the previous snapshot itself survives one more cycle")
+    val (cents, books) = m2.models()
+    val grown = embsAll.unionByName(extra)
+    assert(rows(m2.currentTable()) == rows(PqIndex.ivfpqTable(
+      IvfIndex.assignBatch(grown, cents), PqIndex.encodeBatch(grown, books))))
   }
 }
