@@ -54,7 +54,8 @@ import org.apache.spark.sql.functions.col
  * cycle wide instead of a batch wide.
  */
 private[streaming] final class ShardLog(spark: SparkSession, root: String,
-    dataDir: String, compactEvery: Int, fold: ShardLog.Fold) {
+    dataDir: String, compactEvery: Int, fold: ShardLog.Fold,
+    markerExtra: () => String = () => "") {
 
   /** Append-semantics log (the ANN family): snapshot and shards share a
     * schema and fold as one multi-path scan of `readCols`. */
@@ -215,9 +216,12 @@ private[streaming] final class ShardLog(spark: SparkSession, root: String,
       .write.mode("overwrite").parquet(s"$root/base/$upTo")
     // the marker carries the covered COUNT — with the covered meta/<b>
     // files deleted below, this is the only surviving record of how many
-    // batches ever committed (the compaction-cadence counter)
+    // batches ever committed (the compaction-cadence counter) — plus the
+    // owner's extra fields (e.g. the current model GENERATION, which an
+    // ordinary compaction must carry forward or a restart would lose it)
+    val extra = markerExtra() match { case "" => ""; case e => s",$e" }
     CommitMarkers.commit(spark, baseMetaDir, upTo,
-      s"""{"upTo":$upTo,"count":${state.count}}""")
+      s"""{"upTo":$upTo,"count":${state.count}$extra}""")
     logState = state.rolledUp(upTo)
     sweepDeferred(prev, upTo)
   }

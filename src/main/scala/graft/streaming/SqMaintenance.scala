@@ -20,15 +20,44 @@ import graft.operators.SqIndex
  * "stats": a replay after a crash before the `stats/` rename re-derives
  * them deterministically (exact MIN/MAX — order-free) and republishes
  * identical values.
+ *
+ * [[refitBatch]] is the in-stream refit verb (generation-stamped
+ * snapshot markers, stats_g<g> siblings — the [[IvfPqMaintenance]]
+ * discipline).
  */
 final class SqMaintenance(spark: SparkSession, root: String,
     dims: Int = 64, compactEvery: Int = 64) {
 
   private val log = new ShardLog(spark, root, "codes", compactEvery,
-    Seq("vec_id", "codes", "recon2"))
+    new ShardLog.AppendFold(Seq("vec_id", "codes", "recon2")),
+    // ordinary compactions must not lose the refit generation
+    () => s""""gen":$generation""")
 
-  private val statsDir = new Path(s"$root/stats")
-  private def fs = statsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def fs = new Path(root)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private val GenField = """"gen"\s*:\s*(\d+)""".r
+
+  // the COMMITTED stats generation — authoritative from the latest
+  // snapshot marker (the IvfPqMaintenance discipline: never pair fresher
+  // stats with older committed codes after a crash mid-refit)
+  @volatile private var genMemo: Int = -1
+
+  /** The committed stats generation (0 = the bootstrap fit). */
+  def generation: Int = {
+    if (genMemo < 0)
+      genMemo = log.latestSnapshotMarker
+        .flatMap(mk => GenField.findFirstMatchIn(mk).map(_.group(1).toInt))
+        .getOrElse(0)
+    genMemo
+  }
+
+  /** gen 0 keeps the original `stats/` layout; refits publish
+    * `stats_g<g>/` siblings. */
+  private def statsDirFor(gen: Int): Path =
+    if (gen == 0) new Path(s"$root/stats") else new Path(s"$root/stats_g$gen")
+
+  private def statsDir = statsDirFor(generation)
 
   private val statsSchema = StructType(Seq(
     StructField("i", IntegerType, nullable = false),
@@ -64,16 +93,19 @@ final class SqMaintenance(spark: SparkSession, root: String,
     statsMemo
   }
 
-  private def publishStats(st: SqIndex.Stats): Unit = {
-    val tmp = new Path(s"$root/.stats.tmp")
+  /** Atomic publish of generation `gen`'s stats. Write-once: an
+    * already-published dir short-circuits (a refit replay re-derives
+    * exact MIN/MAX — identical values). */
+  private def publishStats(gen: Int, st: SqIndex.Stats): Unit = {
+    val dst = statsDirFor(gen)
+    if (fs.exists(dst)) return // write-once; a replay re-derived identical values
+    val tmp = new Path(s"$root/.stats_g$gen.tmp")
     val rows = (0 until st.dims).map(i => Row(i, st.mins(i), st.maxs(i)))
     spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), statsSchema)
       .write.mode("overwrite").parquet(tmp.toString)
-    try {
-      CommitMarkers.renameOverwrite(spark, fs, tmp, statsDir)
-      statsMemo = st
-    } catch {
+    try CommitMarkers.renameOverwrite(spark, fs, tmp, dst)
+    catch {
       case e: Exception =>
         // PROPAGATE (r15 advice): a swallowed publish failure would still
         // commit batch 0's codes, and a later re-bootstrap would freeze
@@ -95,7 +127,8 @@ final class SqMaintenance(spark: SparkSession, root: String,
       if (!statsPublished) {
         // bootstrap: this batch IS the training snapshot
         val (fitted, codes) = SqIndex.buildSq(embs, dims)
-        publishStats(fitted)
+        publishStats(0, fitted)
+        statsMemo = fitted
         log.commitShard(batchId, codes, s"""{"dims":$dims}""")
         org.apache.spark.sql.graftbridge.CheckpointBridge.release(codes)
         return
@@ -103,8 +136,33 @@ final class SqMaintenance(spark: SparkSession, root: String,
     log.commitShard(batchId, SqIndex.encodeBatch(embs, st), s"""{"dims":$dims}""")
   }
 
+  /**
+   * IN-STREAM REFIT-AND-SWAP (the [[IvfPqMaintenance.refitBatch]]
+   * discipline applied to the cheapest member): re-derive the exact
+   * per-dimension MIN/MAX on `corpus` (the full corpus as of this batch
+   * — ONE aggregate scan, the family's cheapest retrain), publish them
+   * as the next generation, re-encode everything and commit it as this
+   * batch's SNAPSHOT with the generation in its marker. The committed
+   * generation stays authoritative: a crash between the stats_g publish
+   * and the snapshot commit leaves serving on the old pairing, and the
+   * replay re-derives identical stats (exact MIN/MAX — order-free).
+   */
+  def refitBatch(batchId: Long, corpus: DataFrame): Unit = {
+    if (log.isCommitted(batchId)) return
+    require(statsPublished,
+      "refit before bootstrap — batch 0 already fits; feed it processBatch")
+    val newGen = generation + 1
+    val (fitted, codes) = SqIndex.buildSq(corpus, dims)
+    publishStats(newGen, fitted)
+    log.commitSnapshot(batchId, codes, s""""dims":$dims,"gen":$newGen""")
+    genMemo = newGen
+    statsMemo = fitted
+    org.apache.spark.sql.graftbridge.CheckpointBridge.release(codes)
+  }
+
   /** The standing `(vec_id, codes, recon2)` table over all committed
-    * batches. Drain-then-read (see [[ShardLog]]). */
+    * batches — resolved from the cached commit state; safe concurrently
+    * with ONE later compaction (the [[ShardLog]] deferral contract). */
   def currentCodes(): DataFrame = log.currentRows()
 
   /** Serve asymmetric top-k from the maintained code table. */

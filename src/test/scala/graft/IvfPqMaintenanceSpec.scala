@@ -125,6 +125,61 @@ class IvfPqMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(c2.currentTable()) == before)
   }
 
+  test("in-stream refit: retrain + generation swap; kill/resume byte-identical") {
+    val extra = spark.createDataFrame(Seq((100L, Seq.fill(8)(0.05f))))
+      .toDF("vec_id", "embedding")
+    val grown = embsAll.unionByName(extra)
+    // the semantic contract: after a refit at batch 2 (corpus-so-far =
+    // all 30 vectors) and one more O(batch) batch, the table equals the
+    // gen-1 rebuild — fit on embsAll, encode the grown corpus
+    val (cents, _) = IvfIndex.buildIndex(embsAll, 4, 2)
+    val (books, _) = PqIndex.buildPq(embsAll, M, 4, 2, dims = 8)
+    val expect = rows(PqIndex.ivfpqTable(
+      IvfIndex.assignBatch(grown, cents), PqIndex.encodeBatch(grown, books)))
+
+    // control: uninterrupted run with a live compaction before the refit
+    val rootA = Files.createTempDirectory("ivfpq_refit_a").toString
+    val a = mk(rootA, every = 2)
+    a.processBatch(0L, batch(0))
+    a.processBatch(1L, batch(1)) // compaction at 1 carries gen 0 forward
+    a.refitBatch(2L, embsAll)
+    a.processBatch(3L, extra)    // O(batch) against the gen-1 models
+    assert(a.generation == 1, "refit must advance the committed generation")
+    assert(a.models()._1.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq,
+      "served models must be the gen-1 fit")
+    assert(rows(a.currentTable()) == expect, "refit drain diverged from the gen-1 rebuild")
+
+    // crash window: models_g1 published AND snapshot written, but the
+    // snapshot marker never committed (deleted post-hoc). The restart
+    // must keep serving generation 0 (models g0 paired with g0 codes);
+    // the replay refits deterministically, skips the already-published
+    // models dir, and lands byte-identical to the control.
+    val rootB = Files.createTempDirectory("ivfpq_refit_b").toString
+    val fsB = new org.apache.hadoop.fs.Path(rootB)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val b1 = mk(rootB, every = 2)
+    b1.processBatch(0L, batch(0))
+    b1.processBatch(1L, batch(1))
+    b1.refitBatch(2L, embsAll)
+    fsB.delete(new org.apache.hadoop.fs.Path(s"$rootB/basemeta/2"), false)
+    val b2 = mk(rootB, every = 2)
+    assert(b2.generation == 0,
+      "an uncommitted refit must not advance the generation")
+    assert(fsB.exists(new org.apache.hadoop.fs.Path(s"$rootB/models_g1")),
+      "the crashed attempt's models publish is on disk (write-once)")
+    val chunk01 = embsAll.where(col("vec_id") % 3 =!= 2)
+    val (c0, _) = IvfIndex.buildIndex(batch(0), 4, 2)
+    val (bk0, _) = PqIndex.buildPq(batch(0), M, 4, 2, dims = 8)
+    assert(rows(b2.currentTable()) == rows(PqIndex.ivfpqTable(
+      IvfIndex.assignBatch(chunk01, c0), PqIndex.encodeBatch(chunk01, bk0))),
+      "pre-replay serving must pair gen-0 models with gen-0 codes")
+    b2.refitBatch(2L, embsAll) // the foreachBatch replay
+    b2.processBatch(3L, extra)
+    assert(b2.generation == 1)
+    assert(rows(b2.currentTable()) == expect,
+      "refit kill/resume diverged from the uninterrupted run")
+  }
+
   test("compaction: snapshot + marker rollup over the shared shard log") {
     val root = Files.createTempDirectory("ivfpq_cp").toString
     val fs = new org.apache.hadoop.fs.Path(root)

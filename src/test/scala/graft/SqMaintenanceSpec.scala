@@ -110,6 +110,48 @@ class SqMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(c2.currentCodes()) == before)
   }
 
+  test("in-stream refit: new stats generation, kill/resume byte-identical") {
+    val extra = spark.createDataFrame(Seq((100L, Seq.fill(8)(2.5f))))
+      .toDF("vec_id", "embedding") // outside the old range: refit matters
+    val grown = embsAll.unionByName(extra)
+    val (fitAll, _) = SqIndex.buildSq(embsAll, dims = 8)
+    val expect = rows(SqIndex.encodeBatch(grown, fitAll))
+
+    val rootA = Files.createTempDirectory("sq_refit_a").toString
+    val a = mk(rootA, every = 2)
+    a.processBatch(0L, batch(0))
+    a.processBatch(1L, batch(1)) // live compaction carries gen 0
+    a.refitBatch(2L, embsAll)
+    a.processBatch(3L, extra)
+    assert(a.generation == 1, "refit must advance the committed generation")
+    assert(a.stats().mins.toSeq == fitAll.mins.toSeq &&
+      a.stats().maxs.toSeq == fitAll.maxs.toSeq,
+      "served stats must be the gen-1 fit")
+    assert(rows(a.currentCodes()) == expect, "refit drain diverged from the gen-1 rebuild")
+
+    // crash window: stats_g1 published + snapshot written, marker never
+    // committed — restart serves gen 0, replay lands identical
+    val rootB = Files.createTempDirectory("sq_refit_b").toString
+    val fsB = new org.apache.hadoop.fs.Path(rootB)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val b1 = mk(rootB, every = 2)
+    b1.processBatch(0L, batch(0))
+    b1.processBatch(1L, batch(1))
+    b1.refitBatch(2L, embsAll)
+    fsB.delete(new org.apache.hadoop.fs.Path(s"$rootB/basemeta/2"), false)
+    val b2 = mk(rootB, every = 2)
+    assert(b2.generation == 0,
+      "an uncommitted refit must not advance the generation")
+    val (fit0, _) = SqIndex.buildSq(batch(0), dims = 8)
+    assert(b2.stats().mins.toSeq == fit0.mins.toSeq,
+      "pre-replay serving must pair gen-0 stats with gen-0 codes")
+    b2.refitBatch(2L, embsAll)
+    b2.processBatch(3L, extra)
+    assert(b2.generation == 1)
+    assert(rows(b2.currentCodes()) == expect,
+      "refit kill/resume diverged from the uninterrupted run")
+  }
+
   test("compaction + marker rollup over the shared shard log") {
     val root = Files.createTempDirectory("sq_cp").toString
     val fs = new org.apache.hadoop.fs.Path(root)
