@@ -86,27 +86,26 @@ object ExtQueries50 {
     // CROSS-FAMILY: near-dup candidate generation FROM THE STANDING IVF
     // INDEX — the coarse quantizer as the blocking key (the classic
     // cluster-then-pair pipeline move): pairs form only within an IVF
-    // cell, exact cosine verifies. Reuses the memoized index the ANN
-    // serves run on — at 100 TB the blocking artifact is already built
-    // and cluster-partitioned, so the pair join co-locates by cluster
-    // instead of needing a fresh LSH pass.
+    // cell (r16: HOT CELLS sub-split at CellCap by a portable hash —
+    // [[graft.operators.Dedup.embeddingNearDupsIvfCells]], closing the
+    // r15 skew finding: one duplicate-heavy cluster no longer goes
+    // quadratic), exact cosine verifies. Reuses the memoized index the
+    // ANN serves run on — at 100 TB the blocking artifact is already
+    // built and cluster-partitioned, so the pair join co-locates by
+    // cluster instead of needing a fresh LSH pass. CellCap is 24 so the
+    // cap BINDS at the gate corpus (500 vectors / 16 lists ≈ 31 per
+    // cell) and the capped semantics — including the sub-split hash —
+    // sit on the oracle every round; a production corpus would run the
+    // same operator at cellCap in the thousands (the knob scales the
+    // per-block candidate budget, not the algorithm).
     "dedup_embedding_ivf" -> ((s, dir) => {
-      import graft.operators.Similarity
       val idx = AnnIndex.ivf(s, dir, NLists, IvfIters)
-      val x = idx.assigned.select(col("vec_id").as("vec_a"),
-        col("qv").as("qa"), col("norm").as("na"), col("cluster"))
-      val y = idx.assigned.select(col("vec_id").as("vec_b"),
-        col("qv").as("qb"), col("norm").as("nb"), col("cluster"))
-      x.join(y, Seq("cluster"))
-        .where(col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b"),
-          (Similarity.dotQ(col("qa"), col("qb")).cast("double") /
-            (col("na") * col("nb"))).as("cosr"))
-        .where(col("cosr") >= 0.30)
-        .select(col("vec_a"), col("vec_b"), round(col("cosr"), 4).as("cos"))
+      graft.operators.Dedup.embeddingNearDupsIvfCells(idx.assigned, 0.30, CellCap)
         .orderBy(col("vec_a"), col("vec_b"))
     })
   )
+
+  private[graft] val CellCap = 24
 
   /** The IVF-SQ serve tail over stitched `indexed` (IVF replay) and `rv`
     * (SQ replay): probes from fdists, candidates from the probed lists,
@@ -152,17 +151,25 @@ object ExtQueries50 {
          |FROM sqc c JOIN rv r ON r.vec_id = c.vec_id
          |ORDER BY c.vec_id, c.i""".stripMargin,
 
-    // candidates within an IVF cell, exact-cosine verified — threshold on
-    // the unrounded ratio, ROUND(4) in the output (the dedup_embedding
-    // discipline)
+    // candidates within an IVF cell — hot cells sub-split at CellCap by
+    // the portable vec_id hash (the capped blocking replayed exactly) —
+    // exact-cosine verified; threshold on the unrounded ratio, ROUND(4)
+    // in the output (the dedup_embedding discipline)
     "dedup_embedding_ivf" ->
       s"""WITH RECURSIVE ${ExtQueries.quantSql},
          |${ExtQueries46.ivfReplayBody("TRUE")},
+         |cellsz AS (
+         |  SELECT cluster, COUNT(*) AS n_cell FROM indexed GROUP BY cluster),
+         |blocks AS (
+         |  SELECT i.vec_id, i.qv, i.n2, i.cluster,
+         |         ${graft.operators.PortableHash.hSql("CAST(i.vec_id AS VARCHAR)")}
+         |           % CAST(CEIL(c.n_cell / $CellCap.0) AS BIGINT) AS sub
+         |  FROM indexed i JOIN cellsz c ON c.cluster = i.cluster),
          |pairs AS (
          |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
          |         list_inner_product(x.qv, y.qv) / (sqrt(x.n2) * sqrt(y.n2)) AS cosr
-         |  FROM indexed x JOIN indexed y
-         |    ON x.cluster = y.cluster AND x.vec_id < y.vec_id)
+         |  FROM blocks x JOIN blocks y
+         |    ON x.cluster = y.cluster AND x.sub = y.sub AND x.vec_id < y.vec_id)
          |SELECT vec_a, vec_b, ROUND(cosr, 4) AS cos FROM pairs
          |WHERE cosr >= 0.30 ORDER BY vec_a, vec_b""".stripMargin
   )

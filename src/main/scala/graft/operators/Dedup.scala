@@ -1057,4 +1057,51 @@ object Dedup {
       .where(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
   }
+
+  /**
+   * Near-dup candidate generation FROM A STANDING IVF INDEX with a
+   * HOT-CELL CAP (r15 verdict #3) — the coarse quantizer as the blocking
+   * key, guarded by the df-cap discipline: cell size is ~N/nLists only
+   * when clusters are balanced, and a duplicate-heavy corpus (exactly
+   * where this pipeline runs) concentrates mass in few cells, making
+   * the within-cell self-join quadratic in the hot cell. Cells larger
+   * than `cellCap` are SUB-SPLIT by a portable hash of vec_id into
+   * ceil(n/cellCap) blocks and pairs form only WITHIN a block, so the
+   * expected per-block pair count is bounded by ~cellCap²/2 regardless
+   * of skew and total candidate work stays O(N·cellCap) — linear in the
+   * corpus at a fixed cap.
+   *
+   * Capped SEMANTICS (same trade as jaccardPairs' maxDf): pairs crossing
+   * sub-blocks of a hot cell are dropped from candidate generation. For
+   * near-dup harvesting that is the standard posture — a hot cell's
+   * members are mutually similar, so each doc still pairs with ~cellCap
+   * of its neighbors and downstream connected components re-merge the
+   * blocks through shared members. When no cell exceeds cellCap the
+   * output is IDENTICAL to the uncapped within-cell join (nsub = 1
+   * everywhere). The sub-split hash is [[PortableHash.h]], so the DuckDB
+   * oracle replays the capped blocking exactly.
+   *
+   * `indexed` must have the [[IvfIndex.buildIndex]] layout
+   * `(vec_id, qv, norm, cluster)`; the per-cell counts join is a
+   * broadcast of nLists rows.
+   */
+  def embeddingNearDupsIvfCells(indexed: DataFrame, threshold: Double,
+      cellCap: Int): DataFrame = {
+    require(cellCap >= 2, s"cellCap must be >= 2, got $cellCap")
+    val counts = indexed.groupBy(col("cluster")).agg(count(lit(1)).as("n_cell"))
+    val blocks = indexed.join(broadcast(counts), Seq("cluster"))
+      .withColumn("sub", PortableHash.h(col("vec_id").cast("string")) %
+        ceil(col("n_cell") / lit(cellCap.toDouble)).cast("long"))
+    val x = blocks.select(col("cluster"), col("sub"),
+      col("vec_id").as("vec_a"), col("qv").as("qa"), col("norm").as("na"))
+    val y = blocks.select(col("cluster"), col("sub"),
+      col("vec_id").as("vec_b"), col("qv").as("qb"), col("norm").as("nb"))
+    x.join(y, Seq("cluster", "sub"))
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (Similarity.dotQ(col("qa"), col("qb")).cast("double") /
+          (col("na") * col("nb"))).as("cosr"))
+      .where(col("cosr") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cosr"), 4).as("cos"))
+  }
 }

@@ -81,4 +81,55 @@ class Ext50Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(grown) == rows(full),
       "O(batch) IVF-SQ refresh diverged from the full stitch")
   }
+
+  test("IVF-cell dedup: hot-cell cap bounds candidate work; non-binding cap == uncapped") {
+    import graft.operators.Dedup
+    // SKEWED synthetic corpus: 1600 of 2000 vectors in one tight blob —
+    // k-means puts the blob in few cells, exactly the regime where the
+    // uncapped within-cell self-join goes quadratic (r15 verdict #3)
+    val rows = (0L until 2000L).map { i =>
+      val base = Array.fill(8)(0.01f)
+      if (i < 1600) base(0) = 1.0f + (i % 7).toInt * 1e-4f
+      else base((i % 4 + 4).toInt) = 1.0f + (i % 11).toInt * 1e-3f
+      (i, base.toSeq)
+    }
+    val skewed = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val (_, indexed) = IvfIndex.buildIndex(skewed, 4, 2)
+    val idx = indexed.persist()
+    try {
+      // the uncapped candidate count the hot cells would generate
+      val uncappedPairs = idx.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+        .select(sum((col("n") * (col("n") - 1) / 2).cast("long")))
+        .collect()(0).getLong(0)
+      val cap = 100
+      // threshold -1 keeps every candidate pair: this measures BLOCKING
+      // work, not similarity
+      val cappedPairs = Dedup.embeddingNearDupsIvfCells(idx, -1.0, cap).count()
+      info(s"skewed corpus: uncapped candidates = $uncappedPairs, " +
+        s"capped (cellCap=$cap) = $cappedPairs")
+      // linear bound: ~N*cap total work; the hash split is balanced, so
+      // 2x slack is generous. The uncapped join is ~13x bigger here.
+      assert(cappedPairs <= 2L * 2000L * cap,
+        s"capped candidate count $cappedPairs exceeds the linear bound")
+      assert(cappedPairs * 5 < uncappedPairs,
+        "the cap must collapse the hot-cell quadratic blowup")
+      // per-block bound: no (cluster, sub) block pairs more than ~2*cap
+      // rows' worth (hash balance)
+      val maxBlock = Dedup.embeddingNearDupsIvfCells(idx, -1.0, cap)
+        .groupBy(col("vec_a")).agg(count(lit(1)).as("deg"))
+        .agg(max(col("deg"))).collect()(0).getLong(0)
+      assert(maxBlock <= 2L * cap,
+        s"a vector pairs with $maxBlock others — block split not bounding")
+      // cap >= max cell size -> nsub = 1 everywhere -> identical to the
+      // uncapped within-cell join
+      val unc = idx.as("a").join(idx.as("b"),
+          col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val nonBinding = Dedup.embeddingNearDupsIvfCells(idx, -1.0, 1 << 20)
+        .select(col("vec_a"), col("vec_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(nonBinding == unc, "a non-binding cap must be a no-op")
+    } finally { idx.unpersist(); () }
+  }
 }
