@@ -50,7 +50,29 @@ object Bench {
     // a rep that FAILS records None, not its fail-fast wall time — medians
     // are over successful reps only, so a partially-failing query can't
     // report a misleadingly low number (round-5 advice)
+    // SELF-CALIBRATING REGIME PROBE (r15 verdict #7): a fixed scalar
+    // query (scalar_trig — pure projection over lineitem, no
+    // shuffle/join/stream machinery, plan unchanged for 12 rounds) timed
+    // 3x before each full rep. Its median moves ONLY with box conditions
+    // (CPU contention, thermal/VM noise), never with this repo's plans —
+    // so the record itself says which regime each rep ran in: divide a
+    // rep's walls by (probe_median / historical quiet-box probe) to
+    // normalize before calling anything a regression. PERF.md documents
+    // the normalization once; no more per-round hand adjudication of
+    // "uniform 1.8x inflation on identical code".
+    def probeOnce(): Double = {
+      val t0 = System.nanoTime()
+      try SparkEntry.queries("scalar_trig")(spark, sfDir).count()
+      catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+    def median(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
+    // one untimed probe first: the probe must measure the box, not its
+    // own first-use plan/codegen warm-up
+    probeOnce()
+    val probes = scala.collection.mutable.ArrayBuffer[Double]()
     val runs: Seq[Map[String, Option[(Double, Double)]]] = (1 to reps).map { _ =>
+      probes += median(Seq.fill(3)(probeOnce()))
       selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val c0 = osBean.getProcessCpuTime
@@ -66,7 +88,6 @@ object Bench {
         else None)
       }
     }
-    def median(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
     val perQuery = selected.keys.toSeq.map(n => n -> runs.flatMap(_(n)))
     val medians = perQuery
       .collect { case (n, ok) if ok.nonEmpty => n -> median(ok.map(_._1)) }
@@ -81,10 +102,11 @@ object Bench {
       .mkString("{", ",", "}")
     val fails = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val runWalls = runs.map(_.values.flatten.map(_._1).sum).map(w => f"$w%.1f").mkString("[", ",", "]")
+    val probeJson = probes.map(p => f"$p%.3f").mkString("[", ",", "]")
     val total = if (medians.nonEmpty) medians.values.sum else 0.0
     val totalCpu = if (cpuMedians.nonEmpty) cpuMedians.values.sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":${f"$totalCpu%.1f"},"reps":$reps,"run_walls":$runWalls,"queries":$qs,"cpu":$cpus_,"failures":$fails,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":${f"$totalCpu%.1f"},"reps":$reps,"run_walls":$runWalls,"probe_walls":$probeJson,"queries":$qs,"cpu":$cpus_,"failures":$fails,"sf":"$sfDir"}"""
     println(json)
     // the driver captures only the tail of stdout (r5: 116/179 per-query
     // medians lost to truncation) — always persist the full JSON to a file
