@@ -40,10 +40,16 @@ import graft.streaming.{AnnMaintenance, IvfPqMaintenance}
  * (compact | nocompact | both, default both), SPARK_GRAFT_COMPACT_EVERY
  * (cadence for `compact` mode, default 8), SPARK_GRAFT_NLISTS /
  * SPARK_GRAFT_ITERS (index params, defaults 16 / 3),
- * SPARK_GRAFT_KIND=ivf|ivfpq (which maintenance loop: the IVF
- * assignment index, or the full IVFADC single table — batch 0 then
+ * SPARK_GRAFT_KIND=ivf|ivfpq|sq (which maintenance loop: the IVF
+ * assignment index, the full IVFADC single table — batch 0 then
  * additionally fits the PQ codebooks and every later batch also
- * encodes; default ivf).
+ * encodes — or the SQ8 code table; default ivf), and
+ * SPARK_GRAFT_REFIT_AT (r16: an IN-STREAM REFIT point for ivfpq/sq —
+ * at that batch the loop retrains on the corpus-so-far and commits the
+ * re-encoded corpus as a snapshot; the refit batch's wall is reported
+ * separately as the priced amortized-rebuild cost, the rebuild contract
+ * switches to models fit on chunks 0..refitAt, and post-refit batches
+ * must return to the flat O(batch) regime; default -1 = none).
  */
 object AnnMaintScale {
   def main(args: Array[String]): Unit = {
@@ -94,42 +100,74 @@ object AnnMaintScale {
       if (fs.exists(dir)) fs.getContentSummary(dir).getLength else 0L
 
     val kind = sys.env.getOrElse("SPARK_GRAFT_KIND", "ivf")
+    val refitAt = sys.env.getOrElse("SPARK_GRAFT_REFIT_AT", "-1").toInt
+    require(refitAt < 0 || kind != "ivf",
+      "SPARK_GRAFT_REFIT_AT needs kind=ivfpq or sq (the in-stream refit members)")
 
-    // the frozen-models batch-rebuild contract: models fit on the
-    // bootstrap batch alone, the whole corpus assigned (+encoded for
-    // ivfpq) against them
-    val (bootCents, _) = IvfIndex.buildIndex(chunk(0), nLists, iters)
-    val expect = IvfIndex.assignBatch(embs, bootCents)
-      .select("vec_id", "cluster").collect()
-      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    // the rebuild contract: models fit on the bootstrap batch alone —
+    // or, with a refit point, on chunks 0..refitAt (the corpus-so-far
+    // the refit retrained on) — the whole corpus assigned/encoded
+    // against them
+    val fitShard =
+      if (refitAt < 0) chunk(0)
+      else embs.where(pmod(col("vec_id"), lit(batches)) <= refitAt)
+    lazy val bootCents = IvfIndex.buildIndex(fitShard, nLists, iters)._1
+    val expect: Set[(Long, Long)] = kind match {
+      case "sq" =>
+        val (stats, _) = graft.operators.SqIndex.buildSq(fitShard)
+        graft.operators.SqIndex.encodeBatch(embs, stats)
+          .select("vec_id", "recon2").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      case _ =>
+        IvfIndex.assignBatch(embs, bootCents)
+          .select("vec_id", "cluster").collect()
+          .map(r => (r.getLong(0), r.getInt(1).toLong)).toSet
+    }
 
     def run(tag: String, every: Int): Unit = {
       val root = java.nio.file.Files.createTempDirectory(s"ann_maint_$tag").toString
-      val (process, drained, committed) =
-        if (kind == "ivfpq") {
+      val (process, refit, drained, committed) = kind match {
+        case "ivfpq" =>
           val m = new IvfPqMaintenance(spark, root, nLists, iters,
             compactEvery = every)
-          (m.processBatch _, () => m.currentTable(),
+          (m.processBatch _, m.refitBatch _, () => m.currentTable(),
             () => new IvfPqMaintenance(spark, root, nLists, iters,
               compactEvery = every).committedCount)
-        } else {
+        case "sq" =>
+          val m = new graft.streaming.SqMaintenance(spark, root,
+            compactEvery = every)
+          (m.processBatch _, m.refitBatch _, () => m.currentCodes(),
+            () => new graft.streaming.SqMaintenance(spark, root,
+              compactEvery = every).committedCount)
+        case _ =>
           val m = new AnnMaintenance(spark, root, nLists, iters, every)
-          (m.processBatch _, () => m.currentIndex(),
+          (m.processBatch _,
+            (_: Long, _: DataFrame) => throw new UnsupportedOperationException,
+            () => m.currentIndex(),
             () => new AnnMaintenance(spark, root, nLists, iters,
               every).committedCount)
-        }
+      }
       val ws = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Long, Int)]
+      var refitWall = -1.0
       (0 until batches).foreach { b =>
         var w = 0.0
-        val sh = shuffleDelta { w = timed(process(b, chunk(b))) }
+        val sh = shuffleDelta {
+          w = timed {
+            if (b == refitAt)
+              refit(b, embs.where(pmod(col("vec_id"), lit(batches)) <= b))
+            else process(b, chunk(b))
+          }
+        }
+        if (b == refitAt) refitWall = w
         ws += ((w, storageMb(), sh, fileCount(new Path(s"$root/meta"))))
       }
-      val got = drained().select("vec_id", "cluster").collect()
-        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      val keyCol = if (kind == "sq") "recon2" else "cluster"
+      val got = drained().select(col("vec_id"), col(keyCol).cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       require(got == expect, s"$tag drained index diverged from the batch rebuild")
       // the ivfpq table's codes must also equal the frozen-books encode
       if (kind == "ivfpq") {
-        val (books, _) = PqIndex.buildPq(chunk(0), 8, 16, 2)
+        val (books, _) = PqIndex.buildPq(fitShard, 8, 16, 2)
         val expCodes = PqIndex.encodeBatch(embs, books)
           .select("vec_id", "code_0").collect()
           .map(r => (r.getLong(0), r.getInt(1))).toSet
@@ -141,16 +179,21 @@ object AnnMaintScale {
       // drained root (this is what the marker rollup keeps bounded)
       var resumeS = 0.0
       resumeS = timed { require(committed() == batches.toLong) }
+      // the refit batch is a PRICED rebuild, not part of the flat
+      // O(batch) regime — report it separately, keep the quartile
+      // medians over the steady-state batches
       val walls = ws.map(_._1).toSeq
+      val steady = walls.zipWithIndex.collect { case (w, i) if i != refitAt => w }
       def fmt(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString(",")
       def med(xs: Seq[Double]) = xs.sorted.apply((xs.size - 1) / 2)
       val q = math.max(1, batches / 4)
       println(
         s"""{"metric":"ann_maint_scale","kind":"$kind","mode":"$tag","sf":"$sfDir","n_vecs":$nVecs,""" +
         s""""batches":$batches,"compact_every":$every,"n_lists":$nLists,""" +
+        s""""refit_at":$refitAt,"refit_wall_s":${f"$refitWall%.3f"},""" +
         s""""walls":[${fmt(walls)}],""" +
-        s""""first_quartile_median":${f"${med(walls.take(q))}%.3f"},""" +
-        s""""last_quartile_median":${f"${med(walls.takeRight(q))}%.3f"},""" +
+        s""""first_quartile_median":${f"${med(steady.take(q))}%.3f"},""" +
+        s""""last_quartile_median":${f"${med(steady.takeRight(q))}%.3f"},""" +
         s""""total":${f"${walls.sum}%.2f"},""" +
         s""""storage_mb":[${fmt(ws.map(_._2).toSeq)}],""" +
         s""""storage_growth_mb":${f"${ws.last._2 - ws.head._2}%.3f"},""" +
@@ -158,7 +201,7 @@ object AnnMaintScale {
         s""""meta_files":[${ws.map(_._4).mkString(",")}],""" +
         s""""meta_files_final":${ws.last._4},""" +
         s""""shard_dirs_final":${fileCount(new Path(
-          s"$root/${if (kind == "ivfpq") "codes" else "assign"}"))},""" +
+          s"$root/${if (kind == "ivf") "assign" else "codes"}"))},""" +
         s""""root_mb_final":${f"${bytesUnder(new Path(root)) / 1e6}%.1f"},""" +
         s""""resume_state_load_s":${f"$resumeS%.3f"}}""")
     }

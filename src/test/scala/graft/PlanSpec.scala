@@ -439,7 +439,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the single standing table — a SortMergeJoin here means the
     // corpus-sized code table is being shuffled per serving batch, the
     // exact r14 What's-wrong #3 shape this layout was built to kill.
-    Seq("ann_topk_ivfpq", "ann_topk_ivfpq_refreshed").foreach { q =>
+    // r16: the two-stage refined serve adds a raw-vector fetch for the
+    // shortlist — the shortlist (|queries| x shortlist rows) must stay
+    // the broadcast side; a sort-merge join would re-shuffle the corpus
+    // per serve, defeating the whole point of the shortlist
+    Seq("ann_topk_ivfpq", "ann_topk_ivfpq_refreshed",
+        "ann_topk_ivfpq_refined").foreach { q =>
       val p = plan(q)
       assert(p.contains("BroadcastHashJoin"),
         s"$q: probe join must be broadcast-hash:\n${p.take(1500)}")
