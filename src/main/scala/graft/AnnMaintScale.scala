@@ -44,7 +44,7 @@ import graft.streaming.{AnnMaintenance, IvfPqMaintenance}
  * assignment index, the full IVFADC single table — batch 0 then
  * additionally fits the PQ codebooks and every later batch also
  * encodes — or the SQ8 code table; default ivf), and
- * SPARK_GRAFT_REFIT_AT (r16: an IN-STREAM REFIT point for ivfpq/sq —
+ * SPARK_GRAFT_REFIT_AT (r16: an IN-STREAM REFIT point for any kind —
  * at that batch the loop retrains on the corpus-so-far and commits the
  * re-encoded corpus as a snapshot; the refit batch's wall is reported
  * separately as the priced amortized-rebuild cost, the rebuild contract
@@ -101,8 +101,6 @@ object AnnMaintScale {
 
     val kind = sys.env.getOrElse("SPARK_GRAFT_KIND", "ivf")
     val refitAt = sys.env.getOrElse("SPARK_GRAFT_REFIT_AT", "-1").toInt
-    require(refitAt < 0 || kind != "ivf",
-      "SPARK_GRAFT_REFIT_AT needs kind=ivfpq or sq (the in-stream refit members)")
 
     // the rebuild contract: models fit on the bootstrap batch alone —
     // or, with a refit point, on chunks 0..refitAt (the corpus-so-far
@@ -141,9 +139,7 @@ object AnnMaintScale {
               compactEvery = every).committedCount)
         case _ =>
           val m = new AnnMaintenance(spark, root, nLists, iters, every)
-          (m.processBatch _,
-            (_: Long, _: DataFrame) => throw new UnsupportedOperationException,
-            () => m.currentIndex(),
+          (m.processBatch _, m.refitBatch _, () => m.currentIndex(),
             () => new AnnMaintenance(spark, root, nLists, iters,
               every).committedCount)
       }

@@ -108,6 +108,33 @@ object ExtQueries51 {
         .orderBy(col("vec_id"))
     }),
 
+    // The same in-stream refit verb on the raw-vector IVF member (the
+    // family is symmetric: every maintenance stream can now retrain in
+    // place). Drained index == full-corpus rebuild (fit ALL, assign
+    // ALL) — the recursive IVF replay at fit predicate TRUE.
+    "stream_ann_index_refit" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val staged = ExtQueries46.stagedEmbChunks(s, dir)
+      val schema = embs(s, dir).schema
+      val root = graft.operators.Sinks.dir(
+        "ann_refit/run" + annRefitRuns.incrementAndGet())
+      val maint = new graft.streaming.AnnMaintenance(s, root, NLists,
+        IvfIters, compactEvery = 2)
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          if (id == 2L) maint.refitBatch(id, s.read.schema(schema).parquet(staged))
+          else maint.processBatch(id, b)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      maint.currentIndex()
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+        .orderBy(col("vec_id"))
+    }),
+
     // The same in-stream refit verb on the cheapest family member:
     // SQ8's retrain is ONE aggregate scan, so the refit batch costs
     // little more than a compaction. Drained table == full-corpus
@@ -138,6 +165,7 @@ object ExtQueries51 {
 
   private val ivfpqRefitRuns = new java.util.concurrent.atomic.AtomicLong()
   private val sqRefitRuns = new java.util.concurrent.atomic.AtomicLong()
+  private val annRefitRuns = new java.util.concurrent.atomic.AtomicLong()
 
   /** The two-stage replay: the stitched IVF+PQ CTEs, an ADC shortlist of
     * `Shortlist` per query at `NProbe`, then the exact re-rank. Emits
@@ -211,6 +239,12 @@ object ExtQueries51 {
            |JOIN codes c ON c.vec_id = i.vec_id
            |JOIN recon r ON r.vec_id = i.vec_id
            |GROUP BY i.vec_id, i.cluster ORDER BY i.vec_id""".stripMargin,
+
+      // IVF refit drain == full rebuild: k-means fit on the whole corpus
+      "stream_ann_index_refit" ->
+        s"""WITH RECURSIVE ${ExtQueries46.ivfReplayCtes("TRUE")}
+           |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM indexed
+           |ORDER BY vec_id""".stripMargin,
 
       // SQ refit drain == full rebuild: stats fit on the whole corpus
       "stream_sq_refit" ->

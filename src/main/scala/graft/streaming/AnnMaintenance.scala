@@ -36,14 +36,16 @@ import graft.operators.IvfIndex
  *  - replay of a committed batch → short-circuits on the marker.
  *
  * Commit markers ROLL UP at compaction and the marker log stays bounded
- * by compactEvery forever — see [[ShardLog]]. SINGLE WRITER,
- * DRAIN-THEN-READ: exactly one live instance may write a given `root`
- * (the foreachBatch contract); serving reads ([[currentIndex]]/[[topK]])
- * resolve parquet file listings at PLAN time, and a compaction triggered
- * by a concurrent `processBatch` deletes covered shards — read between
- * batches (drain-then-read, which is what the oracled query does), or
- * eagerly materialize (`localCheckpoint(true)`) the frame before the
- * next batch folds.
+ * by compactEvery forever — see [[ShardLog]]. SINGLE WRITER: exactly
+ * one live instance may write a given `root` (the foreachBatch
+ * contract). Serving reads ([[currentIndex]]/[[topK]]) resolve from the
+ * cached commit state and — by the ShardLog deferral contract (r15
+ * verdict #1) — stay executable across ONE concurrent compaction,
+ * returning exactly their plan-time rows.
+ *
+ * [[refitBatch]] is the in-stream refit verb (generation-stamped
+ * snapshot markers, centroids_g<g> siblings — the [[IvfPqMaintenance]]
+ * discipline).
  *
  * PRECONDITION (same as IndexMaintenance): vec_ids are unique across
  * ingest batches.
@@ -52,10 +54,37 @@ final class AnnMaintenance(spark: SparkSession, root: String,
     nLists: Int = 16, iters: Int = 3, compactEvery: Int = 64) {
 
   private val log = new ShardLog(spark, root, "assign", compactEvery,
-    Seq("vec_id", "qv", "norm", "cluster"))
+    new ShardLog.AppendFold(Seq("vec_id", "qv", "norm", "cluster")),
+    // ordinary compactions must not lose the refit generation
+    () => s""""gen":$generation""")
 
-  private val centroidsDir = new Path(s"$root/centroids")
-  private def fs = centroidsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def fs = new Path(root)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private val GenField = """"gen"\s*:\s*(\d+)""".r
+
+  // the COMMITTED codebook generation — authoritative from the latest
+  // snapshot marker (the IvfPqMaintenance discipline: never pair a
+  // fresher codebook with older committed assignments after a crash
+  // mid-refit)
+  @volatile private var genMemo: Int = -1
+
+  /** The committed codebook generation (0 = the bootstrap fit). */
+  def generation: Int = {
+    if (genMemo < 0)
+      genMemo = log.latestSnapshotMarker
+        .flatMap(mk => GenField.findFirstMatchIn(mk).map(_.group(1).toInt))
+        .getOrElse(0)
+    genMemo
+  }
+
+  /** gen 0 keeps the original `centroids/` layout; refits publish
+    * `centroids_g<g>/` siblings. */
+  private def centroidsDirFor(gen: Int): Path =
+    if (gen == 0) new Path(s"$root/centroids")
+    else new Path(s"$root/centroids_g$gen")
+
+  private def centroidsDir = centroidsDirFor(generation)
 
   private val centroidSchema = StructType(Seq(
     StructField("cluster", IntegerType, nullable = false),
@@ -100,8 +129,13 @@ final class AnnMaintenance(spark: SparkSession, root: String,
     centroidsMemo
   }
 
-  private def publishCentroids(cents: Array[Array[Double]]): Unit = {
-    val tmp = new Path(s"$root/.centroids.tmp")
+  /** Atomic publish of generation `gen`'s codebook. Write-once: an
+    * already-published dir short-circuits (a refit replay refits
+    * deterministically — identical values). */
+  private def publishCentroids(gen: Int, cents: Array[Array[Double]]): Unit = {
+    val dst = centroidsDirFor(gen)
+    if (fs.exists(dst)) return
+    val tmp = new Path(s"$root/.centroids_g$gen.tmp")
     val rows = cents.zipWithIndex.map { case (cv, i) =>
       org.apache.spark.sql.Row(i, cv.toSeq)
     }
@@ -109,8 +143,7 @@ final class AnnMaintenance(spark: SparkSession, root: String,
         spark.sparkContext.parallelize(rows.toSeq, 1), centroidSchema)
       .write.mode("overwrite").parquet(tmp.toString)
     try {
-      CommitMarkers.renameOverwrite(spark, fs, tmp, centroidsDir)
-      centroidsMemo = cents // published: the bootstrap skips the re-read
+      CommitMarkers.renameOverwrite(spark, fs, tmp, dst)
     } catch {
       case e: Exception =>
         // PROPAGATE (r15 advice, same pattern as IvfPqMaintenance): a
@@ -133,10 +166,34 @@ final class AnnMaintenance(spark: SparkSession, root: String,
       if (!centroidsPublished) {
         // bootstrap: this batch IS the training snapshot
         val (c, a) = IvfIndex.buildIndex(embs, nLists, iters)
-        publishCentroids(c)
+        publishCentroids(0, c)
+        centroidsMemo = c // published: the bootstrap skips the re-read
         a
       } else IvfIndex.assignBatch(embs, centroids())
     log.commitShard(batchId, shard, s"""{"nLists":$nLists,"iters":$iters}""")
+  }
+
+  /**
+   * IN-STREAM REFIT-AND-SWAP (the [[IvfPqMaintenance.refitBatch]]
+   * discipline on the raw-vector member): retrain the k-means on
+   * `corpus` (the full corpus as of this batch), publish the codebook
+   * as the next generation, commit the full re-assignment as this
+   * batch's SNAPSHOT with the generation in its marker. The committed
+   * generation stays authoritative across the publish-vs-commit crash
+   * window; the replay refits deterministically.
+   */
+  def refitBatch(batchId: Long, corpus: DataFrame): Unit = {
+    if (log.isCommitted(batchId)) return
+    require(centroidsPublished,
+      "refit before bootstrap — batch 0 already fits; feed it processBatch")
+    val newGen = generation + 1
+    val (cents, assigned) = IvfIndex.buildIndex(corpus, nLists, iters)
+    publishCentroids(newGen, cents)
+    log.commitSnapshot(batchId, assigned,
+      s""""nLists":$nLists,"iters":$iters,"gen":$newGen""")
+    genMemo = newGen
+    centroidsMemo = cents
+    org.apache.spark.sql.graftbridge.CheckpointBridge.release(assigned)
   }
 
   /** The standing `(vec_id, qv, norm, cluster)` index over all committed

@@ -108,6 +108,48 @@ class AnnMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs(c2.currentIndex()) == before)
   }
 
+  test("in-stream refit: new codebook generation, kill/resume byte-identical") {
+    val extra = spark.createDataFrame(Seq((100L, Seq.fill(8)(0.05f))))
+      .toDF("vec_id", "embedding")
+    val grown = embsAll.unionByName(extra)
+    val (centsAll, _) = IvfIndex.buildIndex(embsAll, 4, 2)
+    val expect = pairs(IvfIndex.assignBatch(grown, centsAll))
+
+    val rootA = Files.createTempDirectory("ann_refit_a").toString
+    val a = new AnnMaintenance(spark, rootA, nLists = 4, iters = 2, compactEvery = 2)
+    a.processBatch(0L, batch(0))
+    a.processBatch(1L, batch(1)) // live compaction carries gen 0
+    a.refitBatch(2L, embsAll)
+    a.processBatch(3L, extra)
+    assert(a.generation == 1, "refit must advance the committed generation")
+    assert(a.centroids().map(_.toSeq).toSeq == centsAll.map(_.toSeq).toSeq,
+      "served codebook must be the gen-1 fit")
+    assert(pairs(a.currentIndex()) == expect,
+      "refit drain diverged from the gen-1 rebuild")
+
+    // crash window: centroids_g1 published + snapshot written, marker
+    // never committed — restart serves gen 0, replay lands identical
+    val rootB = Files.createTempDirectory("ann_refit_b").toString
+    val fsB = new org.apache.hadoop.fs.Path(rootB)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val b1 = new AnnMaintenance(spark, rootB, nLists = 4, iters = 2, compactEvery = 2)
+    b1.processBatch(0L, batch(0))
+    b1.processBatch(1L, batch(1))
+    b1.refitBatch(2L, embsAll)
+    fsB.delete(new org.apache.hadoop.fs.Path(s"$rootB/basemeta/2"), false)
+    val b2 = new AnnMaintenance(spark, rootB, nLists = 4, iters = 2, compactEvery = 2)
+    assert(b2.generation == 0,
+      "an uncommitted refit must not advance the generation")
+    val (cents0, _) = IvfIndex.buildIndex(batch(0), 4, 2)
+    assert(b2.centroids().map(_.toSeq).toSeq == cents0.map(_.toSeq).toSeq,
+      "pre-replay serving must pair gen-0 centroids with gen-0 assignments")
+    b2.refitBatch(2L, embsAll)
+    b2.processBatch(3L, extra)
+    assert(b2.generation == 1)
+    assert(pairs(b2.currentIndex()) == expect,
+      "refit kill/resume diverged from the uninterrupted run")
+  }
+
   test("compaction: snapshot replaces covered shards, result unchanged, crash debris swept") {
     val root = Files.createTempDirectory("ann_maint_cp").toString
     val fs = new org.apache.hadoop.fs.Path(root)
