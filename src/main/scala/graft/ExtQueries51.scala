@@ -26,6 +26,15 @@ import graft.operators.{AnnIndex, PqIndex, Similarity, Tables}
  *    exact scan — the number that justifies the refine stage next to
  *    `ann_pq_recall`'s ≈0.2; both rankings replayed.
  *
+ * Wave 2 — IN-STREAM REFIT drains (r15 verdict #3), one per maintenance
+ * member: `stream_ivfpq_refit`, `stream_sq_refit`,
+ * `stream_ann_index_refit`. Each drain bootstraps (gen 0), folds an
+ * O(batch) shard through a live compaction, then REFITS at the last
+ * batch — retrain on the corpus-so-far, publish generation 1, commit
+ * the re-encode as a generation-stamped snapshot — so the drained table
+ * equals the FULL-corpus rebuild replay (fit predicate TRUE), vs the
+ * `stream_*_refresh` drains' frozen-batch-0 replays.
+ *
  * Parameters (measured on the shared corpus): nProbe 6 (vs the plain
  * IVFADC serve's 4 — the IVF ceiling is 0.88@4 but 0.98@6) and
  * shortlist 10·k. The shortlist is the binding knob, not the probe
