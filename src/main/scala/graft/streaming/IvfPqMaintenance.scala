@@ -242,4 +242,16 @@ final class IvfPqMaintenance(spark: SparkSession, root: String,
     PqIndex.ivfadcTopKFromTable(cents, books, currentTable(), embeddings,
       queryIds, k, nProbe)
   }
+
+  /** Two-stage REFINED serve from the maintained table
+    * ([[graft.operators.PqIndex.ivfadcRefinedTopK]]): ADC shortlist of
+    * `shortlist` per query, raw vectors fetched only for the shortlist,
+    * exact re-rank — the high-recall read a deployment points at this
+    * stream's standing state. */
+  def topKRefined(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      nProbe: Int, shortlist: Int): DataFrame = {
+    val (cents, books) = models()
+    PqIndex.ivfadcRefinedTopK(cents, books, currentTable(), embeddings,
+      queryIds, k, nProbe, shortlist)
+  }
 }

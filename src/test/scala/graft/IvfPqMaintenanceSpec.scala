@@ -78,6 +78,13 @@ class IvfPqMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val exp = PqIndex.ivfadcTopKFromTable(cents, books, expect, embsAll,
       Seq(0L, 1L), 3, 2).collect().map(_.toSeq.toVector).toSet
     assert(got == exp, "maintained-table serve diverged from the rebuild serve")
+    // the two-stage refined serve likewise (r16): same standing state,
+    // exact re-rank of the ADC shortlist
+    val gotR = m.topKRefined(embsAll, Seq(0L, 1L), 3, 2, shortlist = 6)
+      .collect().map(_.toSeq.toVector).toSet
+    val expR = PqIndex.ivfadcRefinedTopK(cents, books, expect, embsAll,
+      Seq(0L, 1L), 3, 2, 6).collect().map(_.toSeq.toVector).toSet
+    assert(gotR == expR, "maintained-table refined serve diverged")
   }
 
   test("kill/resume: pre-marker and pre-publish crash windows replay identically") {
