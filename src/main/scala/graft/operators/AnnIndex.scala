@@ -180,6 +180,26 @@ object AnnIndex {
   def topK(idx: Ivf, queryIds: Seq[Long], k: Int, nProbe: Int): DataFrame =
     IvfIndex.topKFrom(idx.centroids, idx.assigned, queryIds, k, nProbe)
 
+  /** Batched kNN JOIN from a standing index — top-k for every corpus row
+    * matching `queryPred` in one plan (see [[IvfIndex.knnJoinFrom]]). */
+  def knnJoin(idx: Ivf, queryPred: Column, k: Int, nProbe: Int,
+      broadcastProbes: Boolean = true): DataFrame =
+    IvfIndex.knnJoinFrom(idx.centroids, idx.assigned, queryPred, k, nProbe,
+      broadcastProbes)
+
+  /** Radius (range) search from a standing index (see
+    * [[IvfIndex.radiusFrom]]). */
+  def radius(idx: Ivf, queryIds: Seq[Long], minCos: Double, nProbe: Int,
+      cap: Int): DataFrame =
+    IvfIndex.radiusFrom(idx.centroids, idx.assigned, queryIds, minCos, nProbe, cap)
+
+  /** Serve-time filtered top-k from the UNFILTERED standing index (see
+    * [[IvfIndex.topKFromFiltered]]). */
+  def topKFiltered(idx: Ivf, queryIds: Seq[Long], k: Int, nProbe: Int,
+      candPred: Column): DataFrame =
+    IvfIndex.topKFromFiltered(idx.centroids, idx.assigned, queryIds, k,
+      nProbe, candPred)
+
   /** Drop + release the standing FILTERED entry under (dir, params, tag,
     * filter) — the swap half of [[refitIvfTo]]. No-op if absent. Only
     * the session layer is dropped: a durable entry stays keyed by its

@@ -149,23 +149,135 @@ object IvfIndex {
    */
   def topKFrom(centroids: Array[Array[Double]], indexed: DataFrame,
       queryIds: Seq[Long], k: Int, nProbe: Int): DataFrame = {
-    // probe lists per query: nProbe nearest centroids
-    val qAssigned = indexed.where(col("vec_id").isin(queryIds: _*))
+    val scored = scoredInLists(centroids, indexed,
+      indexed.where(col("vec_id").isin(queryIds: _*)), nProbe)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("vec_id"), col("cos"))
+  }
+
+  /** Probe rows for a query-side relation in index layout: one
+    * (query_id, qqv, qnorm, cluster) row per (query, probed list) — the
+    * nProbe nearest centroids per query, argmin'd against the broadcast
+    * centroid literals exactly as [[assign]] does. */
+  private def probesFor(centroids: Array[Array[Double]], qAssigned: DataFrame,
+      nProbe: Int): DataFrame = {
     val probeCols = centroids.zipWithIndex.map { case (c, i) =>
       struct(relDist2(col("qv"), c).as("d"), lit(i).as("c"))
     }
-    val probes = qAssigned
+    qAssigned
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
         col("norm").as("qnorm"),
         explode(slice(array_sort(array(probeCols: _*)), 1, nProbe)).as("p"))
       .select(col("query_id"), col("qqv"), col("qnorm"), col("p.c").as("cluster"))
+  }
 
-    val scored = indexed
-      .join(broadcast(probes), Seq("cluster"))
+  /** Exact cosine of every (query, candidate) pair inside the probed
+    * lists (self excluded) — the shared scoring core of every serve
+    * shape. With `broadcastProbes` (the default) the probe side —
+    * |Q|·nProbe rows of (id, vec, norm) — broadcasts onto the standing
+    * lists: right for literal-id serves and predicate serves with small
+    * |Q|. At |Q| ~ corpus (full kNN-graph construction) the probe side
+    * is itself data-sized, so callers pass false and the plan becomes a
+    * shuffled HASH join on `cluster` (hinted: neither side is sorted by
+    * cluster, a sort-merge would pay two wasted sorts). Keeps `cluster`
+    * so callers can pre-cut per-(query, list); under the shuffled join
+    * that pre-cut inherits hash(cluster) and adds no exchange. */
+  private def scoredInLists(centroids: Array[Array[Double]], indexed: DataFrame,
+      qAssigned: DataFrame, nProbe: Int,
+      broadcastProbes: Boolean = true): DataFrame = {
+    val probes = probesFor(centroids, qAssigned, nProbe)
+    indexed
+      .join(if (broadcastProbes) broadcast(probes) else probes.hint("shuffle_hash"),
+        Seq("cluster"))
       .where(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
+      .select(col("cluster"), col("query_id"), col("vec_id"),
         round(Similarity.cosineFromParts(
           Similarity.dotQ(col("qqv"), col("qv")), col("qnorm"), col("norm")), 4).as("cos"))
+  }
+
+  /**
+   * Batched kNN JOIN from a standing index: approximate top-k neighbors
+   * for EVERY row of a query-side RELATION (corpus members selected by
+   * `queryPred`) in ONE declarative plan — the realistic retrieval shape
+   * at 100 TB (|Q| ~ millions: kNN-graph construction, SemDeDup-style
+   * semantic curation, hard-negative mining), vs [[topKFrom]]'s literal
+   * id-list serve.
+   *
+   * Scale posture: the probe side is |Q|·nProbe rows of (id, qv, norm,
+   * cluster). Small |Q| broadcasts it and the inverted lists are scanned
+   * in place (partition-pruned under the durable cluster-partitioned
+   * layout). At |Q| ~ corpus the same plan degrades to a shuffled join
+   * on `cluster`, whose parallelism is nLists — which is why nLists must
+   * follow the ~sqrt(N) sizing rule at scale: the join key cardinality
+   * then tracks the executor count AND per-list candidate work stays
+   * ~sqrt(N). Candidates are pre-cut to k per (query, list) BEFORE the
+   * global top-k, so the final top-k window moves |Q|·nProbe·k rows
+   * instead of |Q|·list-size (both windows additionally get
+   * WindowGroupLimit's map-side partial pruning — every exchange here
+   * moves k-capped rows, never raw candidate lists). In the
+   * shuffled-join regime the pre-cut is shuffle-FREE: hash(cluster)
+   * already clusters (query_id, cluster), so only k-capped survivors
+   * ever re-shuffle; in the broadcast regime its exchange is k-pruned
+   * and net-neutral.
+   */
+  def knnJoinFrom(centroids: Array[Array[Double]], indexed: DataFrame,
+      queryPred: Column, k: Int, nProbe: Int,
+      broadcastProbes: Boolean = true): DataFrame = {
+    val scored = scoredInLists(centroids, indexed, indexed.where(queryPred),
+      nProbe, broadcastProbes)
+    val perList = Window.partitionBy(col("query_id"), col("cluster"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val precut = scored
+      .withColumn("lrnk", row_number().over(perList))
+      .where(col("lrnk") <= k)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    precut
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("vec_id"), col("cos"))
+  }
+
+  /** Per-cluster probe-visit counts for a query side in index layout —
+    * the analytic half of the kNN-join cost model (candidates scored =
+    * Σ_c visits(c)·|c|). Measurement-main helper: one tiny aggregate
+    * over |Q|·nProbe probe rows, never the joined candidates. */
+  def probeVisitCounts(centroids: Array[Array[Double]], qAssigned: DataFrame,
+      nProbe: Int): Array[(Int, Long)] =
+    probesFor(centroids, qAssigned, nProbe)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("visits"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+
+  /** RADIUS (range) search from a standing index: every probed-list
+    * neighbor with cosine >= minCos, capped at `cap` rows per query in
+    * deterministic rank order so dense neighborhoods can't blow up the
+    * result relation — the epsilon-ball companion of [[topKFrom]]. */
+  def radiusFrom(centroids: Array[Array[Double]], indexed: DataFrame,
+      queryIds: Seq[Long], minCos: Double, nProbe: Int, cap: Int): DataFrame = {
+    val scored = scoredInLists(centroids, indexed,
+      indexed.where(col("vec_id").isin(queryIds: _*)), nProbe)
+      .where(col("cos") >= minCos)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= cap)
+      .select(col("query_id"), col("rnk"), col("vec_id"), col("cos"))
+  }
+
+  /** Serve-time FILTERED top-k (the FAISS IDSelector shape): candidates
+    * are restricted by `candPred` INSIDE the probed lists BEFORE ranking
+    * — pre-filter semantics, so k survivors are returned whenever the
+    * probed lists hold k matches — from the UNFILTERED standing index.
+    * No per-predicate index build: the predicate rides the inverted-list
+    * scan, exactly where a metadata pushdown lands under the durable
+    * cluster-partitioned layout. (Contrast [[AnnIndex.ivfFiltered]],
+    * which BUILDS a dedicated index over a corpus subset.) */
+  def topKFromFiltered(centroids: Array[Array[Double]], indexed: DataFrame,
+      queryIds: Seq[Long], k: Int, nProbe: Int, candPred: Column): DataFrame = {
+    val scored = scoredInLists(centroids, indexed.where(candPred),
+      indexed.where(col("vec_id").isin(queryIds: _*)), nProbe)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     scored
       .withColumn("rnk", row_number().over(w))

@@ -71,6 +71,34 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("vec_id"), col("cos"))
   }
 
+  /**
+   * Exact brute-force MAXIMUM-INNER-PRODUCT top-k (MIPS) — the retrieval
+   * objective of dot-product-trained embedding models, where the cosine
+   * ranking is WRONG (a long vector can win on <q,v> while losing on
+   * angle). `dot` is the exact integer <q,v> on the e6 quantization grid
+   * (LongArrayDot codegen, no floating point anywhere), so the surface
+   * is bit-exact. For an indexed MIPS path, the standard norm-
+   * augmentation reduction (append sqrt(maxNorm^2 - |v|^2) to each
+   * corpus vector, 0 to queries) turns MIPS into cosine search and the
+   * whole IVF family applies unchanged; the exact scan here is the
+   * baseline that oracles it.
+   */
+  def bruteForceTopKDot(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val corpus = quantizedWithNorm(embeddings)
+    val q = corpus
+      .where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"))
+    val scored = corpus
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        dotQ(col("qqv"), col("qv")).as("dot"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dot").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("vec_id"), col("dot"))
+  }
+
   /** Literal sign vector of one hyperplane — public so the DuckDB oracle
     * can mirror the bucket computation exactly (the signs are fixed
     * constants, not data). */

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.{AnnIndex, IvfIndex, Similarity}
+
+/** Batched / filtered / range ANN serving (round 16, wave 3): the kNN
+  * JOIN must agree with the per-query serve row for row, the per-list
+  * pre-cut must never change the result, radius output must be exactly
+  * the thresholded top-k prefix, serve-time filtering must honor the
+  * predicate without losing valid candidates, and MIPS must rank by the
+  * exact integer dot. */
+class Ext52Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val qids = Seq(0L, 1L, 2L, 3L, 4L)
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] =
+    df.select(col("query_id"), col("rnk"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+  test("kNN join == per-query topK serve for the same query set (pre-cut is lossless)") {
+    val idx = AnnIndex.ivf(spark, sfDir, 16, 3)
+    val joined = rows(AnnIndex.knnJoin(idx, col("vec_id").isin(qids: _*), 5, 4))
+    val served = rows(AnnIndex.topK(idx, qids, 5, 4))
+    assert(joined == served,
+      "batched kNN join must return exactly the per-query serve results")
+  }
+
+  test("full-corpus kNN graph: every corpus vector appears as a query with contiguous ranks") {
+    val idx = AnnIndex.ivf(spark, sfDir, 16, 3)
+    val n = idx.assigned.count()
+    val g = AnnIndex.knnJoin(idx, lit(true), 5, 4)
+    assert(g.select(col("query_id")).distinct().count() == n,
+      "every vector must get a neighbor list")
+    val badRanks = g.groupBy(col("query_id"))
+      .agg(min(col("rnk")).as("mn"), max(col("rnk")).as("mx"),
+        count(lit(1)).as("c"), countDistinct(col("rnk")).as("d"))
+      .where(col("mn") =!= 1 || col("mx") =!= col("c") || col("c") =!= col("d"))
+      .count()
+    assert(badRanks == 0, "ranks must be contiguous from 1 per query")
+  }
+
+  test("radius = the cos >= threshold prefix of the uncapped serve ranking") {
+    val idx = AnnIndex.ivf(spark, sfDir, 16, 3)
+    val minCos = 0.1
+    val radius = AnnIndex.radius(idx, qids, minCos, 4, 1000)
+    val full = IvfIndex.topKFrom(idx.centroids, idx.assigned, qids, Int.MaxValue, 4)
+    val expected = rows(full.where(col("cos") >= minCos))
+    assert(rows(radius) == expected,
+      "radius output must equal the thresholded prefix of the full ranking")
+    assert(radius.count() > 0, "threshold chosen to be non-vacuous on the fixture")
+  }
+
+  test("serve-time filter: no filtered-out candidate returned, no valid candidate lost") {
+    val idx = AnnIndex.ivf(spark, sfDir, 16, 3)
+    val pred = col("vec_id") % 3 =!= 1
+    val filtered = AnnIndex.topKFiltered(idx, qids, 10, 4, pred)
+    assert(filtered.where(col("vec_id") % 3 === 1).count() == 0,
+      "predicate must hold on every returned candidate")
+    // reference: rank the unfiltered serve's probed candidates after the
+    // same predicate — equal because both score the same candidate set
+    val unfiltered = IvfIndex.topKFrom(idx.centroids, idx.assigned, qids,
+      Int.MaxValue, 4)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    val expected = rows(unfiltered.where(pred)
+      .withColumn("rnk2", row_number().over(w)).where(col("rnk2") <= 10)
+      .drop("rnk").withColumnRenamed("rnk2", "rnk"))
+    assert(rows(filtered) == expected,
+      "pre-filter serve must equal filtering the scored candidate set")
+  }
+
+  test("MIPS ranks by exact integer dot and differs from cosine where norms demand it") {
+    val real = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val mips = Similarity.bruteForceTopKDot(real, qids, 10)
+    val corpus = Similarity.quantizedWithNorm(real)
+    val qSide = corpus.select(col("vec_id").as("query_id"), col("qv").as("qqv"))
+    val bad = mips.join(broadcast(qSide), "query_id")
+      .join(corpus, "vec_id")
+      .where(col("dot") =!= Similarity.dotQ(col("qqv"), col("qv")))
+      .count()
+    assert(bad == 0, "every MIPS score must be the exact integer dot of its pair")
+    // monotone ranks: dot non-increasing with rank per query
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rnk"))
+    val nonMono = mips.withColumn("prev", lag(col("dot"), 1).over(w))
+      .where(col("prev").isNotNull && col("prev") < col("dot")).count()
+    assert(nonMono == 0, "dot must be non-increasing in rank")
+  }
+}

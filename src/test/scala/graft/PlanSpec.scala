@@ -460,6 +460,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"ann_topk_sq: expected broadcast self-exclusion join:\n${p.take(1500)}")
   }
 
+  test("batched ANN serving (r16 wave 3): probes broadcast, corpus never sort-merges, windows group-limit") {
+    // kNN join / radius / filtered serve: the probe side (|Q| x nProbe
+    // rows) must broadcast onto the standing inverted lists — a
+    // SortMergeJoin means the corpus reshuffles per serve. The rank
+    // filters must compile to WindowGroupLimit so every exchange moves
+    // k-capped rows, never raw candidate lists.
+    Seq("ann_knn_join", "ann_knn_graph_stats", "ann_radius_ivf",
+        "ann_topk_ivf_filtered").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: probe join must be broadcast-hash:\n${p.take(1500)}")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$q: standing lists must not shuffle or cross for a serve")
+      assert(p.contains("WindowGroupLimit"),
+        s"$q: rank cut must prune map-side (WindowGroupLimit)")
+    }
+    // the mutual-kNN reduction may join edge sets however it likes (they
+    // are |N|·k rows), but never via a cartesian product
+    assert(!plan("ann_knn_graph_mutual").contains("CartesianProduct"),
+      "ann_knn_graph_mutual: edge self-join must be an equi-join")
+  }
+
   test("span family: the span string never crosses an exchange (r12 verdict #1)") {
     // spans are hashed the moment they form; counting, the repeated-set
     // join, and the coverage join all move 16-byte (128-bit) keys. A span-named
