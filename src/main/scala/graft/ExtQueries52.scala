@@ -39,6 +39,13 @@ import graft.operators.{AnnIndex, Similarity, Tables}
  *  - ann_topk_mips: exact maximum-inner-product top-k — the correct
  *    ranking for dot-trained embedding models, where cosine is wrong.
  *    Integer dot on the e6 grid: the surface is bit-exact, no rounding.
+ *  - ann_knn_join_external: the TRUE retrieval shape — a query batch
+ *    that is NOT in the corpus (assignment computed on the fly, nothing
+ *    self-excluded); fixture = reversed embeddings (norm-preserving
+ *    permutation, so the oracle reuses n2 exactly).
+ *  - ann_knn_join_recall: recall@k of the batched join vs the exact
+ *    scan over the same query relation — every approximate serve here
+ *    carries an oracled recall companion.
  *
  * Scale notes: the probe side of every serve is |Q|·nProbe rows and
  * broadcasts; at |Q| ~ corpus the same plan degrades to a shuffled join
@@ -102,7 +109,39 @@ object ExtQueries52 {
 
     "ann_topk_mips" -> ((s, dir) =>
       Similarity.bruteForceTopKDot(embs(s, dir), ExtQueries.AnnQueries, 10)
-        .orderBy(col("query_id"), col("rnk")))
+        .orderBy(col("query_id"), col("rnk"))),
+
+    // EXTERNAL query vectors (the true retrieval shape: the query batch
+    // is not in the corpus, so assignment is computed, nothing is
+    // self-excluded). Deterministic out-of-corpus fixture: the REVERSED
+    // embeddings of vectors 0..4 — a coordinate permutation keeps the
+    // norm exact (the oracle reuses n2) while the vector itself is not
+    // a corpus member.
+    "ann_knn_join_external" -> ((s, dir) => {
+      val q = embs(s, dir)
+        .where(col("vec_id").isin(ExtQueries.AnnQueries: _*))
+        .select(col("vec_id").as("query_id"),
+          reverse(col("embedding")).as("embedding"))
+      AnnIndex.knnJoinExternal(idx(s, dir), q, 10, NProbe)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // recall@k of the batched kNN join vs the exact scan over the SAME
+    // query relation — the soundness number for the join path (every
+    // approximate serve here carries an oracled recall companion)
+    "ann_knn_join_recall" -> ((s, dir) => {
+      val pred = col("vec_id") % 17 === 3
+      val exact = Similarity.bruteForceTopKWhere(embs(s, dir), pred, K)
+        .select(col("query_id"), col("vec_id"))
+      val approx = AnnIndex.knnJoin(idx(s, dir), pred, K, NProbe)
+        .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+      exact.join(approx, Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+        .select(col("query_id"), col("n_exact"), col("n_hit"),
+          round(col("n_hit") * lit(1.0) / col("n_exact"), 4).as("recall"))
+        .orderBy(col("query_id"))
+    })
   )
 
   /** probes/scored tail over ExtQueries46.ivfReplayBody's `indexed` +
@@ -180,6 +219,55 @@ object ExtQueries52 {
          |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rnk
          |  FROM scored)
          |SELECT query_id, rnk, vec_id, dot FROM ranked WHERE rnk <= 10
-         |ORDER BY query_id, rnk""".stripMargin
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    // external queries: reversed qv (elementwise quantization commutes
+    // with the permutation), SAME n2 (permutation-invariant norm),
+    // probe-assigned against the final centroids, no self-exclusion
+    "ann_knn_join_external" ->
+      s"""WITH RECURSIVE ${ExtQueries46.ivfReplayCtes("TRUE")},
+         |rq AS (
+         |  SELECT vec_id AS query_id, list_reverse(qv) AS qqv, n2 AS qn2
+         |  FROM qn WHERE vec_id IN ($annIds)),
+         |probes AS (
+         |  SELECT query_id, qqv, qn2, c AS cluster FROM (
+         |    SELECT r.*, f.c,
+         |           ROW_NUMBER() OVER (PARTITION BY r.query_id ORDER BY
+         |             list_inner_product(f.cv, f.cv)
+         |               - 2 * list_inner_product(r.qqv, f.cv), f.c) AS rn
+         |    FROM rq r CROSS JOIN fin f) x
+         |  WHERE rn <= $NProbe),
+         |scored AS (
+         |  SELECT p.query_id, v.vec_id,
+         |         ROUND(list_inner_product(p.qqv, v.qv)
+         |               / (sqrt(p.qn2) * sqrt(v.n2)), 4) AS cos
+         |  FROM probes p JOIN indexed v ON v.cluster = p.cluster),
+         |ranked AS (
+         |  SELECT query_id, vec_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, rnk, vec_id, cos FROM ranked WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    "ann_knn_join_recall" ->
+      s"""WITH RECURSIVE ${ExtQueries46.ivfReplayCtes("TRUE")},
+         |${serveTail("vec_id % 17 = 3")},
+         |hits AS (SELECT query_id, vec_id FROM ranked WHERE rnk <= $K),
+         |escored AS (
+         |  SELECT qq.vec_id AS query_id, c.vec_id,
+         |         ROUND(list_inner_product(qq.qv, c.qv)
+         |               / (sqrt(qq.n2) * sqrt(c.n2)), 4) AS cos
+         |  FROM qn qq JOIN qn c ON c.vec_id != qq.vec_id
+         |  WHERE qq.vec_id % 17 = 3),
+         |exact AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+         |    FROM escored) x WHERE rnk <= $K)
+         |SELECT e.query_id, COUNT(*) AS n_exact, COUNT(h.vec_id) AS n_hit,
+         |       ROUND(COUNT(h.vec_id) * 1.0 / COUNT(*), 4) AS recall
+         |FROM exact e LEFT JOIN hits h
+         |  ON h.query_id = e.query_id AND h.vec_id = e.vec_id
+         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
   )
 }

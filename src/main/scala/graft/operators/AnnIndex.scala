@@ -187,6 +187,13 @@ object AnnIndex {
     IvfIndex.knnJoinFrom(idx.centroids, idx.assigned, queryPred, k, nProbe,
       broadcastProbes)
 
+  /** kNN join for EXTERNAL (non-corpus) query vectors from a standing
+    * index (see [[IvfIndex.knnJoinExternalFrom]]). */
+  def knnJoinExternal(idx: Ivf, queries: DataFrame, k: Int, nProbe: Int,
+      broadcastProbes: Boolean = true): DataFrame =
+    IvfIndex.knnJoinExternalFrom(idx.centroids, idx.assigned, queries, k,
+      nProbe, broadcastProbes)
+
   /** Radius (range) search from a standing index (see
     * [[IvfIndex.radiusFrom]]). */
   def radius(idx: Ivf, queryIds: Seq[Long], minCos: Double, nProbe: Int,

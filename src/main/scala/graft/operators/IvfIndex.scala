@@ -187,12 +187,12 @@ object IvfIndex {
     * that pre-cut inherits hash(cluster) and adds no exchange. */
   private def scoredInLists(centroids: Array[Array[Double]], indexed: DataFrame,
       qAssigned: DataFrame, nProbe: Int,
-      broadcastProbes: Boolean = true): DataFrame = {
+      broadcastProbes: Boolean = true, selfExclude: Boolean = true): DataFrame = {
     val probes = probesFor(centroids, qAssigned, nProbe)
     indexed
       .join(if (broadcastProbes) broadcast(probes) else probes.hint("shuffle_hash"),
         Seq("cluster"))
-      .where(col("vec_id") =!= col("query_id"))
+      .where(if (selfExclude) col("vec_id") =!= col("query_id") else lit(true))
       .select(col("cluster"), col("query_id"), col("vec_id"),
         round(Similarity.cosineFromParts(
           Similarity.dotQ(col("qqv"), col("qv")), col("qnorm"), col("norm")), 4).as("cos"))
@@ -228,6 +228,36 @@ object IvfIndex {
       broadcastProbes: Boolean = true): DataFrame = {
     val scored = scoredInLists(centroids, indexed, indexed.where(queryPred),
       nProbe, broadcastProbes)
+    val perList = Window.partitionBy(col("query_id"), col("cluster"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val precut = scored
+      .withColumn("lrnk", row_number().over(perList))
+      .where(col("lrnk") <= k)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    precut
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("vec_id"), col("cos"))
+  }
+
+  /**
+   * kNN JOIN for EXTERNAL query vectors — the true retrieval shape:
+   * `queries` is a `(query_id, embedding)` relation whose vectors are
+   * NOT corpus members (a fresh batch, another table, user queries), so
+   * there is no stored assignment to reuse and no self to exclude. Each
+   * query is quantized, probe-assigned against the broadcast centroid
+   * literals (the same O(batch) scan as [[assignBatch]]) and joined into
+   * the standing lists — identical plan posture to [[knnJoinFrom]]
+   * (broadcast at small |Q|, shuffle-hash on `cluster` at data-sized
+   * |Q|, per-(query, list) pre-cut).
+   */
+  def knnJoinExternalFrom(centroids: Array[Array[Double]], indexed: DataFrame,
+      queries: DataFrame, k: Int, nProbe: Int,
+      broadcastProbes: Boolean = true): DataFrame = {
+    val q = Similarity.quantizedWithNorm(
+      queries.select(col("query_id").as("vec_id"), col("embedding")))
+    val scored = scoredInLists(centroids, indexed, q, nProbe,
+      broadcastProbes, selfExclude = false)
     val perList = Window.partitionBy(col("query_id"), col("cluster"))
       .orderBy(col("cos").desc, col("vec_id"))
     val precut = scored

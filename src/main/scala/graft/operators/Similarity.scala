@@ -71,6 +71,25 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("vec_id"), col("cos"))
   }
 
+  /** Exact brute-force cosine top-k for every corpus vector matching
+    * `queryPred` — the predicate-relation twin of [[bruteForceTopK]]
+    * (the exact side of the batched kNN join's recall measurement). */
+  def bruteForceTopKWhere(embeddings: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val corpus = quantizedWithNorm(embeddings)
+    val q = corpus
+      .where(queryPred)
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("norm").as("qnorm"))
+    val scored = corpus
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosineFromParts(dotQ(col("qqv"), col("qv")), col("qnorm"), col("norm")), 4).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("vec_id"), col("cos"))
+  }
+
   /**
    * Exact brute-force MAXIMUM-INNER-PRODUCT top-k (MIPS) — the retrieval
    * objective of dot-product-trained embedding models, where the cosine

@@ -88,6 +88,40 @@ class Ext52Spec extends AnyFunSuite with BeforeAndAfterAll {
       "pre-filter serve must equal filtering the scored candidate set")
   }
 
+  test("external kNN join: a corpus vector posed as an external query finds itself at rank 1, cos 1.0") {
+    val real = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val idx = AnnIndex.ivf(spark, sfDir, 16, 3)
+    // external copies of corpus vectors under shifted ids: no stored
+    // assignment to reuse, no self-exclusion — the nearest neighbor of an
+    // exact copy must be the original, at exact cosine 1.0
+    val q = real.where(col("vec_id").isin(qids: _*))
+      .select((col("vec_id") + 1000000L).as("query_id"), col("embedding"))
+    val res = AnnIndex.knnJoinExternal(idx, q, 3, 4)
+    val top1 = res.where(col("rnk") === 1).collect()
+      .map(r => (r.getLong(0) - 1000000L, r.getLong(2), r.getDouble(3)))
+    assert(top1.length == qids.length)
+    top1.foreach { case (orig, hit, cos) =>
+      assert(hit == orig, s"external copy of $orig must find $orig first, got $hit")
+      assert(cos == 1.0, s"exact copy must score cos 1.0, got $cos")
+    }
+  }
+
+  test("kNN join recall: batched-join hits are a subset of scored candidates with sane recall") {
+    val real = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val idx = AnnIndex.ivf(spark, sfDir, 16, 3)
+    val pred = col("vec_id") % 17 === 3
+    val exact = Similarity.bruteForceTopKWhere(real, pred, 5)
+      .select(col("query_id"), col("vec_id"))
+    val approx = AnnIndex.knnJoin(idx, pred, 5, 4)
+      .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+    val rec = exact.join(approx, Seq("query_id", "vec_id"), "left")
+      .agg((count(col("hit")) * lit(1.0) / count(lit(1))).as("recall"))
+      .collect()(0).getDouble(0)
+    info(f"kNN-join recall@5 = $rec%.2f")
+    assert(rec >= 0.5 && rec <= 1.0,
+      f"IVF join recall@5 $rec%.2f outside the sane band for nProbe=4/16")
+  }
+
   test("MIPS ranks by exact integer dot and differs from cosine where norms demand it") {
     val real = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val mips = Similarity.bruteForceTopKDot(real, qids, 10)
