@@ -46,6 +46,12 @@ import graft.operators.{AnnIndex, Similarity, Tables}
  *  - ann_knn_join_recall: recall@k of the batched join vs the exact
  *    scan over the same query relation — every approximate serve here
  *    carries an oracled recall companion.
+ *  - ann_probe_sweep: recall@10 at nProbe 1/2/4/8 from ONE probe
+ *    assignment (probe rank rides the scored rows; configs are nested
+ *    rank-filters) — the tuning curve a deployment reads before fixing
+ *    nProbe, without four index scans.
+ *  - ann_index_stats: list-balance health report (imbalance = max/mean
+ *    list size) — the refit/re-size trigger alongside drift recall.
  *
  * Scale notes: the probe side of every serve is |Q|·nProbe rows and
  * broadcasts; at |Q| ~ corpus the same plan degrades to a shuffled join
@@ -125,6 +131,19 @@ object ExtQueries52 {
       AnnIndex.knnJoinExternal(idx(s, dir), q, 10, NProbe)
         .orderBy(col("query_id"), col("rnk"))
     }),
+
+    // the tuning signal: recall@10 at nProbe 1/2/4/8 from ONE standing
+    // artifact and one probe assignment (configs are nested prn-filters
+    // of the widest scan — each provably a topKFrom serve at that n)
+    "ann_probe_sweep" -> ((s, dir) =>
+      AnnIndex.probeSweep(idx(s, dir), ExtQueries.AnnQueries, 10,
+          Seq(1, 2, 4, 8))
+        .orderBy(col("n_probe"))),
+
+    // the ops health report: list balance of the standing index (the
+    // refit/re-size trigger alongside drift recall)
+    "ann_index_stats" -> ((s, dir) =>
+      AnnIndex.indexStats(idx(s, dir))),
 
     // recall@k of the batched kNN join vs the exact scan over the SAME
     // query relation — the soundness number for the join path (every
@@ -248,6 +267,60 @@ object ExtQueries52 {
          |  FROM scored)
          |SELECT query_id, rnk, vec_id, cos FROM ranked WHERE rnk <= 10
          |ORDER BY query_id, rnk""".stripMargin,
+
+    // one scored CTE with probe rank kept; each config is a nested
+    // prn-filter with its own ranking — the same nesting the Spark side
+    // computes from one probe assignment
+    "ann_probe_sweep" -> {
+      val perN = Seq(1, 2, 4, 8).map { n =>
+        s"""SELECT $n AS n_probe, COUNT(*) AS n_exact,
+           |       COUNT(h.vec_id) AS n_hit,
+           |       ROUND(COUNT(h.vec_id) * 1.0 / COUNT(*), 4) AS recall
+           |FROM exact e LEFT JOIN (
+           |  SELECT query_id, vec_id FROM (
+           |    SELECT query_id, vec_id,
+           |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+           |    FROM pscored WHERE prn <= $n) r WHERE rnk <= 10) h
+           |  ON h.query_id = e.query_id AND h.vec_id = e.vec_id""".stripMargin
+      }.mkString("\n|UNION ALL\n|".stripMargin)
+      s"""WITH RECURSIVE ${ExtQueries46.ivfReplayCtes("TRUE")},
+         |pprobes AS (
+         |  SELECT vec_id AS query_id, qv AS qqv, n2 AS qn2, c AS cluster,
+         |         rn AS prn FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+         |    FROM fdists WHERE vec_id IN ($annIds)) x
+         |  WHERE rn <= 8),
+         |pscored AS (
+         |  SELECT p.query_id, p.prn, v.vec_id,
+         |         ROUND(list_inner_product(p.qqv, v.qv)
+         |               / (sqrt(p.qn2) * sqrt(v.n2)), 4) AS cos
+         |  FROM pprobes p JOIN indexed v
+         |    ON v.cluster = p.cluster AND v.vec_id != p.query_id),
+         |escored AS (
+         |  SELECT qq.vec_id AS query_id, c.vec_id,
+         |         ROUND(list_inner_product(qq.qv, c.qv)
+         |               / (sqrt(qq.n2) * sqrt(c.n2)), 4) AS cos
+         |  FROM qn qq JOIN qn c ON c.vec_id != qq.vec_id
+         |  WHERE qq.vec_id IN ($annIds)),
+         |exact AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+         |    FROM escored) x WHERE rnk <= 10)
+         |SELECT * FROM (
+         |$perN
+         |) ORDER BY n_probe""".stripMargin
+    },
+
+    "ann_index_stats" ->
+      s"""WITH RECURSIVE ${ExtQueries46.ivfReplayCtes("TRUE")},
+         |sizes AS (SELECT cluster, COUNT(*) AS sz FROM indexed GROUP BY cluster)
+         |SELECT $NLists AS n_lists,
+         |       COUNT(*) AS n_nonempty,
+         |       CAST(SUM(sz) AS BIGINT) AS n_vectors,
+         |       MIN(sz) AS min_sz, MAX(sz) AS max_sz,
+         |       ROUND(MAX(sz) * 1.0 * $NLists / SUM(sz), 4) AS imbalance
+         |FROM sizes""".stripMargin,
 
     "ann_knn_join_recall" ->
       s"""WITH RECURSIVE ${ExtQueries46.ivfReplayCtes("TRUE")},

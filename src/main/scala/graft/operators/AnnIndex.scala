@@ -200,6 +200,17 @@ object AnnIndex {
       cap: Int): DataFrame =
     IvfIndex.radiusFrom(idx.centroids, idx.assigned, queryIds, minCos, nProbe, cap)
 
+  /** nProbe recall sweep from a standing index (see
+    * [[IvfIndex.probeSweep]]). */
+  def probeSweep(idx: Ivf, queryIds: Seq[Long], k: Int,
+      nProbes: Seq[Int]): DataFrame =
+    IvfIndex.probeSweep(idx.centroids, idx.assigned, queryIds, k, nProbes)
+
+  /** Operational list-balance report of a standing index (see
+    * [[IvfIndex.indexStats]]). */
+  def indexStats(idx: Ivf): DataFrame =
+    IvfIndex.indexStats(idx.centroids, idx.assigned)
+
   /** Serve-time filtered top-k from the UNFILTERED standing index (see
     * [[IvfIndex.topKFromFiltered]]). */
   def topKFiltered(idx: Ivf, queryIds: Seq[Long], k: Int, nProbe: Int,

@@ -170,8 +170,9 @@ object IvfIndex {
     qAssigned
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
         col("norm").as("qnorm"),
-        explode(slice(array_sort(array(probeCols: _*)), 1, nProbe)).as("p"))
-      .select(col("query_id"), col("qqv"), col("qnorm"), col("p.c").as("cluster"))
+        posexplode(slice(array_sort(array(probeCols: _*)), 1, nProbe)).as(Seq("pos", "p")))
+      .select(col("query_id"), col("qqv"), col("qnorm"),
+        (col("pos") + 1).as("prn"), col("p.c").as("cluster"))
   }
 
   /** Exact cosine of every (query, candidate) pair inside the probed
@@ -193,7 +194,7 @@ object IvfIndex {
       .join(if (broadcastProbes) broadcast(probes) else probes.hint("shuffle_hash"),
         Seq("cluster"))
       .where(if (selfExclude) col("vec_id") =!= col("query_id") else lit(true))
-      .select(col("cluster"), col("query_id"), col("vec_id"),
+      .select(col("cluster"), col("prn"), col("query_id"), col("vec_id"),
         round(Similarity.cosineFromParts(
           Similarity.dotQ(col("qqv"), col("qv")), col("qnorm"), col("norm")), 4).as("cos"))
   }
@@ -314,6 +315,61 @@ object IvfIndex {
       .where(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("vec_id"), col("cos"))
   }
+
+  /**
+   * nProbe recall SWEEP — the tuning signal a deployment reads before
+   * fixing the probe count: recall@k at several nProbe settings, all
+   * from ONE standing artifact and one probe assignment. Probe rank
+   * (`prn`, the 1-based nearness order of each probed list) rides the
+   * scored rows, so nProbe=n's candidate set is exactly `prn <= n` —
+   * the configs are NESTED rank-filters over the widest scan, each
+   * provably identical to a [[topKFrom]] serve at that nProbe (same
+   * ordering, same tie-break). The exact reference ranking comes from
+   * the index's own rows (the index IS the corpus + norms), so no extra
+   * table scan. Output: one row per nProbe (n_probe, n_exact, n_hit,
+   * recall).
+   */
+  def probeSweep(centroids: Array[Array[Double]], indexed: DataFrame,
+      queryIds: Seq[Long], k: Int, nProbes: Seq[Int]): DataFrame = {
+    val qAssigned = indexed.where(col("vec_id").isin(queryIds: _*))
+    val scored = scoredInLists(centroids, indexed, qAssigned, nProbes.max)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    val exact = indexed
+      .join(broadcast(qAssigned.select(col("vec_id").as("query_id"),
+        col("qv").as("qqv"), col("norm").as("qnorm"))),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(Similarity.cosineFromParts(
+          Similarity.dotQ(col("qqv"), col("qv")), col("qnorm"), col("norm")), 4).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"))
+    nProbes.sorted.map { n =>
+      val hits = scored.where(col("prn") <= n)
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= k)
+        .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+      exact.join(hits, Seq("query_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+        .select(lit(n).as("n_probe"), col("n_exact"), col("n_hit"),
+          round(col("n_hit") * lit(1.0) / col("n_exact"), 4).as("recall"))
+    }.reduce(_ union _)
+  }
+
+  /** Operational health report of a standing index — the signal that
+    * triggers refit or re-sizing before serve latency degrades: list
+    * population, size extremes, and the imbalance factor
+    * max-list / mean-list (1.0 = perfectly balanced; serve cost on the
+    * hottest probe scales with it). One tiny aggregate over the
+    * assignment, no vector arithmetic. */
+  def indexStats(centroids: Array[Array[Double]], indexed: DataFrame): DataFrame =
+    indexed.groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_nonempty"),
+        sum(col("sz")).as("n_vectors"),
+        min(col("sz")).as("min_sz"), max(col("sz")).as("max_sz"),
+        round(max(col("sz")) * lit(1.0) * lit(centroids.length) / sum(col("sz")), 4)
+          .as("imbalance"))
+      .withColumn("n_lists", lit(centroids.length))
 
   /**
    * One-shot IVF top-k: build + serve + drop the index. Kept for callers

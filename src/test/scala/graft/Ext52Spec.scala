@@ -122,6 +122,38 @@ class Ext52Spec extends AnyFunSuite with BeforeAndAfterAll {
       f"IVF join recall@5 $rec%.2f outside the sane band for nProbe=4/16")
   }
 
+  test("probe sweep: recall non-decreasing in nProbe; each config equals a real serve at that n") {
+    val idx = AnnIndex.ivf(spark, sfDir, 16, 3)
+    val sweep = AnnIndex.probeSweep(idx, qids, 10, Seq(1, 2, 4, 8))
+      .orderBy(col("n_probe")).collect()
+    assert(sweep.length == 4)
+    val recalls = sweep.map(r => r.getAs[Double]("recall"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a },
+      s"recall must be non-decreasing in nProbe: ${recalls.mkString(", ")}")
+    assert(recalls.last > 0.0, "widest config must recover something")
+    // the nProbe=4 sweep row must equal the recall computed from the
+    // real topKFrom serve at nProbe=4 (the sweep IS nested serves)
+    val exact = rows(IvfIndex.topKFrom(idx.centroids, idx.assigned, qids, 10, 16))
+      // nProbe=16 probes every list == exact ranking over the whole corpus
+    val served = rows(AnnIndex.topK(idx, qids, 10, 4))
+    val hit = served.count { case (q, _, v) => exact.exists(e => e._1 == q && e._3 == v) }
+    val servedRecall = hit.toDouble / exact.size
+    val sweepAt4 = sweep.find(_.getAs[Int]("n_probe") == 4).get.getAs[Double]("recall")
+    assert(math.abs(sweepAt4 - servedRecall) < 1e-9,
+      f"sweep@4 $sweepAt4%.4f must equal the real serve's recall $servedRecall%.4f")
+  }
+
+  test("index stats: vector count conserved, imbalance >= 1, extremes ordered") {
+    val idx = AnnIndex.ivf(spark, sfDir, 16, 3)
+    val st = AnnIndex.indexStats(idx).collect()(0)
+    assert(st.getAs[Long]("n_vectors") == idx.assigned.count())
+    assert(st.getAs[Int]("n_lists") == 16)
+    assert(st.getAs[Long]("n_nonempty") <= 16)
+    assert(st.getAs[Long]("min_sz") <= st.getAs[Long]("max_sz"))
+    assert(st.getAs[Double]("imbalance") >= 1.0 - 1e-9,
+      "max list can never be below the mean")
+  }
+
   test("MIPS ranks by exact integer dot and differs from cosine where norms demand it") {
     val real = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val mips = Similarity.bruteForceTopKDot(real, qids, 10)
