@@ -200,8 +200,8 @@ object ExtQueries46 {
   /** The replay WITHOUT the leading quantSql — composable next to other
     * CTE families over the same `qn` (the IVFADC oracle stitches this
     * together with the PQ replay body). */
-  private[graft] def ivfReplayBody(fitPred: String): String =
-    s"""fitq AS (SELECT vec_id, qv FROM qn WHERE $fitPred),
+  private[graft] def ivfReplayBody(fitPred: String, src: String = "qn"): String =
+    s"""fitq AS (SELECT vec_id, qv FROM $src WHERE $fitPred),
        |seeds AS (
        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c,
        |         qv AS cv
@@ -234,7 +234,7 @@ object ExtQueries46 {
        |  SELECT v.vec_id, v.qv, v.n2, f.c,
        |         list_inner_product(f.cv, f.cv)
        |           - 2 * list_inner_product(v.qv, f.cv) AS d
-       |  FROM qn v CROSS JOIN fin f),
+       |  FROM $src v CROSS JOIN fin f),
        |indexed AS (
        |  SELECT vec_id, qv, n2, c AS cluster FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AnnIndex, Similarity, Tables}
+import graft.operators.{AnnIndex, IvfIndex, Similarity, Tables}
 
 /**
  * Round 16, wave 3: BATCHED / FILTERED / RANGE ANN SERVING — the serve
@@ -46,6 +46,12 @@ import graft.operators.{AnnIndex, Similarity, Tables}
  *  - ann_knn_join_recall: recall@k of the batched join vs the exact
  *    scan over the same query relation — every approximate serve here
  *    carries an oracled recall companion.
+ *  - ann_topk_mips_ivf / ann_mips_ivf_recall: MIPS on the IVF path via
+ *    the norm-augmentation reduction (one extra integer coordinate
+ *    round(sqrt(maxN2 − |v|²)) makes augmented norms ~constant, queries
+ *    carry 0 there, so augmented-cosine pruning is monotone in the raw
+ *    inner product) — the indexed serve for dot-trained models, scored
+ *    by the exact raw integer dot, with its oracled recall companion.
  *  - ann_probe_sweep: recall@10 at nProbe 1/2/4/8 from ONE probe
  *    assignment (probe rank rides the scored rows; configs are nested
  *    rank-filters) — the tuning curve a deployment reads before fixing
@@ -144,6 +150,31 @@ object ExtQueries52 {
     // refit/re-size trigger alongside drift recall)
     "ann_index_stats" -> ((s, dir) =>
       AnnIndex.indexStats(idx(s, dir))),
+
+    // MIPS on the IVF path via the norm-augmentation reduction — the
+    // transform ann_topk_mips's scaladoc points at, implemented: corpus
+    // vectors get one extra coordinate round(sqrt(maxN2 - |v|^2)),
+    // queries get 0, lists are fit in the augmented geometry, and
+    // candidates are scored by the EXACT raw integer dot
+    "ann_topk_mips_ivf" -> ((s, dir) =>
+      IvfIndex.mipsIvfTopK(embs(s, dir), ExtQueries.AnnQueries, 10,
+          NLists, NProbe)
+        .orderBy(col("query_id"), col("rnk"))),
+
+    "ann_mips_ivf_recall" -> ((s, dir) => {
+      val exact = Similarity.bruteForceTopKDot(embs(s, dir),
+          ExtQueries.AnnQueries, 10)
+        .select(col("query_id"), col("vec_id"))
+      val approx = IvfIndex.mipsIvfTopK(embs(s, dir), ExtQueries.AnnQueries,
+          10, NLists, NProbe)
+        .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+      exact.join(approx, Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+        .select(col("query_id"), col("n_exact"), col("n_hit"),
+          round(col("n_hit") * lit(1.0) / col("n_exact"), 4).as("recall"))
+        .orderBy(col("query_id"))
+    }),
 
     // recall@k of the batched kNN join vs the exact scan over the SAME
     // query relation — the soundness number for the join path (every
@@ -321,6 +352,86 @@ object ExtQueries52 {
          |       MIN(sz) AS min_sz, MAX(sz) AS max_sz,
          |       ROUND(MAX(sz) * 1.0 * $NLists / SUM(sz), 4) AS imbalance
          |FROM sizes""".stripMargin,
+
+    // augmented replay: lists fit over aqn (one extra integer coordinate
+    // round(sqrt(maxN2 - n2)) — IEEE sqrt + half-away-from-zero round on
+    // both engines), query side [q, 0], candidates scored by the exact
+    // raw integer dot
+    "ann_topk_mips_ivf" ->
+      s"""WITH RECURSIVE ${ExtQueries.quantSql},
+         |aqn AS (
+         |  SELECT vec_id,
+         |         list_append(qv, CAST(round(sqrt(CAST(
+         |           (SELECT MAX(n2) FROM qn) - n2 AS DOUBLE))) AS BIGINT)) AS qv,
+         |         n2
+         |  FROM qn),
+         |${ExtQueries46.ivfReplayBody("TRUE", "aqn")},
+         |rq AS (
+         |  SELECT vec_id AS query_id, list_append(qv, CAST(0 AS BIGINT)) AS qqv
+         |  FROM qn WHERE vec_id IN ($annIds)),
+         |probes AS (
+         |  SELECT query_id, qqv, c AS cluster FROM (
+         |    SELECT r.*, f.c,
+         |           ROW_NUMBER() OVER (PARTITION BY r.query_id ORDER BY
+         |             list_inner_product(f.cv, f.cv)
+         |               - 2 * list_inner_product(r.qqv, f.cv), f.c) AS rn
+         |    FROM rq r CROSS JOIN fin f) x
+         |  WHERE rn <= $NProbe),
+         |scored AS (
+         |  SELECT p.query_id, v.vec_id,
+         |         CAST(list_inner_product(p.qqv, v.qv) AS BIGINT) AS dot
+         |  FROM probes p JOIN indexed v
+         |    ON v.cluster = p.cluster AND v.vec_id != p.query_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, dot,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, rnk, vec_id, dot FROM ranked WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    "ann_mips_ivf_recall" ->
+      s"""WITH RECURSIVE ${ExtQueries.quantSql},
+         |aqn AS (
+         |  SELECT vec_id,
+         |         list_append(qv, CAST(round(sqrt(CAST(
+         |           (SELECT MAX(n2) FROM qn) - n2 AS DOUBLE))) AS BIGINT)) AS qv,
+         |         n2
+         |  FROM qn),
+         |${ExtQueries46.ivfReplayBody("TRUE", "aqn")},
+         |rq AS (
+         |  SELECT vec_id AS query_id, list_append(qv, CAST(0 AS BIGINT)) AS qqv
+         |  FROM qn WHERE vec_id IN ($annIds)),
+         |probes AS (
+         |  SELECT query_id, qqv, c AS cluster FROM (
+         |    SELECT r.*, f.c,
+         |           ROW_NUMBER() OVER (PARTITION BY r.query_id ORDER BY
+         |             list_inner_product(f.cv, f.cv)
+         |               - 2 * list_inner_product(r.qqv, f.cv), f.c) AS rn
+         |    FROM rq r CROSS JOIN fin f) x
+         |  WHERE rn <= $NProbe),
+         |hits AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT p.query_id, v.vec_id,
+         |           ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+         |             list_inner_product(p.qqv, v.qv) DESC, v.vec_id) AS rnk
+         |    FROM probes p JOIN indexed v
+         |      ON v.cluster = p.cluster AND v.vec_id != p.query_id) x
+         |  WHERE rnk <= 10),
+         |escored AS (
+         |  SELECT qq.vec_id AS query_id, c.vec_id,
+         |         list_inner_product(qq.qv, c.qv) AS dot
+         |  FROM qn qq JOIN qn c ON c.vec_id != qq.vec_id
+         |  WHERE qq.vec_id IN ($annIds)),
+         |exact AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rnk
+         |    FROM escored) x WHERE rnk <= 10)
+         |SELECT e.query_id, COUNT(*) AS n_exact, COUNT(h.vec_id) AS n_hit,
+         |       ROUND(COUNT(h.vec_id) * 1.0 / COUNT(*), 4) AS recall
+         |FROM exact e LEFT JOIN hits h
+         |  ON h.query_id = e.query_id AND h.vec_id = e.vec_id
+         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
 
     "ann_knn_join_recall" ->
       s"""WITH RECURSIVE ${ExtQueries46.ivfReplayCtes("TRUE")},

@@ -372,6 +372,66 @@ object IvfIndex {
       .withColumn("n_lists", lit(centroids.length))
 
   /**
+   * MIPS on the IVF path via the NORM-AUGMENTATION reduction (the
+   * standard MIPS→cosine transform, implemented rather than footnoted):
+   * every corpus vector is extended with one extra coordinate
+   * a = round(sqrt(maxN2 − |v|²)), making every augmented norm ≈ the
+   * constant sqrt(maxN2); queries are extended with 0, so the augmented
+   * dot IS the raw dot and cosine ordering in augmented space is
+   * monotone in the raw inner product. k-means lists are fit over the
+   * AUGMENTED vectors (the geometry the probes must prune), candidates
+   * are scored by the EXACT integer raw dot (query's extra coordinate
+   * is 0 — `LongArrayDot` returns `<q,v>` untouched), so the surface
+   * stays bit-exact like [[Similarity.bruteForceTopKDot]], just probed.
+   * The augmentation is integer arithmetic end to end (exact long n2,
+   * IEEE sqrt + half-away-from-zero round on both engines), so the
+   * whole index replays in DuckDB.
+   */
+  def mipsIvfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      nLists: Int, nProbe: Int, iters: Int = 3): DataFrame = {
+    val base = Similarity.quantizedWithNorm(embeddings)
+      .select(col("vec_id"), col("qv"),
+        Similarity.dotQ(col("qv"), col("qv")).as("n2"))
+      .persist()
+    try {
+      // bounded driver fetch: ONE scalar (the max squared norm)
+      val maxN2 = base.agg(max(col("n2"))).collect()(0).getLong(0)
+      val aug = base.select(col("vec_id"),
+        concat(col("qv"), array(
+          round(sqrt((lit(maxN2) - col("n2")).cast("double"))).cast("long")))
+          .as("qv"))
+        .persist()
+      val centroids = fitCentroids(aug.select(col("vec_id"), col("qv")), nLists, iters)
+      val indexed = assign(aug, centroids)
+        .select(col("vec_id"), col("qv"), col("cluster"))
+      // query side: [q, 0] — NOT the corpus row's own augmentation
+      val q0 = base.where(col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id").as("query_id"),
+          concat(col("qv"), array(lit(0L))).as("qqv"))
+      val probeCols = centroids.zipWithIndex.map { case (c, i) =>
+        struct(relDist2(col("qqv"), c).as("d"), lit(i).as("c"))
+      }
+      val probes = q0
+        .select(col("query_id"), col("qqv"),
+          explode(slice(array_sort(array(probeCols: _*)), 1, nProbe)).as("p"))
+        .select(col("query_id"), col("qqv"), col("p.c").as("cluster"))
+      val scored = indexed
+        .join(broadcast(probes), Seq("cluster"))
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          Similarity.dotQ(col("qqv"), col("qv")).as("dot"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("dot").desc, col("vec_id"))
+      val out = scored
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= k)
+        .select(col("query_id"), col("rnk"), col("vec_id"), col("dot"))
+        .localCheckpoint(true) // tiny; lets the augmented corpus go
+      aug.unpersist()
+      out
+    } finally { base.unpersist(); () }
+  }
+
+  /**
    * One-shot IVF top-k: build + serve + drop the index. Kept for callers
    * that genuinely want a throwaway index (specs, ablations); the query
    * surface serves from the memoized standing index in [[AnnIndex]].

@@ -154,6 +154,28 @@ class Ext52Spec extends AnyFunSuite with BeforeAndAfterAll {
       "max list can never be below the mean")
   }
 
+  test("MIPS-IVF (norm augmentation): every score is the exact raw dot; recall sane vs exact MIPS") {
+    val real = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val approx = IvfIndex.mipsIvfTopK(real, qids, 10, 16, 4)
+    // scores must be exact raw integer dots (the query's augmented
+    // coordinate is 0, so augmentation must not leak into the surface)
+    val corpus = Similarity.quantizedWithNorm(real)
+    val qSide = corpus.select(col("vec_id").as("query_id"), col("qv").as("qqv"))
+    val bad = approx.join(broadcast(qSide), "query_id")
+      .join(corpus, "vec_id")
+      .where(col("dot") =!= Similarity.dotQ(col("qqv"), col("qv")))
+      .count()
+    assert(bad == 0, s"$bad MIPS-IVF rows carry a non-exact raw dot")
+    val exact = Similarity.bruteForceTopKDot(real, qids, 10)
+      .select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = approx.select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rec = (hits & exact).size.toDouble / exact.size
+    info(f"MIPS-IVF recall@10 = $rec%.2f")
+    assert(rec >= 0.5, f"augmented-space pruning recall $rec%.2f below sanity floor")
+  }
+
   test("MIPS ranks by exact integer dot and differs from cosine where norms demand it") {
     val real = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val mips = Similarity.bruteForceTopKDot(real, qids, 10)
