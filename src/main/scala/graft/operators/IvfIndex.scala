@@ -332,8 +332,13 @@ object IvfIndex {
   def probeSweep(centroids: Array[Array[Double]], indexed: DataFrame,
       queryIds: Seq[Long], k: Int, nProbes: Seq[Int]): DataFrame = {
     val qAssigned = indexed.where(col("vec_id").isin(queryIds: _*))
-    val scored = scoredInLists(centroids, indexed, qAssigned, nProbes.max)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    // materialize the widest scored set and the exact reference ONCE —
+    // the per-config branches are rank-filters over these, so the index
+    // really is scanned once, not once per config (both are |Q|-bounded:
+    // |Q|·nProbe·list rows and |Q|·k rows)
+    val scored = scoredInLists(centroids, indexed, qAssigned, nProbes.max)
+      .localCheckpoint(true)
     val exact = indexed
       .join(broadcast(qAssigned.select(col("vec_id").as("query_id"),
         col("qv").as("qqv"), col("norm").as("qnorm"))),
@@ -344,7 +349,8 @@ object IvfIndex {
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .select(col("query_id"), col("vec_id"))
-    nProbes.sorted.map { n =>
+      .localCheckpoint(true)
+    val out = nProbes.sorted.map { n =>
       val hits = scored.where(col("prn") <= n)
         .withColumn("rnk", row_number().over(w))
         .where(col("rnk") <= k)
@@ -353,7 +359,10 @@ object IvfIndex {
         .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
         .select(lit(n).as("n_probe"), col("n_exact"), col("n_hit"),
           round(col("n_hit") * lit(1.0) / col("n_exact"), 4).as("recall"))
-    }.reduce(_ union _)
+    }.reduce(_ union _).localCheckpoint(true) // |nProbes| rows
+    org.apache.spark.sql.graftbridge.CheckpointBridge.release(scored)
+    org.apache.spark.sql.graftbridge.CheckpointBridge.release(exact)
+    out
   }
 
   /** Operational health report of a standing index — the signal that
