@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AnnIndex, IvfIndex, Similarity, Tables}
+import graft.operators.{AnnIndex, Similarity, Tables}
 
 /**
  * Round 16, wave 3: BATCHED / FILTERED / RANGE ANN SERVING — the serve
@@ -157,16 +157,16 @@ object ExtQueries52 {
     // queries get 0, lists are fit in the augmented geometry, and
     // candidates are scored by the EXACT raw integer dot
     "ann_topk_mips_ivf" -> ((s, dir) =>
-      IvfIndex.mipsIvfTopK(embs(s, dir), ExtQueries.AnnQueries, 10,
-          NLists, NProbe)
+      AnnIndex.mipsTopK(AnnIndex.mipsIvf(s, dir, NLists, Iters),
+          ExtQueries.AnnQueries, 10, NProbe)
         .orderBy(col("query_id"), col("rnk"))),
 
     "ann_mips_ivf_recall" -> ((s, dir) => {
       val exact = Similarity.bruteForceTopKDot(embs(s, dir),
           ExtQueries.AnnQueries, 10)
         .select(col("query_id"), col("vec_id"))
-      val approx = IvfIndex.mipsIvfTopK(embs(s, dir), ExtQueries.AnnQueries,
-          10, NLists, NProbe)
+      val approx = AnnIndex.mipsTopK(AnnIndex.mipsIvf(s, dir, NLists, Iters),
+          ExtQueries.AnnQueries, 10, NProbe)
         .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
       exact.join(approx, Seq("query_id", "vec_id"), "left")
         .groupBy(col("query_id"))

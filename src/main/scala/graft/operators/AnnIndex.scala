@@ -146,6 +146,21 @@ object AnnIndex {
     built
   }
 
+  /** Memoized standing MIPS index (norm-augmented IVF — see
+    * [[IvfIndex.buildMipsIndex]]): same layout, same memo/durable
+    * lifecycle as [[ivf]], keyed apart by tag. Serve with [[mipsTopK]]. */
+  def mipsIvf(spark: SparkSession, dir: String, nLists: Int, iters: Int): Ivf =
+    memo(spark, dir, s"mipsivf:$nLists:$iters") {
+      val (c, a) = IvfIndex.buildMipsIndex(
+        Tables.table(spark, dir, "embeddings"), nLists, iters)
+      Ivf(c, a)
+    }
+
+  /** MIPS top-k from a standing augmented index (see
+    * [[IvfIndex.mipsTopKFrom]]). */
+  def mipsTopK(idx: Ivf, queryIds: Seq[Long], k: Int, nProbe: Int): DataFrame =
+    IvfIndex.mipsTopKFrom(idx.centroids, idx.assigned, queryIds, k, nProbe)
+
   /** Memoized standing IVF index over `<dir>/embeddings.parquet`. */
   def ivf(spark: SparkSession, dir: String, nLists: Int, iters: Int): Ivf =
     memo(spark, dir, s"ivf:$nLists:$iters") {

@@ -190,8 +190,12 @@ object IvfIndex {
       qAssigned: DataFrame, nProbe: Int,
       broadcastProbes: Boolean = true, selfExclude: Boolean = true): DataFrame = {
     val probes = probesFor(centroids, qAssigned, nProbe)
-    indexed
-      .join(if (broadcastProbes) broadcast(probes) else probes.hint("shuffle_hash"),
+    // non-broadcast regime: hash-build from the CORPUS side — at
+    // data-sized |Q| the probe side is |Q|·nProbe rows (4·N for the full
+    // kNN graph), so building the per-partition hash map from the
+    // inverted lists is the bounded choice
+    (if (broadcastProbes) indexed else indexed.hint("shuffle_hash"))
+      .join(if (broadcastProbes) broadcast(probes) else probes,
         Seq("cluster"))
       .where(if (selfExclude) col("vec_id") =!= col("query_id") else lit(true))
       .select(col("cluster"), col("prn"), col("query_id"), col("vec_id"),
@@ -396,8 +400,8 @@ object IvfIndex {
    * IEEE sqrt + half-away-from-zero round on both engines), so the
    * whole index replays in DuckDB.
    */
-  def mipsIvfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
-      nLists: Int, nProbe: Int, iters: Int = 3): DataFrame = {
+  def buildMipsIndex(embeddings: DataFrame, nLists: Int,
+      iters: Int): (Array[Array[Double]], DataFrame) = {
     val base = Similarity.quantizedWithNorm(embeddings)
       .select(col("vec_id"), col("qv"),
         Similarity.dotQ(col("qv"), col("qv")).as("n2"))
@@ -405,39 +409,61 @@ object IvfIndex {
     try {
       // bounded driver fetch: ONE scalar (the max squared norm)
       val maxN2 = base.agg(max(col("n2"))).collect()(0).getLong(0)
-      val aug = base.select(col("vec_id"),
-        concat(col("qv"), array(
-          round(sqrt((lit(maxN2) - col("n2")).cast("double"))).cast("long")))
-          .as("qv"))
+      val corpus = base.select(col("vec_id"),
+          concat(col("qv"), array(
+            round(sqrt((lit(maxN2) - col("n2")).cast("double"))).cast("long")))
+            .as("qv"))
+        .select(col("vec_id"), col("qv"),
+          sqrt(Similarity.dotQ(col("qv"), col("qv")).cast("double")).as("norm"))
         .persist()
-      val centroids = fitCentroids(aug.select(col("vec_id"), col("qv")), nLists, iters)
-      val indexed = assign(aug, centroids)
-        .select(col("vec_id"), col("qv"), col("cluster"))
-      // query side: [q, 0] — NOT the corpus row's own augmentation
-      val q0 = base.where(col("vec_id").isin(queryIds: _*))
-        .select(col("vec_id").as("query_id"),
-          concat(col("qv"), array(lit(0L))).as("qqv"))
-      val probeCols = centroids.zipWithIndex.map { case (c, i) =>
-        struct(relDist2(col("qqv"), c).as("d"), lit(i).as("c"))
-      }
-      val probes = q0
-        .select(col("query_id"), col("qqv"),
-          explode(slice(array_sort(array(probeCols: _*)), 1, nProbe)).as("p"))
-        .select(col("query_id"), col("qqv"), col("p.c").as("cluster"))
-      val scored = indexed
-        .join(broadcast(probes), Seq("cluster"))
-        .where(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id"),
-          Similarity.dotQ(col("qqv"), col("qv")).as("dot"))
-      val w = Window.partitionBy(col("query_id")).orderBy(col("dot").desc, col("vec_id"))
-      val out = scored
-        .withColumn("rnk", row_number().over(w))
-        .where(col("rnk") <= k)
-        .select(col("query_id"), col("rnk"), col("vec_id"), col("dot"))
-        .localCheckpoint(true) // tiny; lets the augmented corpus go
-      aug.unpersist()
-      out
+      val centroids = fitCentroids(corpus.select(col("vec_id"), col("qv")), nLists, iters)
+      val indexed = assign(corpus, centroids)
+        .select(col("vec_id"), col("qv"), col("norm"), col("cluster"))
+        .localCheckpoint(true)
+      corpus.unpersist()
+      (centroids, indexed)
     } finally { base.unpersist(); () }
+  }
+
+  /** Serve MIPS top-k from a STANDING augmented index ([[buildMipsIndex]]
+    * layout): the query's own stored augmentation is zeroed ([q, 0], so
+    * the scored dot IS the raw `<q, v>`), probes rank in the augmented
+    * geometry, candidates score by the exact integer raw dot. */
+  def mipsTopKFrom(centroids: Array[Array[Double]], indexed: DataFrame,
+      queryIds: Seq[Long], k: Int, nProbe: Int): DataFrame = {
+    val q0 = indexed.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"),
+        concat(slice(col("qv"), lit(1), size(col("qv")) - 1), array(lit(0L)))
+          .as("qqv"))
+    val probeCols = centroids.zipWithIndex.map { case (c, i) =>
+      struct(relDist2(col("qqv"), c).as("d"), lit(i).as("c"))
+    }
+    val probes = q0
+      .select(col("query_id"), col("qqv"),
+        explode(slice(array_sort(array(probeCols: _*)), 1, nProbe)).as("p"))
+      .select(col("query_id"), col("qqv"), col("p.c").as("cluster"))
+    val scored = indexed
+      .join(broadcast(probes), Seq("cluster"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        Similarity.dotQ(col("qqv"), col("qv")).as("dot"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dot").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("vec_id"), col("dot"))
+  }
+
+  /** One-shot MIPS-IVF top-k (build + serve + drop) — spec/ablation
+    * convenience; the query surface serves from the memoized standing
+    * index ([[AnnIndex.mipsIvf]]). */
+  def mipsIvfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      nLists: Int, nProbe: Int, iters: Int = 3): DataFrame = {
+    val (centroids, indexed) = buildMipsIndex(embeddings, nLists, iters)
+    val result = mipsTopKFrom(centroids, indexed, queryIds, k, nProbe)
+      .localCheckpoint(true) // tiny (|queries| x k rows); lets the index go
+    org.apache.spark.sql.graftbridge.CheckpointBridge.release(indexed)
+    result
   }
 
   /**
