@@ -40,7 +40,7 @@ import graft.streaming.{AnnMaintenance, IvfPqMaintenance}
  * (compact | nocompact | both, default both), SPARK_GRAFT_COMPACT_EVERY
  * (cadence for `compact` mode, default 8), SPARK_GRAFT_NLISTS /
  * SPARK_GRAFT_ITERS (index params, defaults 16 / 3),
- * SPARK_GRAFT_KIND=ivf|ivfpq|sq (which maintenance loop: the IVF
+ * SPARK_GRAFT_KIND=ivf|ivfpq|ivfpqres|sq (which maintenance loop: the IVF
  * assignment index, the full IVFADC single table — batch 0 then
  * additionally fits the PQ codebooks and every later batch also
  * encodes — or the SQ8 code table; default ivf), and
@@ -131,6 +131,12 @@ object AnnMaintScale {
           (m.processBatch _, m.refitBatch _, () => m.currentTable(),
             () => new IvfPqMaintenance(spark, root, nLists, iters,
               compactEvery = every).committedCount)
+        case "ivfpqres" =>
+          val m = new IvfPqMaintenance(spark, root, nLists, iters,
+            compactEvery = every, residual = true)
+          (m.processBatch _, m.refitBatch _, () => m.currentTable(),
+            () => new IvfPqMaintenance(spark, root, nLists, iters,
+              compactEvery = every, residual = true).committedCount)
         case "sq" =>
           val m = new graft.streaming.SqMaintenance(spark, root,
             compactEvery = every)
@@ -170,6 +176,18 @@ object AnnMaintScale {
         val gotCodes = drained().select("vec_id", "code_0").collect()
           .map(r => (r.getLong(0), r.getInt(1))).toSet
         require(gotCodes == expCodes, s"$tag drained codes diverged")
+      }
+      // ...and the residual table's codes the frozen residual-books encode
+      if (kind == "ivfpqres") {
+        val assignedFit = IvfIndex.assignBatch(fitShard, bootCents)
+        val (books, _) = PqIndex.buildResPq(assignedFit, bootCents, 8, 16, 2)
+        val expCodes = PqIndex.encodeResBatch(
+            IvfIndex.assignBatch(embs, bootCents), bootCents, books)
+          .select("vec_id", "code_0").collect()
+          .map(r => (r.getLong(0), r.getInt(1))).toSet
+        val gotCodes = drained().select("vec_id", "code_0").collect()
+          .map(r => (r.getLong(0), r.getInt(1))).toSet
+        require(gotCodes == expCodes, s"$tag drained residual codes diverged")
       }
       // resume cost: a fresh instance's one-time state load over the
       // drained root (this is what the marker rollup keeps bounded)

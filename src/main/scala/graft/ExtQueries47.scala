@@ -92,18 +92,20 @@ object ExtQueries47 {
     * [[ExtQueries46.ivfReplayBody]]): seeds are the ksub lowest vec_ids
     * OF THE FIT SHARD, the sub-k-means trains on the fit shard only, and
     * `codes`/`recon` encode ALL vectors against the final books — the
-    * frozen-codebook ingest-refresh contract. */
-  private[graft] def pqReplayBody(fitPred: String): String = {
+    * frozen-codebook ingest-refresh contract. `src` is the vector CTE
+    * the subspaces slice (default the raw `qn`; the RESIDUAL IVFADC
+    * oracle passes its residual CTE — ExtQueries53). */
+  private[graft] def pqReplayBody(fitPred: String, src: String = "qn"): String = {
     s"""pqsub AS (
        |  SELECT vec_id, s, qv[s*$SubDim+1 : s*$SubDim+$SubDim] AS sq
-       |  FROM qn, UNNEST(range(0, $M)) t(s)),
+       |  FROM $src, UNNEST(range(0, $M)) t(s)),
        |pqfit AS (SELECT vec_id, s, sq FROM pqsub
-       |          WHERE vec_id IN (SELECT vec_id FROM qn WHERE $fitPred)),
+       |          WHERE vec_id IN (SELECT vec_id FROM $src WHERE $fitPred)),
        |pqseeds AS (
        |  SELECT s, CAST(ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1
        |           AS BIGINT) AS c, sq AS cv
        |  FROM pqfit
-       |  WHERE vec_id IN (SELECT vec_id FROM qn WHERE $fitPred
+       |  WHERE vec_id IN (SELECT vec_id FROM $src WHERE $fitPred
        |                   ORDER BY vec_id LIMIT $Ksub)),
        |pqkm(iter, s, c, cv) AS (
        |  SELECT CAST(0 AS BIGINT), s, c, cv FROM pqseeds

@@ -535,6 +535,74 @@ object AnnIndex {
       IvfIndex.assignBatch(batch, art.centroids),
       PqIndex.encodeBatch(batch, art.books)))
 
+  // ------------------------------------------------------------------
+  // RESIDUAL IVFADC artifact — the true FAISS IndexIVFPQ encoding
+  // (codes quantize v - centroid[cluster], not v): same IvfPq shape,
+  // same memo/durable lifecycle, keyed apart by tag. Shares the IVF
+  // memo with the rest of the family; the residual codebooks are its
+  // own fit (they are only meaningful relative to these centroids).
+  // ------------------------------------------------------------------
+
+  /** Memoized standing RESIDUAL-encoded IVFADC artifact. */
+  def ivfpqRes(spark: SparkSession, dir: String, nLists: Int, iters: Int,
+      m: Int, ksub: Int, pqIters: Int, dims: Int = 64): IvfPq =
+    ivfpqMemo(spark, dir, s"ivfpqres:$nLists:$iters:$m:$ksub:$pqIters:$dims") {
+      val i = ivf(spark, dir, nLists, iters)
+      val (books, table) =
+        PqIndex.buildResPq(i.assigned, i.centroids, m, ksub, pqIters, dims)
+      IvfPq(i.centroids, books, table)
+    }
+
+  /** Memoized residual-IVFADC artifact over a FILTERED view — the BASE
+    * snapshot of its ingest-refresh family (filter-hash keyed like every
+    * other filtered member). */
+  def ivfpqResFiltered(spark: SparkSession, dir: String, nLists: Int,
+      iters: Int, m: Int, ksub: Int, pqIters: Int, tag: String,
+      filter: Column, dims: Int = 64): IvfPq =
+    ivfpqMemo(spark, dir, s"ivfpqres:$nLists:$iters:$m:$ksub:$pqIters:$dims" +
+        s":flt:$tag:${filterHash(filter)}") {
+      val i = ivfFiltered(spark, dir, nLists, iters, tag, filter)
+      val (books, table) =
+        PqIndex.buildResPq(i.assigned, i.centroids, m, ksub, pqIters, dims)
+      IvfPq(i.centroids, books, table)
+    }
+
+  /** Residual-IVFADC ingest refresh: assign + residual-encode ONLY the
+    * batch against the frozen centroids + residual books (O(batch), one
+    * projection) and union with the standing table. */
+  def refreshedIvfPqResTable(art: IvfPq, batch: DataFrame): DataFrame =
+    art.table.unionByName(PqIndex.encodeResBatch(
+      IvfIndex.assignBatch(batch, art.centroids), art.centroids, art.books))
+
+  /** Drop + release the standing FILTERED residual-IVFADC entry — the
+    * swap half of [[refitIvfPqResTo]] (same contract as the other
+    * family members' drops). */
+  def dropIvfPqResFiltered(spark: SparkSession, dir: String, nLists: Int,
+      iters: Int, m: Int, ksub: Int, pqIters: Int, tag: String,
+      filter: Column, dims: Int = 64): Unit = {
+    val sc = spark.sparkContext
+    val alias = s"${sc.applicationId}@${sc.startTime}|$dir|" +
+      s"ivfpqres:$nLists:$iters:$m:$ksub:$pqIters:$dims" +
+      s":flt:$tag:${filterHash(filter)}"
+    Option(liveIvfPqKey.remove(alias))
+      .flatMap(k => Option(ivfpqCache.remove(k)))
+      .foreach(old =>
+        org.apache.spark.sql.graftbridge.CheckpointBridge.release(old.table))
+  }
+
+  /** Residual-IVFADC refit-and-swap: retrain centroids + residual
+    * books on the CURRENT full corpus under the standard [[ivfpqRes]]
+    * key, then drop + release the aged filtered entry — build-then-swap
+    * ordering, never a moment without a servable table. */
+  def refitIvfPqResTo(spark: SparkSession, dir: String, nLists: Int,
+      iters: Int, m: Int, ksub: Int, pqIters: Int, agedTag: String,
+      agedFilter: Column, dims: Int = 64): IvfPq = {
+    val fresh = ivfpqRes(spark, dir, nLists, iters, m, ksub, pqIters, dims)
+    dropIvfPqResFiltered(spark, dir, nLists, iters, m, ksub, pqIters,
+      agedTag, agedFilter, dims)
+    fresh
+  }
+
   /** Ingest refresh: the standing assignment grown by one batch —
     * assigns ONLY `batch` against the standing centroids (O(batch)) and
     * unions with the standing rows. Equal by construction to assigning

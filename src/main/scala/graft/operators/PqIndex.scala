@@ -258,6 +258,15 @@ object PqIndex {
     val cand = ivfadcTopKFromTable(centroids, books, table, embeddings,
         queryIds, shortlist, nProbe)
       .select(col("query_id"), col("vec_id"))
+    refineExact(cand, embeddings, queryIds, k)
+  }
+
+  /** Stage 2 of the refined serve, shared by the raw and residual
+    * shortlists: fetch ONLY the candidate pairs' raw vectors (broadcast
+    * candidate + query sides — never a shuffle), exact-cosine re-rank,
+    * keep k. */
+  private def refineExact(cand: DataFrame, embeddings: DataFrame,
+      queryIds: Seq[Long], k: Int): DataFrame = {
     val corpus = Similarity.quantizedWithNorm(embeddings)
     val q = Similarity.quantizedWithNorm(
         embeddings.where(col("vec_id").isin(queryIds: _*)))
@@ -277,6 +286,20 @@ object PqIndex {
       .select(col("query_id"), col("rnk"), col("vec_id"), col("cos"))
   }
 
+  /** Two-stage refined serve over the RESIDUAL table: residual-ADC
+    * shortlist (cleaner than the raw-code shortlist at equal bytes),
+    * exact re-rank — same shapes as [[ivfadcRefinedTopK]]. */
+  def ivfadcResRefinedTopK(centroids: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], table: DataFrame,
+      embeddings: DataFrame, queryIds: Seq[Long], k: Int, nProbe: Int,
+      shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val cand = ivfadcResTopKFromTable(centroids, books, table, embeddings,
+        queryIds, shortlist, nProbe)
+      .select(col("query_id"), col("vec_id"))
+    refineExact(cand, embeddings, queryIds, k)
+  }
+
   /** Two-artifact IVFADC compose (specs/ablations): stitches the table
     * inline and serves through [[ivfadcTopKFromTable]] — the query
     * surface serves from the MEMOIZED single table in
@@ -286,6 +309,142 @@ object PqIndex {
       embeddings: DataFrame, queryIds: Seq[Long], k: Int, nProbe: Int): DataFrame =
     ivfadcTopKFromTable(centroids, books, ivfpqTable(assigned, codes),
       embeddings, queryIds, k, nProbe)
+
+  // ------------------------------------------------------------------
+  // RESIDUAL-encoded IVFADC — the true FAISS IndexIVFPQ layout: PQ
+  // codes quantize the RESIDUAL v - c(v) (the vector minus its coarse
+  // IVF centroid), not the raw vector. Residuals have far less energy
+  // than raw vectors (the coarse quantizer already explains the
+  // between-cluster variance), so the same 8 B/vector budget spends its
+  // 16 codewords per subspace on a much smaller ball — the standard
+  // reason FAISS IVFADC recall beats flat-PQ recall at equal bytes.
+  //
+  // Exactness: residual components are long - long (centroids are exact
+  // integers), the sub-k-means is the same truncated-mean integer loop,
+  // and the reconstructed norm^2 |c + r_hat|^2 = |c|^2 + 2<c,r_hat> +
+  // |r_hat|^2 expands into exact integer codeword/centroid dots — so
+  // the whole family keeps the one-final-ROUND oracle discipline.
+  //
+  // Serving stays asymmetric and code-only: score numerator
+  // <q, c + r_hat> = <q,c> (per probed cluster, computed on the
+  // broadcast probe row) + sum_s <q_s, book_s[code_s]> (the same ADC
+  // lookups as the raw path) — the corpus vectors never appear
+  // post-build.
+  // ------------------------------------------------------------------
+
+  /** Literal nLists x dims centroid table (exact longs). */
+  private def centLit(centroids: Array[Array[Double]]): Column =
+    array(centroids.map(c => array(c.map(x => lit(math.round(x))): _*)): _*)
+
+  /** Literal per-cluster |c|^2 (exact long). */
+  private def centN2Lit(centroids: Array[Array[Double]]): Column =
+    array(centroids.map(c => lit(c.map(x => { val q = math.round(x); q * q }).sum)): _*)
+
+  /** Residual rows `(vec_id, cluster, qv = v - centroid[cluster])` from
+    * an assigned index — one projection (build/ingest path only; the
+    * zip_with lambda never appears in a serve plan). */
+  def residuals(assigned: DataFrame, centroids: Array[Array[Double]]): DataFrame =
+    assigned.select(col("vec_id"), col("cluster"),
+      zip_with(col("qv"), element_at(centLit(centroids), col("cluster") + 1),
+        (a, b) => a - b).as("qv"))
+
+  /** `2<c, r_hat> + |r_hat|^2` + `|c|^2` — the exact reconstructed
+    * norm^2 of `c + r_hat`, from the codes + cluster id alone. */
+  private def resRecon2(centroids: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], subDim: Int): Column = {
+    val cent = element_at(centLit(centroids), col("cluster") + 1)
+    val cross = books.zipWithIndex.map { case (book, s) =>
+      Similarity.dotQ(slice(cent, s * subDim + 1, subDim),
+        element_at(bookLit(book), col(s"code_$s") + 1))
+    }.reduce(_ + _)
+    element_at(centN2Lit(centroids), col("cluster") + 1) +
+      lit(2L) * cross + recon2(books)
+  }
+
+  /** Encode residual rows against frozen residual codebooks into the
+    * single-table layout `(vec_id, cluster, recon2, code_0..m-1)`. */
+  private def resCodeRows(res: DataFrame, centroids: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], subDim: Int): DataFrame =
+    encode(res, books, subDim)
+      .withColumn("recon2", resRecon2(centroids, books, subDim))
+      .select(col("vec_id") +: col("cluster") +: col("recon2") +:
+        (0 until books.length).map(s => col(s"code_$s")): _*)
+
+  /**
+   * BUILD the residual-IVFADC artifact from an assigned IVF index:
+   * sub-codebooks fit on the residuals, every vector's residual encoded,
+   * result in the standing single-table layout (same shape as
+   * [[ivfpqTable]], directly servable and durable through the same
+   * [[AnnIndex.IvfPq]] lifecycle).
+   */
+  def buildResPq(assigned: DataFrame, centroids: Array[Array[Double]],
+      m: Int, ksub: Int, iters: Int, dims: Int = 64)
+      : (Array[Array[Array[Double]]], DataFrame) = {
+    require(m > 0 && dims % m == 0,
+      s"dims ($dims) must be a positive multiple of m ($m)")
+    val subDim = dims / m
+    val res = residuals(assigned, centroids).persist()
+    val probe = res.select(size(col("qv")).as("len")).limit(1).collect()
+    require(probe.nonEmpty,
+      "corpus is empty — nothing to fit residual codebooks on (check the filter)")
+    require(probe(0).getInt(0) == dims,
+      s"corpus vectors have ${probe(0).getInt(0)} dims, caller claimed $dims")
+    val books = fitCodebooks(res.select(col("vec_id"), col("qv")), m, subDim, ksub, iters)
+    val table = resCodeRows(res, centroids, books, subDim).localCheckpoint(true)
+    res.unpersist()
+    (books, table)
+  }
+
+  /** INGEST-path residual encode: one assigned batch against FROZEN
+    * centroids + residual codebooks — O(batch), one projection, no
+    * shuffle (the residual twin of [[encodeBatch]]). Unioned with the
+    * standing table this equals re-encoding the grown corpus against the
+    * same frozen artifacts (encoding is per-row). */
+  def encodeResBatch(assignedBatch: DataFrame, centroids: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]): DataFrame =
+    resCodeRows(residuals(assignedBatch, centroids), centroids, books,
+      books(0)(0).length)
+
+  /**
+   * Residual-IVFADC top-k SERVED from the standing single table: IVF
+   * half prunes (broadcast probes onto `cluster`), residual-PQ half
+   * scores — ADC numerator `<q,c> + sum_s <q_s, book_s[code_s]>`, both
+   * terms exact integers (the <q,c> term rides the broadcast probe row:
+   * one centroid dot per (query, probed list), never per candidate).
+   * Same rounding/rank discipline as [[ivfadcTopKFromTable]].
+   */
+  def ivfadcResTopKFromTable(centroids: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], table: DataFrame,
+      embeddings: DataFrame, queryIds: Seq[Long], k: Int, nProbe: Int): DataFrame = {
+    val subDim = books(0)(0).length
+    val q = Similarity.quantizedWithNorm(
+      embeddings.where(col("vec_id").isin(queryIds: _*)))
+    val probeCols = centroids.zipWithIndex.map { case (c, i) =>
+      struct(IvfIndex.relDist2(col("qv"), c).as("d"), lit(i).as("c"))
+    }
+    val probes = q
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
+        col("norm").as("qnorm"),
+        explode(slice(array_sort(array(probeCols: _*)), 1, nProbe)).as("p"))
+      .select(col("query_id"), col("qqv"), col("qnorm"), col("p.c").as("cluster"),
+        Similarity.dotQ(col("qqv"),
+          element_at(centLit(centroids), col("p.c") + 1)).as("qcdot"))
+    val adcDot = books.zipWithIndex.map { case (book, s) =>
+      Similarity.dotQ(slice(col("qqv"), s * subDim + 1, subDim),
+        element_at(bookLit(book), col(s"code_$s") + 1))
+    }.reduce(_ + _)
+    val scored = table
+      .join(broadcast(probes), Seq("cluster"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round((col("qcdot") + adcDot).cast("double") /
+          (col("qnorm") * sqrt(col("recon2").cast("double"))), 4).as("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("vec_id"), col("score"))
+  }
 
   /** The code table in its query-surface shape (codes cast to long). */
   def codeTableFrom(codes: DataFrame, m: Int): DataFrame =

@@ -43,10 +43,19 @@ import graft.operators.{IvfIndex, PqIndex}
  *
  * Other crash windows are [[AnnMaintenance]]'s, with the two-model
  * publish collapsed into one.
+ *
+ * `residual = true` maintains the RESIDUAL-encoded table instead (the
+ * true FAISS IndexIVFPQ layout, [[graft.operators.PqIndex.buildResPq]]):
+ * codebooks fit on `v - centroid[cluster]`, same shard-log protocol,
+ * same O(batch) later-batch shape (assign + residual-encode one
+ * projection), serving through the residual ADC read. The two layouts
+ * share every line of the durability machinery — only the fit/encode
+ * calls differ.
  */
 final class IvfPqMaintenance(spark: SparkSession, root: String,
     nLists: Int = 16, iters: Int = 3, m: Int = 8, ksub: Int = 16,
-    pqIters: Int = 2, compactEvery: Int = 64, dims: Int = 64) {
+    pqIters: Int = 2, compactEvery: Int = 64, dims: Int = 64,
+    residual: Boolean = false) {
 
   private val log = new ShardLog(spark, root, "codes", compactEvery,
     new ShardLog.AppendFold(
@@ -177,24 +186,38 @@ final class IvfPqMaintenance(spark: SparkSession, root: String,
    */
   def processBatch(batchId: Long, embs: DataFrame): Unit = {
     if (log.isCommitted(batchId)) return
-    val marker =
-      s"""{"nLists":$nLists,"iters":$iters,"m":$m,"ksub":$ksub,"pqIters":$pqIters}"""
+    val marker = s"""{"nLists":$nLists,"iters":$iters,"m":$m,""" +
+      s""""ksub":$ksub,"pqIters":$pqIters,"res":$residual}"""
     if (!modelsPublished) {
       // bootstrap: this batch IS the training snapshot for both models
       val (cents, assigned) = IvfIndex.buildIndex(embs, nLists, iters)
-      val (books, codes) = PqIndex.buildPq(embs, m, ksub, pqIters, dims)
-      publishModels(0, cents, books)
-      modelsMemo = (cents, books)
-      log.commitShard(batchId, PqIndex.ivfpqTable(assigned, codes), marker)
-      // the shard parquet is the durable copy — the bootstrap builds'
-      // checkpoint blocks are transient and released once it's written
-      org.apache.spark.sql.graftbridge.CheckpointBridge.release(assigned)
-      org.apache.spark.sql.graftbridge.CheckpointBridge.release(codes)
+      if (residual) {
+        val (books, table) =
+          PqIndex.buildResPq(assigned, cents, m, ksub, pqIters, dims)
+        publishModels(0, cents, books)
+        modelsMemo = (cents, books)
+        log.commitShard(batchId, table, marker)
+        org.apache.spark.sql.graftbridge.CheckpointBridge.release(assigned)
+        org.apache.spark.sql.graftbridge.CheckpointBridge.release(table)
+      } else {
+        val (books, codes) = PqIndex.buildPq(embs, m, ksub, pqIters, dims)
+        publishModels(0, cents, books)
+        modelsMemo = (cents, books)
+        log.commitShard(batchId, PqIndex.ivfpqTable(assigned, codes), marker)
+        // the shard parquet is the durable copy — the bootstrap builds'
+        // checkpoint blocks are transient and released once it's written
+        org.apache.spark.sql.graftbridge.CheckpointBridge.release(assigned)
+        org.apache.spark.sql.graftbridge.CheckpointBridge.release(codes)
+      }
     } else {
       val (cents, books) = models()
-      log.commitShard(batchId, PqIndex.ivfpqTable(
-        IvfIndex.assignBatch(embs, cents), PqIndex.encodeBatch(embs, books)),
-        marker)
+      val shard =
+        if (residual)
+          PqIndex.encodeResBatch(IvfIndex.assignBatch(embs, cents), cents, books)
+        else
+          PqIndex.ivfpqTable(
+            IvfIndex.assignBatch(embs, cents), PqIndex.encodeBatch(embs, books))
+      log.commitShard(batchId, shard, marker)
     }
   }
 
@@ -217,15 +240,26 @@ final class IvfPqMaintenance(spark: SparkSession, root: String,
       "refit before bootstrap — batch 0 already fits; feed it processBatch")
     val newGen = generation + 1
     val (cents, assigned) = IvfIndex.buildIndex(corpus, nLists, iters)
-    val (books, codes) = PqIndex.buildPq(corpus, m, ksub, pqIters, dims)
-    publishModels(newGen, cents, books)
-    log.commitSnapshot(batchId, PqIndex.ivfpqTable(assigned, codes),
-      s""""nLists":$nLists,"iters":$iters,"m":$m,"ksub":$ksub,""" +
-        s""""pqIters":$pqIters,"gen":$newGen""")
-    genMemo = newGen
-    modelsMemo = (cents, books)
-    org.apache.spark.sql.graftbridge.CheckpointBridge.release(assigned)
-    org.apache.spark.sql.graftbridge.CheckpointBridge.release(codes)
+    val snapExtra = s""""nLists":$nLists,"iters":$iters,"m":$m,""" +
+      s""""ksub":$ksub,"pqIters":$pqIters,"res":$residual,"gen":$newGen"""
+    if (residual) {
+      val (books, table) =
+        PqIndex.buildResPq(assigned, cents, m, ksub, pqIters, dims)
+      publishModels(newGen, cents, books)
+      log.commitSnapshot(batchId, table, snapExtra)
+      genMemo = newGen
+      modelsMemo = (cents, books)
+      org.apache.spark.sql.graftbridge.CheckpointBridge.release(assigned)
+      org.apache.spark.sql.graftbridge.CheckpointBridge.release(table)
+    } else {
+      val (books, codes) = PqIndex.buildPq(corpus, m, ksub, pqIters, dims)
+      publishModels(newGen, cents, books)
+      log.commitSnapshot(batchId, PqIndex.ivfpqTable(assigned, codes), snapExtra)
+      genMemo = newGen
+      modelsMemo = (cents, books)
+      org.apache.spark.sql.graftbridge.CheckpointBridge.release(assigned)
+      org.apache.spark.sql.graftbridge.CheckpointBridge.release(codes)
+    }
   }
 
   /** The standing IVFADC table over all committed batches — resolved
@@ -239,8 +273,12 @@ final class IvfPqMaintenance(spark: SparkSession, root: String,
   def topK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
       nProbe: Int): DataFrame = {
     val (cents, books) = models()
-    PqIndex.ivfadcTopKFromTable(cents, books, currentTable(), embeddings,
-      queryIds, k, nProbe)
+    if (residual)
+      PqIndex.ivfadcResTopKFromTable(cents, books, currentTable(), embeddings,
+        queryIds, k, nProbe)
+    else
+      PqIndex.ivfadcTopKFromTable(cents, books, currentTable(), embeddings,
+        queryIds, k, nProbe)
   }
 
   /** Two-stage REFINED serve from the maintained table
@@ -251,7 +289,11 @@ final class IvfPqMaintenance(spark: SparkSession, root: String,
   def topKRefined(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
       nProbe: Int, shortlist: Int): DataFrame = {
     val (cents, books) = models()
-    PqIndex.ivfadcRefinedTopK(cents, books, currentTable(), embeddings,
-      queryIds, k, nProbe, shortlist)
+    if (residual)
+      PqIndex.ivfadcResRefinedTopK(cents, books, currentTable(), embeddings,
+        queryIds, k, nProbe, shortlist)
+    else
+      PqIndex.ivfadcRefinedTopK(cents, books, currentTable(), embeddings,
+        queryIds, k, nProbe, shortlist)
   }
 }

@@ -225,4 +225,51 @@ class IvfPqMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(m2.currentTable()) == rows(PqIndex.ivfpqTable(
       IvfIndex.assignBatch(grown, cents), PqIndex.encodeBatch(grown, books))))
   }
+
+  // ------------------------------------------------------------------
+  // residual=true: the same protocol maintains the residual-encoded
+  // table (only the fit/encode calls differ — the durability machinery
+  // is shared line-for-line)
+  // ------------------------------------------------------------------
+
+  private def mkRes(root: String, every: Int = 64) =
+    new IvfPqMaintenance(spark, root, nLists = 4, iters = 2, m = M,
+      ksub = 4, pqIters = 2, compactEvery = every, dims = 8, residual = true)
+
+  /** Frozen-models residual rebuild: both fits on batch 0, every vector
+    * assigned + residual-encoded against them. */
+  private def rebuildRes(): DataFrame = {
+    val (cents, _) = IvfIndex.buildIndex(batch(0), 4, 2)
+    val assigned0 = IvfIndex.assignBatch(batch(0), cents)
+    val (books, _) = PqIndex.buildResPq(assigned0, cents, M, 4, 2, dims = 8)
+    PqIndex.encodeResBatch(IvfIndex.assignBatch(embsAll, cents), cents, books)
+  }
+
+  test("residual drain == frozen-models residual rebuild; resume + refit") {
+    val root = Files.createTempDirectory("ivfpqres_maint").toString
+    val m = mkRes(root, every = 2) // live compaction inside the drain
+    (0 to 2).foreach(b => m.processBatch(b.toLong, batch(b)))
+    val expect = rows(rebuildRes())
+    assert(rows(m.currentTable()) == expect,
+      "residual drain diverged from the frozen-models rebuild")
+    // serve dispatches to the residual ADC read
+    val (cents, books) = m.models()
+    val got = m.topK(embsAll, Seq(0L, 1L), 3, 2)
+      .collect().map(_.toSeq.toVector).toSet
+    val exp = PqIndex.ivfadcResTopKFromTable(cents, books, m.currentTable(),
+      embsAll, Seq(0L, 1L), 3, 2).collect().map(_.toSeq.toVector).toSet
+    assert(got == exp, "residual maintained-table serve diverged")
+    // a fresh instance over the same root resumes byte-identical
+    val m2 = mkRes(root, every = 2)
+    assert(rows(m2.currentTable()) == expect, "residual resume diverged")
+    // in-stream refit: full-corpus retrain, generation swap
+    m2.refitBatch(3L, embsAll)
+    assert(m2.generation == 1)
+    val (cents2, assigned2) = IvfIndex.buildIndex(embsAll, 4, 2)
+    val (books2, table2) = PqIndex.buildResPq(assigned2, cents2, M, 4, 2, dims = 8)
+    assert(rows(m2.currentTable()) == rows(table2),
+      "residual refit diverged from the full-corpus rebuild")
+    org.apache.spark.sql.graftbridge.CheckpointBridge.release(assigned2)
+    org.apache.spark.sql.graftbridge.CheckpointBridge.release(table2)
+  }
 }

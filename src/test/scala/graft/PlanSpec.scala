@@ -443,8 +443,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // shortlist — the shortlist (|queries| x shortlist rows) must stay
     // the broadcast side; a sort-merge join would re-shuffle the corpus
     // per serve, defeating the whole point of the shortlist
+    // r16 wave 4: the residual-encoded member serves through the same
+    // shapes (the <q,c> term rides the broadcast probe row — it adds no
+    // join)
     Seq("ann_topk_ivfpq", "ann_topk_ivfpq_refreshed",
-        "ann_topk_ivfpq_refined").foreach { q =>
+        "ann_topk_ivfpq_refined", "ann_topk_ivfpq_res",
+        "ann_topk_ivfpq_res_refreshed", "ann_topk_ivfpq_res_refined").foreach { q =>
       val p = plan(q)
       assert(p.contains("BroadcastHashJoin"),
         s"$q: probe join must be broadcast-hash:\n${p.take(1500)}")
