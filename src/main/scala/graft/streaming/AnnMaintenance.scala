@@ -56,7 +56,7 @@ final class AnnMaintenance(spark: SparkSession, root: String,
   private val log = new ShardLog(spark, root, "assign", compactEvery,
     new ShardLog.AppendFold(Seq("vec_id", "qv", "norm", "cluster")),
     // ordinary compactions must not lose the refit generation
-    () => s""""gen":$generation""")
+    () => s""""gen":$generation""", deleteKey = "vec_id")
 
   private def fs = new Path(root)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -195,6 +195,25 @@ final class AnnMaintenance(spark: SparkSession, root: String,
     centroidsMemo = cents
     org.apache.spark.sql.graftbridge.CheckpointBridge.release(assigned)
   }
+
+  /**
+   * DELETE standing vectors by id (takedown / right-to-erasure): `ids`
+   * is any DataFrame exposing `vec_id`. Committed as a tombstone batch
+   * in the shared log — idempotent, crash-safe, ordered with ingest.
+   * Serves exclude the vectors as soon as the marker commits; the next
+   * compaction's snapshot physically drops the rows and the tombstone
+   * shard is swept one cycle later ([[ShardLog.commitDeletes]]). The
+   * frozen codebook is untouched — deleting training vectors does not
+   * retrain (that is [[refitBatch]]'s job, on the post-delete corpus).
+   */
+  def deleteBatch(batchId: Long, ids: DataFrame): Unit = {
+    if (log.isCommitted(batchId)) return
+    log.commitDeletes(batchId, ids, """{"del":true}""")
+  }
+
+  /** Eager compaction (cadence-independent); two calls physically purge
+    * every currently tombstoned vector from the root. */
+  def compactNow(): Unit = log.compactNow()
 
   /** The standing `(vec_id, qv, norm, cluster)` index over all committed
     * batches — the latest compacted snapshot plus the shard tail.

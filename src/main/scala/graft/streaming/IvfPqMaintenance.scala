@@ -61,7 +61,7 @@ final class IvfPqMaintenance(spark: SparkSession, root: String,
     new ShardLog.AppendFold(
       Seq("vec_id", "cluster", "recon2") ++ (0 until m).map(s => s"code_$s")),
     // ordinary compactions must not lose the refit generation
-    () => s""""gen":$generation""")
+    () => s""""gen":$generation""", deleteKey = "vec_id")
 
   private def fs = new Path(root)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -261,6 +261,20 @@ final class IvfPqMaintenance(spark: SparkSession, root: String,
       org.apache.spark.sql.graftbridge.CheckpointBridge.release(codes)
     }
   }
+
+  /** DELETE standing vectors by id — tombstone batch in the shared log
+    * ([[ShardLog.commitDeletes]]): serves exclude the codes immediately,
+    * the covering compaction physically drops them, the key shard is
+    * swept one cycle later. Models are untouched (deletion does not
+    * retrain; [[refitBatch]] on the post-delete corpus does). */
+  def deleteBatch(batchId: Long, ids: DataFrame): Unit = {
+    if (log.isCommitted(batchId)) return
+    log.commitDeletes(batchId, ids, """{"del":true}""")
+  }
+
+  /** Eager compaction (cadence-independent); two calls physically purge
+    * every currently tombstoned vector from the root. */
+  def compactNow(): Unit = log.compactNow()
 
   /** The standing IVFADC table over all committed batches — resolved
     * from the cached commit state; safe concurrently with ONE later

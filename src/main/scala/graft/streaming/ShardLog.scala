@@ -19,7 +19,15 @@ import org.apache.spark.sql.functions.col
  *  - `meta/<b>` — the batch's commit marker ([[CommitMarkers]]);
  *  - `base/<b>/` + `basemeta/<b>` — compacted snapshots (the fold of
  *    every shard <= b); covered shards, rolled-up markers, and superseded
- *    snapshots are deleted ONE COMPACTION CYCLE LATE (see below).
+ *    snapshots are deleted ONE COMPACTION CYCLE LATE (see below);
+ *  - `dels/<b>/` — TOMBSTONE batches ([[commitDeletes]]): a key-only
+ *    shard naming standing rows to remove, committed under the same
+ *    marker log. Reads anti-join tombstones newer than the covered
+ *    snapshot (KB-scale broadcast — the standing side never moves);
+ *    the covering compaction's snapshot physically excludes the rows,
+ *    and the tombstone shard itself is swept one cycle later — the
+ *    takedown/right-to-erasure path, bounded at two compaction cycles
+ *    (or two [[compactNow]] calls for an eager purge).
  *
  * How the standing rows FOLD out of (snapshot, shard tail) is pluggable
  * ([[ShardLog.Fold]]): the ANN family appends (one multi-path scan —
@@ -55,7 +63,7 @@ import org.apache.spark.sql.functions.col
  */
 private[streaming] final class ShardLog(spark: SparkSession, root: String,
     dataDir: String, compactEvery: Int, fold: ShardLog.Fold,
-    markerExtra: () => String = () => "") {
+    markerExtra: () => String = () => "", deleteKey: String = "") {
 
   /** Append-semantics log (the ANN family): snapshot and shards share a
     * schema and fold as one multi-path scan of `readCols`. */
@@ -67,7 +75,31 @@ private[streaming] final class ShardLog(spark: SparkSession, root: String,
 
   private val metaDir = new Path(s"$root/meta")
   private val baseMetaDir = new Path(s"$root/basemeta")
+  private val delsDir = new Path(s"$root/dels")
   private def fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // committed DELETE-batch ids whose dels/<b> key shard is still live —
+  // cached from one startup listing (the IndexMaintenance.fpsIds
+  // precedent: filter out unmarked crash debris via isCommitted), advanced
+  // per commitDeletes, pruned at the deferred sweep. Bounded: tombstones
+  // fold into the snapshot at compaction and their shards are swept one
+  // cycle later, so at most ~2*compactEvery ids are ever live.
+  @volatile private var delIdsMemo: Vector[Long] = _
+  private def delIds: Vector[Long] = {
+    if (delIdsMemo == null) {
+      delIdsMemo =
+        if (!fs.exists(delsDir)) Vector.empty
+        else fs.listStatus(delsDir).toVector
+          .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+          .filter(state.isCommitted)
+          .sorted
+    }
+    delIdsMemo
+  }
+
+  /** Committed delete-batch ids whose tombstone shard is still on disk
+    * (for specs/forensics; reads already fold them in). */
+  def committedDeleteIds: Seq[Long] = delIds
 
   // cached rolled-up commit state (single-writer contract — see class doc)
   @volatile private var logState: CommitMarkers.LogState = _
@@ -114,6 +146,49 @@ private[streaming] final class ShardLog(spark: SparkSession, root: String,
     logState = state.withCommitted(batchId)
   }
 
+  /**
+   * Commit one DELETE batch: `keys` (any DataFrame exposing `deleteKey`)
+   * names standing rows to remove. The tombstone shard is key-only and
+   * lives in `dels/<b>`; its marker joins the same log, so deletes are
+   * ordered, crash-safe, and replay-idempotent exactly like ingest.
+   *
+   * Read semantics: committed tombstones are anti-joined onto every fold
+   * (serves reflect the delete as soon as its marker commits); the next
+   * compaction's snapshot PHYSICALLY excludes the rows, and both the
+   * covering data shards and the tombstone shards are swept one cycle
+   * later — after at most two compaction cycles the deleted rows exist
+   * nowhere under `root/` (the takedown/right-to-erasure contract;
+   * call [[compactNow]] twice to force the purge eagerly).
+   *
+   * PRECONDITION (inherited from the family's unique-id contract): a key
+   * is deleted AFTER the batch that ingested it committed, and never
+   * re-ingested later — a tombstone only outlives its own compaction as
+   * the snapshot's absence of the row.
+   */
+  def commitDeletes(batchId: Long, keys: DataFrame, markerJson: String): Unit = {
+    require(deleteKey.nonEmpty, "this log was built without a deleteKey")
+    if (isCommitted(batchId)) return
+    keys.select(col(deleteKey)).distinct()
+      .write.mode("overwrite").parquet(new Path(delsDir, batchId.toString).toString)
+    CommitMarkers.commit(spark, metaDir, batchId, markerJson)
+    logState = state.withCommitted(batchId)
+    delIdsMemo = (delIds :+ batchId).distinct.sorted
+    compactIfDue()
+  }
+
+  /** Force a compaction over everything committed (regardless of
+    * cadence) — two successive calls physically purge all currently
+    * tombstoned rows and their key shards (see [[commitDeletes]]). The
+    * second call, finding the head already snapshotted, runs only the
+    * retirement sweep — an EAGER sweep that waives the one-cycle
+    * deferral, so plans resolved before it may lose their read set
+    * (the caller is explicitly trading serve-while-compact for an
+    * immediate purge). */
+  def compactNow(): Unit = state.maxId.foreach { upTo =>
+    if (compactedIds.contains(upTo)) sweepDeferred(Some(upTo), upTo)
+    else compact(upTo)
+  }
+
   /** Periodic shard compaction: every compactEvery committed batches,
     * fold everything readable into one snapshot so the read stays
     * O(1 snapshot + compactEvery shards) forever. Skipping a due point
@@ -140,7 +215,12 @@ private[streaming] final class ShardLog(spark: SparkSession, root: String,
     require(!isCommitted(batchId), s"batch $batchId already committed")
     sweepUnmarkedSnapshots()
     val prev = state.coveredUpTo
-    fold.snapshotRows(rows, batchId)
+    // a refit snapshot is caller-derived from a corpus that may predate
+    // live tombstones — re-apply them so a refit can never resurrect a
+    // deleted key (for tombstones already PURGED by earlier compactions
+    // the caller must pass a corpus that no longer contains the key —
+    // i.e. one derived from the maintained rows, the normal refit input)
+    fold.snapshotRows(antiTombstones(rows, liveDels), batchId)
       .write.mode("overwrite").parquet(s"$root/base/$batchId")
     val next = state.withCommitted(batchId).rolledUp(batchId)
     val extra = if (extraJson.isEmpty) "" else s",$extraJson"
@@ -154,10 +234,41 @@ private[streaming] final class ShardLog(spark: SparkSession, root: String,
   private def compactedIds: Seq[Long] =
     CommitMarkers.committed(spark, baseMetaDir)
 
-  private def rowsFrom(snapshot: Option[Long], tail: Seq[Long]): DataFrame =
-    if (snapshot.isEmpty && tail.isEmpty) fold.empty(spark)
-    else fold.rows(spark, snapshot.map(b => s"$root/base/$b"),
-      tail.map(b => b -> s"$root/$dataDir/$b"))
+  /** Tombstone ids a READ must still apply: only those newer than the
+    * covered snapshot — older ones are already folded into `base/` as the
+    * absence of their rows. Pinning reads to this set (not everything on
+    * disk) keeps the serve-while-compact deferral symmetric: like data
+    * shards, a dels shard is only referenced by plans built before the
+    * compaction that covers it, so the one-cycle-late sweep can never
+    * pull a file out from under a live plan. */
+  private def liveDels: Vector[Long] = {
+    val cov = state.coveredUpTo
+    delIds.filter(id => cov.forall(id > _))
+  }
+
+  private def rowsFrom(snapshot: Option[Long], tail: Seq[Long]): DataFrame = {
+    // delete batches have no dataDir shard — their ids leave the data fold
+    val dels = liveDels
+    val dataTail = if (dels.isEmpty) tail else tail.filterNot(dels.contains)
+    val folded =
+      if (snapshot.isEmpty && dataTail.isEmpty) fold.empty(spark)
+      else fold.rows(spark, snapshot.map(b => s"$root/base/$b"),
+        dataTail.map(b => b -> s"$root/$dataDir/$b"))
+    antiTombstones(folded, dels)
+  }
+
+  /** Fold minus committed tombstones: one multi-path scan of the key-only
+    * dels shards (KBs, never the standing table), anti-joined on
+    * `deleteKey`. Catalyst picks a broadcast anti-join from the shards'
+    * file-size stats — the standing side never shuffles; a pathological
+    * tombstone volume degrades to a shuffled anti-join, which is still
+    * the right plan. No committed deletes → the fold is returned as-is
+    * (zero plan overhead for delete-free logs). */
+  private def antiTombstones(rows: DataFrame, dels: Seq[Long]): DataFrame =
+    if (dels.isEmpty) rows
+    else rows.join(
+      spark.read.parquet(dels.map(b => new Path(delsDir, b.toString).toString): _*),
+      Seq(deleteKey), "left_anti")
 
   /** Delete numeric entries <= `upTo` under `dir` (covered shards or
     * rolled-up markers — including leftovers of an earlier compaction
@@ -201,6 +312,11 @@ private[streaming] final class ShardLog(spark: SparkSession, root: String,
     prev.foreach(p => sweepCovered(new Path(s"$root/$dataDir"), p, recursive = true))
     sweepCovered(metaDir, upTo, recursive = false)
     prev.foreach { p =>
+      // tombstones <= prev are folded into base/prev (the rows are gone
+      // there) AND into base/upTo — the key shards have nothing left to
+      // mask; this sweep completes the physical purge
+      sweepCovered(delsDir, p, recursive = true)
+      delIdsMemo = delIds.filter(_ > p)
       compactedIds.filter(_ < p).foreach { b =>
         fs.delete(new Path(s"$root/base/$b"), true)
         fs.delete(new Path(baseMetaDir, b.toString), false)

@@ -31,7 +31,7 @@ final class SqMaintenance(spark: SparkSession, root: String,
   private val log = new ShardLog(spark, root, "codes", compactEvery,
     new ShardLog.AppendFold(Seq("vec_id", "codes", "recon2")),
     // ordinary compactions must not lose the refit generation
-    () => s""""gen":$generation""")
+    () => s""""gen":$generation""", deleteKey = "vec_id")
 
   private def fs = new Path(root)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -159,6 +159,19 @@ final class SqMaintenance(spark: SparkSession, root: String,
     statsMemo = fitted
     org.apache.spark.sql.graftbridge.CheckpointBridge.release(codes)
   }
+
+  /** DELETE standing vectors by id — tombstone batch in the shared log
+    * ([[ShardLog.commitDeletes]]): serves exclude the codes immediately,
+    * the covering compaction physically drops them, the key shard is
+    * swept one cycle later. Frozen stats are untouched. */
+  def deleteBatch(batchId: Long, ids: DataFrame): Unit = {
+    if (log.isCommitted(batchId)) return
+    log.commitDeletes(batchId, ids, """{"del":true}""")
+  }
+
+  /** Eager compaction (cadence-independent); two calls physically purge
+    * every currently tombstoned vector from the root. */
+  def compactNow(): Unit = log.compactNow()
 
   /** The standing `(vec_id, codes, recon2)` table over all committed
     * batches — resolved from the cached commit state; safe concurrently

@@ -81,6 +81,100 @@ class ShardLogSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the snapshot+tail plan must survive the following compaction")
   }
 
+  test("tombstones: delete masks immediately, compaction purges physically, " +
+      "shards swept one cycle late") {
+    val root = Files.createTempDirectory("slog_del").toString
+    val m = new AnnMaintenance(spark, root, nLists = 4, iters = 2, compactEvery = 2)
+    m.processBatch(0L, batch(0))
+    m.processBatch(1L, batch(1)) // compaction at 1
+    m.processBatch(2L, batch(2))
+    val before = pairs(m.currentIndex())
+    val delSet = before.map(_._1).filter(_ % 7 == 3)
+    assert(delSet.nonEmpty, "the delete set must be non-trivial")
+
+    def delKeys = spark.createDataFrame(delSet.toSeq.map(Tuple1(_)))
+      .toDF("vec_id")
+    m.deleteBatch(3L, delKeys) // count=4 -> covering compaction at 3
+    assert(m.coveredUpTo.contains(3L), "the delete batch lands on the cadence")
+    // 1) serve reflects the delete
+    assert(pairs(m.currentIndex()) == before.filterNot(p => delSet(p._1)))
+    // 2) the covering snapshot PHYSICALLY excludes the rows — scan the
+    //    snapshot parquet straight off disk, bypassing the fold
+    val baseIds = spark.read.parquet(s"$root/base/3")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(baseIds.intersect(delSet).isEmpty,
+      "deleted vec_ids must not exist in the covering snapshot")
+    // 3) the tombstone shard survives its covering compaction by ONE
+    //    cycle (a plan built before it may reference the file)...
+    val delsDir = new java.io.File(s"$root/dels")
+    assert(delsDir.listFiles().map(_.getName).contains("3"),
+      "the tombstone key shard is swept one cycle late, not eagerly")
+    // ...and two eager compactions complete the physical purge: nothing
+    //    under the root mentions the deleted keys anywhere
+    m.processBatch(4L, spark.createDataFrame(
+      Seq((200L, Seq.fill(8)(0.05f)))).toDF("vec_id", "embedding"))
+    m.compactNow(); m.compactNow()
+    assert(!delsDir.exists() || delsDir.listFiles().isEmpty,
+      "after two compactions the tombstone shards are gone")
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+    val rowParquet = try {
+      walk.filter { p =>
+        val s = p.toString
+        s.endsWith(".parquet") &&
+          (s.contains("/assign/") || s.contains("/base/") || s.contains("/dels/"))
+      }.toArray.map(_.toString)
+    } finally walk.close()
+    assert(rowParquet.nonEmpty)
+    val survivors = spark.read.parquet(rowParquet: _*)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(survivors.intersect(delSet).isEmpty,
+      "no parquet file under the root may still hold a deleted vec_id")
+  }
+
+  test("tombstones: a serve plan built before the delete's covering " +
+      "compaction still executes, returning plan-time rows") {
+    val root = Files.createTempDirectory("slog_del_swc").toString
+    val m = new AnnMaintenance(spark, root, nLists = 4, iters = 2, compactEvery = 2)
+    m.processBatch(0L, batch(0))
+    m.processBatch(1L, batch(1)) // compaction at 1
+    m.processBatch(2L, batch(2))
+    val planned = m.currentIndex() // read set: base/1 + assign/2
+    val asOfPlan = pairs(planned)
+    val delKeys = spark.createDataFrame(Seq(Tuple1(3L), Tuple1(10L)))
+      .toDF("vec_id")
+    m.deleteBatch(3L, delKeys) // covering compaction at 3
+    assert(m.coveredUpTo.contains(3L))
+    assert(pairs(planned) == asOfPlan,
+      "the pre-delete plan must still see the deleted rows (its plan-time set)")
+    assert(pairs(m.currentIndex()) == asOfPlan.filterNot(p => Set(3L, 10L)(p._1)),
+      "a fresh plan must not")
+  }
+
+  test("tombstones: kill/resume across a delete batch is byte-identical") {
+    val rootA = Files.createTempDirectory("slog_del_resume_a").toString
+    val rootB = Files.createTempDirectory("slog_del_resume_b").toString
+    def delKeys = spark.createDataFrame(Seq(Tuple1(6L), Tuple1(13L)))
+      .toDF("vec_id")
+
+    // uninterrupted run
+    val a = new AnnMaintenance(spark, rootA, nLists = 4, iters = 2, compactEvery = 3)
+    a.processBatch(0L, batch(0)); a.processBatch(1L, batch(1))
+    a.deleteBatch(2L, delKeys); a.processBatch(3L, batch(2))
+
+    // killed after the delete committed; a NEW instance (fresh caches —
+    // the restart) replays the delete (short-circuits) and continues
+    val b1 = new AnnMaintenance(spark, rootB, nLists = 4, iters = 2, compactEvery = 3)
+    b1.processBatch(0L, batch(0)); b1.processBatch(1L, batch(1))
+    b1.deleteBatch(2L, delKeys)
+    val b2 = new AnnMaintenance(spark, rootB, nLists = 4, iters = 2, compactEvery = 3)
+    b2.deleteBatch(2L, delKeys) // replay of the committed delete: no-op
+    b2.processBatch(3L, batch(2))
+
+    assert(pairs(a.currentIndex()) == pairs(b2.currentIndex()),
+      "resumed run must equal the uninterrupted run")
+    assert(pairs(a.currentIndex()).forall(p => p._1 != 6L && p._1 != 13L))
+  }
+
   test("delta fold: a standing-index plan built before a compaction executes after it") {
     val sfDir = "/root/testdata/sf0.001"
     def docs: DataFrame = graft.operators.Tables.table(spark, sfDir, "documents")
