@@ -49,7 +49,12 @@ import graft.streaming.{AnnMaintenance, IvfPqMaintenance}
  * re-encoded corpus as a snapshot; the refit batch's wall is reported
  * separately as the priced amortized-rebuild cost, the rebuild contract
  * switches to models fit on chunks 0..refitAt, and post-refit batches
- * must return to the flat O(batch) regime; default -1 = none).
+ * must return to the flat O(batch) regime; default -1 = none), and
+ * SPARK_GRAFT_DELETE_EVERY (r16: every k-th batch commits a TOMBSTONE
+ * batch instead of ingest — deleting a slice of the previous chunk —
+ * so the decade protocol covers the delete verb: per-batch walls stay
+ * flat, the drained index must equal the rebuild over the KEPT corpus;
+ * default -1 = none; mutually exclusive with REFIT_AT).
  */
 object AnnMaintScale {
   def main(args: Array[String]): Unit = {
@@ -102,9 +107,33 @@ object AnnMaintScale {
     val kind = sys.env.getOrElse("SPARK_GRAFT_KIND", "ivf")
     val refitAt = sys.env.getOrElse("SPARK_GRAFT_REFIT_AT", "-1").toInt
 
+    // r16: a TOMBSTONE schedule — every deleteEvery-th batch is a DELETE
+    // batch instead of ingest (its chunk is never fed; it deletes the
+    // vec_id % 3 == 0 slice of the PREVIOUS batch's chunk). Exercises
+    // the delete verb under the same decade protocol: per-batch wall
+    // must stay flat (a delete is one key-shard write + marker; its
+    // cost shows up only as the compaction fold's anti-join).
+    val deleteEvery = sys.env.getOrElse("SPARK_GRAFT_DELETE_EVERY", "-1").toInt
+    require(deleteEvery != 0 && deleteEvery != 1,
+      "SPARK_GRAFT_DELETE_EVERY must be >= 2 (or -1 = none)")
+    require(deleteEvery < 0 || refitAt < 0,
+      "run the delete and refit cells separately")
+    def isDeleteBatch(b: Int): Boolean =
+      deleteEvery > 0 && b > 0 && b % deleteEvery == deleteEvery - 1
+    val delBatches = (0 until batches).filter(isDeleteBatch)
+    def delPred(b: Int) =
+      pmod(col("vec_id"), lit(batches)) === (b - 1) && col("vec_id") % 3 === 0
+    // the corpus the drained index must equal: chunks of delete batches
+    // were never ingested, deleted slices are gone
+    val kept =
+      if (delBatches.isEmpty) embs
+      else embs.where(
+        !pmod(col("vec_id"), lit(batches)).isin(delBatches.map(_.toLong): _*) &&
+          !delBatches.map(delPred).reduce(_ || _))
+
     // the rebuild contract: models fit on the bootstrap batch alone —
     // or, with a refit point, on chunks 0..refitAt (the corpus-so-far
-    // the refit retrained on) — the whole corpus assigned/encoded
+    // the refit retrained on) — the whole kept corpus assigned/encoded
     // against them
     val fitShard =
       if (refitAt < 0) chunk(0)
@@ -113,39 +142,43 @@ object AnnMaintScale {
     val expect: Set[(Long, Long)] = kind match {
       case "sq" =>
         val (stats, _) = graft.operators.SqIndex.buildSq(fitShard)
-        graft.operators.SqIndex.encodeBatch(embs, stats)
+        graft.operators.SqIndex.encodeBatch(kept, stats)
           .select("vec_id", "recon2").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
       case _ =>
-        IvfIndex.assignBatch(embs, bootCents)
+        IvfIndex.assignBatch(kept, bootCents)
           .select("vec_id", "cluster").collect()
           .map(r => (r.getLong(0), r.getInt(1).toLong)).toSet
     }
 
     def run(tag: String, every: Int): Unit = {
       val root = java.nio.file.Files.createTempDirectory(s"ann_maint_$tag").toString
-      val (process, refit, drained, committed) = kind match {
+      val (process, refit, delete, drained, committed) = kind match {
         case "ivfpq" =>
           val m = new IvfPqMaintenance(spark, root, nLists, iters,
             compactEvery = every)
-          (m.processBatch _, m.refitBatch _, () => m.currentTable(),
+          (m.processBatch _, m.refitBatch _, m.deleteBatch _,
+            () => m.currentTable(),
             () => new IvfPqMaintenance(spark, root, nLists, iters,
               compactEvery = every).committedCount)
         case "ivfpqres" =>
           val m = new IvfPqMaintenance(spark, root, nLists, iters,
             compactEvery = every, residual = true)
-          (m.processBatch _, m.refitBatch _, () => m.currentTable(),
+          (m.processBatch _, m.refitBatch _, m.deleteBatch _,
+            () => m.currentTable(),
             () => new IvfPqMaintenance(spark, root, nLists, iters,
               compactEvery = every, residual = true).committedCount)
         case "sq" =>
           val m = new graft.streaming.SqMaintenance(spark, root,
             compactEvery = every)
-          (m.processBatch _, m.refitBatch _, () => m.currentCodes(),
+          (m.processBatch _, m.refitBatch _, m.deleteBatch _,
+            () => m.currentCodes(),
             () => new graft.streaming.SqMaintenance(spark, root,
               compactEvery = every).committedCount)
         case _ =>
           val m = new AnnMaintenance(spark, root, nLists, iters, every)
-          (m.processBatch _, m.refitBatch _, () => m.currentIndex(),
+          (m.processBatch _, m.refitBatch _, m.deleteBatch _,
+            () => m.currentIndex(),
             () => new AnnMaintenance(spark, root, nLists, iters,
               every).committedCount)
       }
@@ -157,6 +190,8 @@ object AnnMaintScale {
           w = timed {
             if (b == refitAt)
               refit(b, embs.where(pmod(col("vec_id"), lit(batches)) <= b))
+            else if (isDeleteBatch(b))
+              delete(b, embs.where(delPred(b)).select("vec_id"))
             else process(b, chunk(b))
           }
         }
@@ -170,7 +205,7 @@ object AnnMaintScale {
       // the ivfpq table's codes must also equal the frozen-books encode
       if (kind == "ivfpq") {
         val (books, _) = PqIndex.buildPq(fitShard, 8, 16, 2)
-        val expCodes = PqIndex.encodeBatch(embs, books)
+        val expCodes = PqIndex.encodeBatch(kept, books)
           .select("vec_id", "code_0").collect()
           .map(r => (r.getLong(0), r.getInt(1))).toSet
         val gotCodes = drained().select("vec_id", "code_0").collect()
@@ -182,7 +217,7 @@ object AnnMaintScale {
         val assignedFit = IvfIndex.assignBatch(fitShard, bootCents)
         val (books, _) = PqIndex.buildResPq(assignedFit, bootCents, 8, 16, 2)
         val expCodes = PqIndex.encodeResBatch(
-            IvfIndex.assignBatch(embs, bootCents), bootCents, books)
+            IvfIndex.assignBatch(kept, bootCents), bootCents, books)
           .select("vec_id", "code_0").collect()
           .map(r => (r.getLong(0), r.getInt(1))).toSet
         val gotCodes = drained().select("vec_id", "code_0").collect()
@@ -197,7 +232,9 @@ object AnnMaintScale {
       // O(batch) regime — report it separately, keep the quartile
       // medians over the steady-state batches
       val walls = ws.map(_._1).toSeq
-      val steady = walls.zipWithIndex.collect { case (w, i) if i != refitAt => w }
+      val steady = walls.zipWithIndex.collect {
+        case (w, i) if i != refitAt && !isDeleteBatch(i) => w
+      }
       def fmt(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString(",")
       def med(xs: Seq[Double]) = xs.sorted.apply((xs.size - 1) / 2)
       val q = math.max(1, batches / 4)
@@ -205,6 +242,7 @@ object AnnMaintScale {
         s"""{"metric":"ann_maint_scale","kind":"$kind","mode":"$tag","sf":"$sfDir","n_vecs":$nVecs,""" +
         s""""batches":$batches,"compact_every":$every,"n_lists":$nLists,""" +
         s""""refit_at":$refitAt,"refit_wall_s":${f"$refitWall%.3f"},""" +
+        s""""delete_every":$deleteEvery,"n_delete_batches":${delBatches.size},""" +
         s""""walls":[${fmt(walls)}],""" +
         s""""first_quartile_median":${f"${med(steady.take(q))}%.3f"},""" +
         s""""last_quartile_median":${f"${med(steady.takeRight(q))}%.3f"},""" +

@@ -43,7 +43,7 @@ object ExtQueries43 {
     * The cache key includes the source table's CONTENT fingerprint
     * (r10 advice): if the driver regenerates testdata mid-session the
     * staging is redone rather than served stale. */
-  private def stagedDocChunks(s: SparkSession, dir: String): String = {
+  private[graft] def stagedDocChunks(s: SparkSession, dir: String): String = {
     val fp = graft.operators.DedupIndex.fingerprint(s, s"$dir/documents.parquet")
     stageCache.computeIfAbsent(s"$dir|$fp", { _ =>
       val digest = java.security.MessageDigest.getInstance("SHA-256")

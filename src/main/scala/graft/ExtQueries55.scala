@@ -110,6 +110,39 @@ object ExtQueries55 {
         .orderBy(col("vec_id"))
     }),
 
+    // dedup-index member ([[graft.streaming.IndexMaintenance]]): the
+    // standing (node, comp) rows of the deleted docs vanish (tombstone
+    // protocol; batch 3 lands on the compactEvery=2 cadence, so the
+    // purge path is on the gate) and the docs' stored fingerprints are
+    // masked out of later corpus scans. Deletion removes rows, it does
+    // NOT re-split components: survivors keep their labels — which is
+    // exactly why the oracle is the full-rebuild CC minus the deleted
+    // nodes. (The masking semantics for post-delete ingest is spec'd in
+    // IndexMaintenanceSpec, where the replay corpus is controllable.)
+    "stream_index_delete" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val staged = ExtQueries43.stagedDocChunks(s, dir)
+      val schema = Tables.table(s, dir, "documents").schema
+      val root = graft.operators.Sinks.dir(
+        "index_maint_del/run" + delRuns.incrementAndGet())
+      val maint = new graft.streaming.IndexMaintenance(s, root,
+        graft.streaming.IndexMaintenance.Simhash(3), compactEvery = 2)
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          maint.processBatch(id, b)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      maint.deleteBatch(3L, Tables.table(s, dir, "documents")
+        .where(col("doc_id") % 10 === 2).select("doc_id"))
+      maint.currentIndex()
+        .select(col("node").as("doc_id"), col("comp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SQ8 member: same timeline over the scalar-quantized code table
     "stream_sq_delete" -> ((s, dir) => {
       val root = graft.operators.Sinks.dir(
@@ -152,6 +185,24 @@ object ExtQueries55 {
            |JOIN recon r ON r.vec_id = i.vec_id
            |WHERE ${delWhere("i.")}
            |GROUP BY i.vec_id, i.cluster ORDER BY i.vec_id""".stripMargin,
+
+      // full-rebuild CC minus the deleted nodes: deletion removes rows
+      // and never relabels survivors (labels computed over the full
+      // corpus, filter applied to the node column only)
+      "stream_index_delete" ->
+        s"""WITH RECURSIVE ${ExtQueries.simhashPairsCtes},
+           |sel AS (SELECT doc_a, doc_b FROM pairs
+           |        WHERE bit_count(xor(fp_a, fp_b)) <= 3),
+           |e AS (SELECT doc_a AS src, doc_b AS dst FROM sel
+           |      UNION SELECT doc_b, doc_a FROM sel),
+           |nodes AS (SELECT DISTINCT src AS node FROM e),
+           |reach(node, lab) AS (
+           |  SELECT node, node FROM nodes
+           |  UNION
+           |  SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node)
+           |SELECT node AS doc_id, MIN(lab) AS comp FROM reach
+           |WHERE node % 10 != 2
+           |GROUP BY node ORDER BY doc_id""".stripMargin,
 
       // frozen-stats SQ rebuild (stats on chunk 0) minus both delete sets
       "stream_sq_delete" ->

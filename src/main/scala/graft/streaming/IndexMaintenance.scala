@@ -72,7 +72,7 @@ final class IndexMaintenance(spark: SparkSession, root: String,
     this(spark, root, IndexMaintenance.Simhash(maxHamming))
 
   private val log = new ShardLog(spark, root, "delta", compactEvery,
-    IndexMaintenance.DeltaFold)
+    IndexMaintenance.DeltaFold, deleteKey = "node")
 
   private def fs = new Path(root)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -108,6 +108,57 @@ final class IndexMaintenance(spark: SparkSession, root: String,
 
   /** Total committed batches (covered prefix + tail). */
   def committedCount: Long = log.committedCount
+
+  // committed DELETE-batch ids whose fpsdels/<b> mask shard is part of
+  // the standing-corpus anti-join — same caching discipline as fpsIds
+  @volatile private var fpsDelIdsMemo: Vector[Long] = _
+  private def fpsDelIds: Vector[Long] = {
+    if (fpsDelIdsMemo == null) {
+      val d = new Path(s"$root/fpsdels")
+      fpsDelIdsMemo =
+        if (!fs.exists(d)) Vector.empty
+        else fs.listStatus(d).toVector
+          .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+          .filter(log.isCommitted)
+          .sorted
+    }
+    fpsDelIdsMemo
+  }
+
+  /**
+   * DELETE documents from the index (takedown / right-to-erasure):
+   * `docIds` is any DataFrame exposing `doc_id`. Two effects, one
+   * marker:
+   *
+   *  - the standing `(node, comp)` rows vanish from serves immediately
+   *    and are PHYSICALLY purged by the covering compaction (the shared
+   *    [[ShardLog.commitDeletes]] tombstone protocol);
+   *  - the docs' stored columns (fps shards are immutable, never
+   *    compacted) are MASKED out of every later batch's standing-corpus
+   *    scan by a persistent `fpsdels/` key set — a removed doc can no
+   *    longer attract new ingest into its component.
+   *
+   * Honest residuals, by design: surviving docs keep the component
+   * labels computed while the deleted doc was present (deletion removes
+   * rows, it does not re-split components — a rebuild does), and the
+   * deleted docs' 64-bit fingerprints stay on disk masked (not content;
+   * physically erased at the next index rebuild).
+   */
+  def deleteBatch(batchId: Long, docIds: DataFrame): Unit = {
+    if (log.isCommitted(batchId)) return
+    val keys = docIds.select(col("doc_id").cast("long").as("node")).distinct()
+    // the fps mask shard goes first — marker-last ordering makes the
+    // crash replay overwrite both shards before committing
+    keys.select(col("node").as("doc_id"))
+      .write.mode("overwrite").parquet(s"$root/fpsdels/$batchId")
+    log.commitDeletes(batchId, keys, """{"del":true}""")
+    if (fpsDelIdsMemo != null)
+      fpsDelIdsMemo = (fpsDelIdsMemo :+ batchId).distinct.sorted
+  }
+
+  /** Eager compaction (cadence-independent); two calls physically purge
+    * every tombstoned `(node, comp)` row from the delta log. */
+  def compactNow(): Unit = log.compactNow()
 
   /** The standing `(node, comp)` index over all committed batches —
     * resolved from the cached commit state at plan time; safe to execute
@@ -151,8 +202,19 @@ final class IndexMaintenance(spark: SparkSession, root: String,
     // re-shuffling every standing fingerprint per batch
     val standingRaw =
       if (standingFps.isEmpty) None
-      else Some(spark.read.schema(algo.stagedSchema)
-        .parquet(standingFps.map(b => s"$root/fps/$b"): _*).persist())
+      else {
+        val raw = spark.read.schema(algo.stagedSchema)
+          .parquet(standingFps.map(b => s"$root/fps/$b"): _*)
+        // deleted docs are MASKED out of the standing corpus (fps shards
+        // are immutable): key-only anti-join, broadcast-sized, applied
+        // under the cache so every chunk scan sees the masked corpus
+        val masked =
+          if (fpsDelIds.isEmpty) raw
+          else raw.join(
+            spark.read.parquet(fpsDelIds.map(b => s"$root/fpsdels/$b"): _*),
+            Seq("doc_id"), "left_anti")
+        Some(masked.persist())
+      }
     // transient per-batch caches: the banded join scans the standing fps
     // once per simhash chunk and the delta tail scans `base` three times;
     // both are released before the batch commits and before the

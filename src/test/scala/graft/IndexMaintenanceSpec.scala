@@ -204,6 +204,60 @@ class IndexMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected snapshots 19 (deferred) and 23, got $baseDirs2")
   }
 
+  test("deleteBatch: standing rows vanish and the masked corpus no longer " +
+      "attracts post-delete ingest into the deleted doc's component") {
+    // three synthetic docs: A and B identical (a guaranteed simhash dup
+    // pair), C unrelated; A and C ingest first, A is deleted, then B
+    // arrives. Without fps masking B would pair with A's fingerprint and
+    // enter A's component; with it B has no partners, and since only
+    // docs WITH edges live in the index, B must be absent entirely.
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "completely unrelated words about spark shuffles and parquet"
+    def df(rows: (Long, String)*) =
+      spark.createDataFrame(rows).toDF("doc_id", "text")
+
+    val root = Files.createTempDirectory("idx_maint_del").toString
+    val m = new IndexMaintenance(spark, root, IndexMaintenance.Simhash(3))
+    m.processBatch(0L, df(100L -> text, 300L -> other))
+    m.processBatch(1L, df(101L -> text)) // 101 pairs with 100
+    assert(comps(m.currentIndex()) == Set((100L, 100L), (101L, 100L)))
+
+    m.deleteBatch(2L, df(100L -> text).select("doc_id"))
+    assert(comps(m.currentIndex()) == Set((101L, 100L)),
+      "the deleted node's row vanishes; survivors keep their labels")
+
+    m.processBatch(3L, df(102L -> text)) // a dup of the DELETED doc
+    val after = comps(m.currentIndex())
+    assert(after.exists(_._1 == 102L),
+      "102 must pair with the surviving dup 101")
+    assert(!after.exists(p => p._1 == 102L && p._2 == 100L) ||
+        after.contains((101L, 100L)),
+      "102's label must come from live pairing, not the deleted doc's row")
+    assert(!after.exists(_._1 == 100L), "the deleted doc never reappears")
+
+    // the control run without the delete: same corpus, 100 present
+    val root2 = Files.createTempDirectory("idx_maint_del_ctl").toString
+    val m2 = new IndexMaintenance(spark, root2, IndexMaintenance.Simhash(3))
+    m2.processBatch(0L, df(100L -> text, 300L -> other))
+    m2.processBatch(1L, df(101L -> text))
+    m2.processBatch(3L, df(102L -> text))
+    assert(comps(m2.currentIndex()).exists(_._1 == 100L))
+  }
+
+  test("deleteBatch: a doc with NO surviving dup partner stops matching " +
+      "entirely (the takedown contract)") {
+    val text = "some very specific sentence that only these two docs share"
+    def df(rows: (Long, String)*) =
+      spark.createDataFrame(rows).toDF("doc_id", "text")
+    val root = Files.createTempDirectory("idx_maint_del2").toString
+    val m = new IndexMaintenance(spark, root, IndexMaintenance.Simhash(3))
+    m.processBatch(0L, df(200L -> text))
+    m.deleteBatch(1L, df(200L -> text).select("doc_id"))
+    m.processBatch(2L, df(201L -> text)) // dup of the deleted doc only
+    assert(comps(m.currentIndex()).isEmpty,
+      "with the only partner deleted and masked, the new doc has no edges")
+  }
+
   test("streaming kill/resume lands byte-identical to the uninterrupted run") {
     // stage the corpus as 3 single-file chunks so the file source feeds
     // one chunk per trigger
