@@ -156,21 +156,27 @@ object ExtQueries50 {
     // exact-cosine verified; threshold on the unrounded ratio, ROUND(4)
     // in the output (the dedup_embedding discipline)
     "dedup_embedding_ivf" ->
-      s"""WITH RECURSIVE ${ExtQueries.quantSql},
-         |${ExtQueries46.ivfReplayBody("TRUE")},
-         |cellsz AS (
-         |  SELECT cluster, COUNT(*) AS n_cell FROM indexed GROUP BY cluster),
-         |blocks AS (
-         |  SELECT i.vec_id, i.qv, i.n2, i.cluster,
-         |         ${graft.operators.PortableHash.hSql("CAST(i.vec_id AS VARCHAR)")}
-         |           % CAST(CEIL(c.n_cell / $CellCap.0) AS BIGINT) AS sub
-         |  FROM indexed i JOIN cellsz c ON c.cluster = i.cluster),
-         |pairs AS (
-         |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
-         |         list_inner_product(x.qv, y.qv) / (sqrt(x.n2) * sqrt(y.n2)) AS cosr
-         |  FROM blocks x JOIN blocks y
-         |    ON x.cluster = y.cluster AND x.sub = y.sub AND x.vec_id < y.vec_id)
+      s"""WITH RECURSIVE $ivfCellPairsCtes
          |SELECT vec_a, vec_b, ROUND(cosr, 4) AS cos FROM pairs
          |WHERE cosr >= 0.30 ORDER BY vec_a, vec_b""".stripMargin
   )
+
+  /** The capped IVF-cell blocking replay up to `pairs` (vec_a, vec_b,
+    * unrounded cosr) — shared by dedup_embedding_ivf and the SemDeDup
+    * compose (ExtQueries57). Needs WITH RECURSIVE (the km fit). */
+  private[graft] def ivfCellPairsCtes: String =
+    s"""${ExtQueries.quantSql},
+       |${ExtQueries46.ivfReplayBody("TRUE")},
+       |cellsz AS (
+       |  SELECT cluster, COUNT(*) AS n_cell FROM indexed GROUP BY cluster),
+       |blocks AS (
+       |  SELECT i.vec_id, i.qv, i.n2, i.cluster,
+       |         ${graft.operators.PortableHash.hSql("CAST(i.vec_id AS VARCHAR)")}
+       |           % CAST(CEIL(c.n_cell / $CellCap.0) AS BIGINT) AS sub
+       |  FROM indexed i JOIN cellsz c ON c.cluster = i.cluster),
+       |pairs AS (
+       |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       |         list_inner_product(x.qv, y.qv) / (sqrt(x.n2) * sqrt(y.n2)) AS cosr
+       |  FROM blocks x JOIN blocks y
+       |    ON x.cluster = y.cluster AND x.sub = y.sub AND x.vec_id < y.vec_id)""".stripMargin
 }
