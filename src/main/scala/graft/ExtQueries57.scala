@@ -53,6 +53,22 @@ object ExtQueries57 {
         .orderBy(col("vec_id"))
     }),
 
+    // LATE INTERACTION AT SCALE (the ColBERT serving pipeline): a cheap
+    // single-vector first stage — the standing IVF probe read — yields
+    // a 50-candidate shortlist per query; maxsim (8x8-dim sub-vector
+    // tokens, exact long arithmetic) reranks ONLY the shortlist. The
+    // token cross-product never touches a non-candidate row, so the
+    // expensive scorer's cost is |Q|*50 pairs regardless of corpus size.
+    "ann_maxsim_rerank" -> ((s, dir) => {
+      val idx = AnnIndex.ivf(s, dir, NLists, IvfIters)
+      val shortlist = IvfIndex
+        .topKFrom(idx.centroids, idx.assigned, ExtQueries.AnnQueries, LegN, NProbe)
+        .select(col("query_id"), col("vec_id"))
+      Retrieval.maxSimRerank(Tables.table(s, dir, "embeddings"), shortlist,
+          ExtQueries.AnnQueries, 10)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     "retrieval_hybrid_rrf_ivf" -> ((s, dir) => {
       val sparse = Retrieval.rankLeg(
         Retrieval.bm25(Tables.table(s, dir, "documents"), Terms), "bm25", LegN)
@@ -82,6 +98,46 @@ object ExtQueries57 {
          |  SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node)
          |SELECT node AS vec_id, MIN(lab) AS kept_rep FROM reach
          |GROUP BY node HAVING node != MIN(lab) ORDER BY vec_id""".stripMargin,
+
+    // IVF shortlist (probe tail, rnk <= 50) -> maxsim over the shortlist
+    // pairs only (token slices on the quantized grid, exact integers)
+    "ann_maxsim_rerank" ->
+      s"""WITH RECURSIVE ${ExtQueries.quantSql},
+         |${ExtQueries46.ivfReplayBody("TRUE")},
+         |probes AS (
+         |  SELECT vec_id AS query_id, qv AS qqv, n2 AS qn2, c AS cluster FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+         |    FROM fdists WHERE vec_id IN (${ExtQueries.AnnQueries.mkString(", ")})) x
+         |  WHERE rn <= $NProbe),
+         |ivsc AS (
+         |  SELECT p.query_id, v.vec_id,
+         |         ROUND(list_inner_product(p.qqv, v.qv)
+         |               / (sqrt(p.qn2) * sqrt(v.n2)), 4) AS cos
+         |  FROM probes p JOIN indexed v
+         |    ON v.cluster = p.cluster AND v.vec_id != p.query_id),
+         |short AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |             ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM ivsc) z WHERE rnk <= $LegN),
+         |tokv AS (SELECT vec_id, i, list_slice(qv, i * 8 + 1, i * 8 + 8) AS tv
+         |         FROM qn, UNNEST(range(0, 8)) t(i)),
+         |qt AS (SELECT vec_id AS query_id, i, tv FROM tokv
+         |       WHERE vec_id IN (${ExtQueries.AnnQueries.mkString(", ")})),
+         |md AS (SELECT s.query_id, s.vec_id, q.i,
+         |         MAX(CAST(list_inner_product(q.tv, d.tv) AS BIGINT)) AS m
+         |       FROM short s
+         |       JOIN qt q ON q.query_id = s.query_id
+         |       JOIN tokv d ON d.vec_id = s.vec_id
+         |       GROUP BY s.query_id, s.vec_id, q.i),
+         |ms AS (SELECT query_id, vec_id, CAST(SUM(m) AS BIGINT) AS ms
+         |       FROM md GROUP BY 1, 2),
+         |r AS (SELECT query_id, vec_id, ms,
+         |        ROW_NUMBER() OVER (PARTITION BY query_id
+         |            ORDER BY ms DESC, vec_id) AS rnk
+         |      FROM ms)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id, ms FROM r
+         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
 
     // bm25 leg + the IVF probe-read dense leg (full-corpus fit replay +
     // probe/score/rank tail at nProbe=4, rnk <= 50) + the same fusion

@@ -109,6 +109,32 @@ object Retrieval {
       lit(0L), (acc, m) => acc + m)
 
   /**
+   * Late-interaction RERANK of a shortlist — the ColBERT serving shape
+   * at scale: candidates come from a cheap single-vector first stage
+   * (the standing IVF read), maxsim scores ONLY the shortlist. The
+   * shortlist `(query_id, vec_id)` is |Q|·r rows (broadcast both ways);
+   * the corpus is scanned once to fetch candidate vectors by id —
+   * maxsim's token cross-product never touches a non-candidate row.
+   */
+  def maxSimRerank(embeddings: DataFrame, shortlist: DataFrame,
+      queryIds: Seq[Long], k: Int, nTok: Int = 8, dim: Int = 8): DataFrame = {
+    val corpus = embeddings
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+    val q = corpus.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"))
+    val cand = corpus
+      .join(broadcast(shortlist.select(col("query_id"), col("vec_id"))), Seq("vec_id"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("ms").desc, col("vec_id"))
+    cand.join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        maxSimScore(col("qqv"), col("qv"), nTok, dim).as("ms"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("vec_id"), col("ms"))
+  }
+
+  /**
    * Late-interaction top-k: for each query vector, rank the corpus by
    * maxsim over `nTok` sub-vector tokens (self excluded). One corpus
    * scan, broadcast query side, codegen'd scorer — the exact-scan shape.
