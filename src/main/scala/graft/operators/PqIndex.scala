@@ -86,6 +86,53 @@ object PqIndex {
    * reps) share one build — the same standing-artifact lifecycle as the
    * IVF index.
    */
+  /**
+   * OPQ-LITE: a variance-balancing DIMENSION PERMUTATION for PQ (the
+   * cheap, exactly-replayable member of the OPQ family — Ge et al.,
+   * "Optimized Product Quantization", CVPR 2013 learn a full rotation;
+   * the permutation special case balances per-subspace energy without
+   * any float linear algebra). Dimensions are ranked by integer
+   * dispersion n·Σx² − (Σx)² on the e3 sub-grid (exact 64-bit at every
+   * gate SF; the coarser grid only affects tie granularity, broken by
+   * dimension id) and dealt ROUND-ROBIN into the M subspaces, so no
+   * subspace hoards the high-variance dimensions — the failure mode
+   * that makes contiguous-slice PQ codebooks waste codewords.
+   *
+   * Returns dst → src: slot `d` of the permuted vector holds source
+   * dimension `perm(d)` (0-based). One aggregate scan + a dims-row
+   * bounded collect.
+   */
+  def dispersionPermutation(embeddings: DataFrame, m: Int,
+      dims: Int = 64): Array[Int] = {
+    require(m > 0 && dims % m == 0, s"dims ($dims) must be a multiple of m ($m)")
+    val stats = embeddings
+      .select(posexplode(Similarity.quantize(col("embedding"))).as(Seq("pos", "x")))
+      .select(col("pos"), expr("x DIV 1000").as("xk"))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("xk")).as("sx"),
+        sum(col("xk") * col("xk")).as("sxx"))
+      .collect() // dims rows — bounded
+    require(stats.length == dims,
+      s"corpus vectors have ${stats.length} dims, caller claimed $dims")
+    val ranked = stats
+      .map(r => (r.getInt(0),
+        r.getLong(1) * r.getLong(3) - r.getLong(2) * r.getLong(2)))
+      .sortBy { case (pos, d) => (-d, pos) }
+    val subDim = dims / m
+    val perm = new Array[Int](dims)
+    ranked.zipWithIndex.foreach { case ((pos, _), r) =>
+      perm((r % m) * subDim + r / m) = pos
+    }
+    perm
+  }
+
+  /** Apply a dst→src dimension permutation to the raw embedding column
+    * (elementwise, so it commutes with quantization; norms unchanged). */
+  def permuteEmbeddings(embeddings: DataFrame, perm: Array[Int]): DataFrame =
+    embeddings.withColumn("embedding",
+      transform(array(perm.map(p => lit(p + 1)): _*),
+        p => element_at(col("embedding"), p)))
+
   def buildPq(embeddings: DataFrame, m: Int, ksub: Int,
       iters: Int, dims: Int = 64): (Array[Array[Array[Double]]], DataFrame) = {
     require(m > 0 && dims % m == 0,
