@@ -9,7 +9,7 @@ import graft.operators.{AnnIndex, ConnectedComponents, Dedup, IvfIndex,
 /**
  * Round 16: pipeline composes over the standing index —
  *
- *  - dedup_semantic: SEMANTIC DEDUPLICATION end-to-end (the SemDeDup
+ *  - dedup_semantic_ivf: SEMANTIC DEDUPLICATION end-to-end (the SemDeDup
  *    recipe, Abbas et al. 2023: cluster embeddings, pair within
  *    clusters, keep one representative per duplicate group): the
  *    standing IVF index is the clustering (already built, memoized,
@@ -42,7 +42,7 @@ object ExtQueries57 {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    "dedup_semantic" -> ((s, dir) => {
+    "dedup_semantic_ivf" -> ((s, dir) => {
       val idx = AnnIndex.ivf(s, dir, NLists, IvfIters)
       val pairs = Dedup
         .embeddingNearDupsIvfCells(idx.assigned, 0.30, ExtQueries50.CellCap)
@@ -86,7 +86,7 @@ object ExtQueries57 {
     // the full SemDeDup replay: capped IVF-cell pairs (shared CTEs) ->
     // thresholded edge list -> recursive min-label CC -> removed =
     // every node that is not its component's min
-    "dedup_semantic" ->
+    "dedup_semantic_ivf" ->
       s"""WITH RECURSIVE ${ExtQueries50.ivfCellPairsCtes},
          |sel AS (SELECT vec_a, vec_b FROM pairs WHERE cosr >= 0.30),
          |e AS (SELECT vec_a AS src, vec_b AS dst FROM sel

@@ -26,12 +26,12 @@ class Ext57Spec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
-  test("semantic-dedup drop list: reps survive, survivors are pairwise " +
+  test("IVF semantic-dedup drop list: reps survive, survivors are pairwise " +
       "below threshold within every block") {
     val idx = AnnIndex.ivf(spark, sfDir, 16, 3)
     val pairs = Dedup
       .embeddingNearDupsIvfCells(idx.assigned, 0.30, ExtQueries50.CellCap)
-    val removedRows = ExtQueries57.queries("dedup_semantic")(spark, sfDir)
+    val removedRows = ExtQueries57.queries("dedup_semantic_ivf")(spark, sfDir)
       .collect()
     assert(removedRows.nonEmpty, "the gate corpus must exercise the drop list")
     val removed = removedRows.map(_.getLong(0)).toSet
