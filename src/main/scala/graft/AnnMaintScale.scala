@@ -138,8 +138,18 @@ object AnnMaintScale {
     val fitShard =
       if (refitAt < 0) chunk(0)
       else embs.where(pmod(col("vec_id"), lit(batches)) <= refitAt)
+    require(kind != "graph" || (refitAt < 0 && deleteEvery < 0),
+      "the graph kind measures the ingest loop only")
     lazy val bootCents = IvfIndex.buildIndex(fitShard, nLists, iters)._1
     val expect: Set[(Long, Long)] = kind match {
+      case "graph" =>
+        // the full frozen-centroid kNN-graph rebuild's (node, dst) set —
+        // the most expensive ANN read, which is the point: the loop
+        // below must reach the same graph in O(batch) steps
+        IvfIndex.knnJoinFrom(bootCents,
+            IvfIndex.assignBatch(embs, bootCents), lit(true), 5, 4)
+          .select("query_id", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
       case "sq" =>
         val (stats, _) = graft.operators.SqIndex.buildSq(fitShard)
         graft.operators.SqIndex.encodeBatch(kept, stats)
@@ -154,6 +164,15 @@ object AnnMaintScale {
     def run(tag: String, every: Int): Unit = {
       val root = java.nio.file.Files.createTempDirectory(s"ann_maint_$tag").toString
       val (process, refit, delete, drained, committed) = kind match {
+        case "graph" =>
+          val m = new graft.streaming.KnnGraphMaintenance(spark, root,
+            nLists, iters, k = 5, nProbe = 4, compactEvery = every)
+          def noVerb(b: Long, df: DataFrame): Unit =
+            throw new UnsupportedOperationException("graph kind: ingest only")
+          (m.processBatch _, noVerb _, noVerb _, () => m.currentGraph(),
+            () => new graft.streaming.KnnGraphMaintenance(spark, root,
+              nLists, iters, k = 5, nProbe = 4,
+              compactEvery = every).committedCount)
         case "ivfpq" =>
           val m = new IvfPqMaintenance(spark, root, nLists, iters,
             compactEvery = every)
@@ -198,9 +217,15 @@ object AnnMaintScale {
         if (b == refitAt) refitWall = w
         ws += ((w, storageMb(), sh, fileCount(new Path(s"$root/meta"))))
       }
-      val keyCol = if (kind == "sq") "recon2" else "cluster"
-      val got = drained().select(col("vec_id"), col(keyCol).cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got: Set[(Long, Long)] =
+        if (kind == "graph")
+          drained().select(col("node"), col("dst"))
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        else {
+          val keyCol = if (kind == "sq") "recon2" else "cluster"
+          drained().select(col("vec_id"), col(keyCol).cast("long"))
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        }
       require(got == expect, s"$tag drained index diverged from the batch rebuild")
       // the ivfpq table's codes must also equal the frozen-books encode
       if (kind == "ivfpq") {
@@ -252,8 +277,11 @@ object AnnMaintScale {
         s""""shuffle_write_total_mb":${f"${ws.map(_._3).sum / 1e6}%.1f"},""" +
         s""""meta_files":[${ws.map(_._4).mkString(",")}],""" +
         s""""meta_files_final":${ws.last._4},""" +
-        s""""shard_dirs_final":${fileCount(new Path(
-          s"$root/${if (kind == "ivf") "assign" else "codes"}"))},""" +
+        s""""shard_dirs_final":${fileCount(new Path(kind match {
+          case "ivf" => s"$root/assign"
+          case "graph" => s"$root/graph/edges"
+          case _ => s"$root/codes"
+        }))},""" +
         s""""root_mb_final":${f"${bytesUnder(new Path(root)) / 1e6}%.1f"},""" +
         s""""resume_state_load_s":${f"$resumeS%.3f"}}""")
     }

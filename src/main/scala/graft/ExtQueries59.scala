@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Tables
+
+/**
+ * Round 16: STREAMING kNN-GRAPH MAINTENANCE
+ * ([[graft.streaming.KnnGraphMaintenance]]) — the full kNN graph is the
+ * most expensive ANN read (every vector is a query; the batch build is
+ * decade-measured in KnnJoinScale), which is exactly why a 100 TB
+ * deployment cannot rebuild it per ingest batch. The maintenance loop
+ * keeps it standing: forward edges from one batch-sized kNN join,
+ * reverse edges routed through the static per-node probe table, both
+ * capped per node per batch (provably lossless — the losslessness
+ * argument and crash protocol live in the class doc), folded under the
+ * shared ShardLog durability (markers, rollup, serve-while-compact).
+ *
+ *  - stream_knn_graph: the corpus drains as one file per trigger with a
+ *    LIVE compaction point (compactEvery=2); the drained ranked graph
+ *    must equal the frozen-centroid FULL REBUILD (fit on chunk 0, kNN
+ *    join of everyone against everyone's probed lists) — the DuckDB
+ *    oracle replays the fit, every probe set, every exact cosine, and
+ *    the per-node ranking.
+ */
+object ExtQueries59 {
+
+  private val NLists = 16
+  private val IvfIters = 3
+  private val K = 5
+  private val NProbe = 4
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "stream_knn_graph" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val staged = ExtQueries46.stagedEmbChunks(s, dir)
+      val schema = Tables.table(s, dir, "embeddings").schema
+      val root = graft.operators.Sinks.dir(
+        "knn_graph_maint/run" + runs.incrementAndGet())
+      val maint = new graft.streaming.KnnGraphMaintenance(s, root, NLists,
+        IvfIters, K, NProbe, compactEvery = 2)
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          maint.processBatch(id, b)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      maint.currentGraphRanked()
+        .orderBy(col("node"), col("rnk"))
+    })
+  )
+
+  private val runs = new java.util.concurrent.atomic.AtomicLong()
+
+  def oracleSql: Map[String, String] = Map(
+
+    // drained graph == frozen-centroid full rebuild: fit on chunk 0
+    // (batch 0 bootstraps), probes for EVERY vector, exact cosine inside
+    // the probed lists, per-node rank <= k
+    "stream_knn_graph" ->
+      s"""WITH RECURSIVE ${ExtQueries46.ivfReplayCtes("vec_id % 3 = 0")},
+         |gprobes AS (
+         |  SELECT vec_id AS query_id, qv AS qqv, n2 AS qn2, c AS cluster FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+         |    FROM fdists) x
+         |  WHERE rn <= $NProbe),
+         |gsc AS (
+         |  SELECT p.query_id, v.vec_id,
+         |         ROUND(list_inner_product(p.qqv, v.qv)
+         |               / (sqrt(p.qn2) * sqrt(v.n2)), 4) AS cos
+         |  FROM gprobes p JOIN indexed v
+         |    ON v.cluster = p.cluster AND v.vec_id != p.query_id),
+         |gr AS (
+         |  SELECT query_id, vec_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |             ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM gsc)
+         |SELECT query_id AS node, CAST(rnk AS BIGINT) AS rnk,
+         |       vec_id AS dst, cos
+         |FROM gr WHERE rnk <= $K ORDER BY node, rnk""".stripMargin
+  )
+}

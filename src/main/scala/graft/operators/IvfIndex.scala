@@ -230,8 +230,19 @@ object IvfIndex {
    */
   def knnJoinFrom(centroids: Array[Array[Double]], indexed: DataFrame,
       queryPred: Column, k: Int, nProbe: Int,
+      broadcastProbes: Boolean = true): DataFrame =
+    knnJoinAssignedFrom(centroids, indexed, indexed.where(queryPred), k,
+      nProbe, broadcastProbes)
+
+  /** [[knnJoinFrom]] with the query side provided DIRECTLY in index
+    * layout `(vec_id, qv, norm, ...)` instead of as a predicate over the
+    * index — the streaming kNN-graph maintenance feeds the freshly
+    * assigned ingest batch here (it is part of the as-of index but far
+    * cheaper to hand over than to re-select by id). */
+  def knnJoinAssignedFrom(centroids: Array[Array[Double]], indexed: DataFrame,
+      qAssigned: DataFrame, k: Int, nProbe: Int,
       broadcastProbes: Boolean = true): DataFrame = {
-    val scored = scoredInLists(centroids, indexed, indexed.where(queryPred),
+    val scored = scoredInLists(centroids, indexed, qAssigned,
       nProbe, broadcastProbes)
     val perList = Window.partitionBy(col("query_id"), col("cluster"))
       .orderBy(col("cos").desc, col("vec_id"))
@@ -244,6 +255,18 @@ object IvfIndex {
       .where(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("vec_id"), col("cos"))
   }
+
+  /** The nProbe probed lists per vector of `assigned` (index layout), as
+    * a `(node, cluster, qv, norm)` relation — the standing REVERSE-EDGE
+    * ROUTING TABLE of the incremental kNN-graph maintenance: a new
+    * vector landing in cluster c is a candidate for exactly the nodes
+    * whose probe set contains c. Probe sets are static under frozen
+    * centroids, so this is materialized once per ingest batch. */
+  def probePairs(centroids: Array[Array[Double]], assigned: DataFrame,
+      nProbe: Int): DataFrame =
+    probesFor(centroids, assigned, nProbe)
+      .select(col("query_id").as("node"), col("cluster"),
+        col("qqv").as("qv"), col("qnorm").as("norm"))
 
   /**
    * kNN JOIN for EXTERNAL query vectors — the true retrieval shape:

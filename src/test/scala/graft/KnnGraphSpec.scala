@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.{IvfIndex, Tables}
+import graft.streaming.KnnGraphMaintenance
+
+/** Incremental kNN-graph maintenance == the full frozen-centroid batch
+  * rebuild, with both edge directions live (a later batch's vector must
+  * be able to enter an earlier node's top-k), idempotent replay, and
+  * byte-identical kill/resume. */
+class KnnGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def embs = Tables.table(spark, sfDir, "embeddings")
+  private def chunk(c: Int): DataFrame =
+    embs.where(pmod(col("vec_id"), lit(3)) === c)
+
+  private def edges(df: DataFrame): Set[(Long, Long, Double)] =
+    df.select("node", "dst", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  private def rebuildEdges(m: KnnGraphMaintenance,
+      cents: Array[Array[Double]]): Set[(Long, Long, Double)] =
+    edges(IvfIndex.knnJoinFrom(cents, m.vectorIndex(), lit(true), 5, 4)
+      .select(col("query_id").as("node"), col("vec_id").as("dst"), col("cos")))
+
+  test("drained graph equals the frozen-centroid full rebuild, and " +
+      "reverse edges are LIVE (later vectors enter earlier nodes' top-k)") {
+    val root = Files.createTempDirectory("knn_graph").toString
+    val m = new KnnGraphMaintenance(spark, root, nLists = 16, iters = 3,
+      k = 5, nProbe = 4, compactEvery = 2)
+    m.processBatch(0L, chunk(0))
+    val afterBatch0 = edges(m.currentGraph())
+    m.processBatch(1L, chunk(1))
+    m.processBatch(2L, chunk(2))
+
+    val cents = new graft.streaming.AnnMaintenance(spark, s"$root/vec",
+      16, 3, 2).centroids()
+    assert(edges(m.currentGraph()) == rebuildEdges(m, cents),
+      "incremental fold must equal the batch kNN join over the full index")
+
+    // reverse-edge liveness: some batch-0 node's final list contains a
+    // vector from a later batch AND displaced one of its original edges
+    val batch0Nodes = afterBatch0.map(_._1)
+    val laterDst = edges(m.currentGraph())
+      .filter(e => batch0Nodes(e._1) && e._2 % 3 != 0)
+    assert(laterDst.nonEmpty,
+      "no later-batch vector ever entered an earlier node's top-k — " +
+        "the reverse path is untested by this corpus")
+
+    // replay of a committed batch is a no-op
+    val before = edges(m.currentGraph())
+    m.processBatch(1L, chunk(1))
+    assert(edges(m.currentGraph()) == before)
+  }
+
+  test("kill/resume across batches lands byte-identical to the " +
+      "uninterrupted run") {
+    val rootA = Files.createTempDirectory("knn_graph_a").toString
+    val a = new KnnGraphMaintenance(spark, rootA, 16, 3, 5, 4, compactEvery = 2)
+    a.processBatch(0L, chunk(0)); a.processBatch(1L, chunk(1))
+    a.processBatch(2L, chunk(2))
+
+    val rootB = Files.createTempDirectory("knn_graph_b").toString
+    val b1 = new KnnGraphMaintenance(spark, rootB, 16, 3, 5, 4, compactEvery = 2)
+    b1.processBatch(0L, chunk(0)); b1.processBatch(1L, chunk(1))
+    // "kill": a fresh instance (cold caches, state reloaded from markers)
+    val b2 = new KnnGraphMaintenance(spark, rootB, 16, 3, 5, 4, compactEvery = 2)
+    b2.processBatch(1L, chunk(1)) // replay short-circuits
+    b2.processBatch(2L, chunk(2))
+    assert(edges(a.currentGraph()) == edges(b2.currentGraph()))
+  }
+}
