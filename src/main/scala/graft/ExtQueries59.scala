@@ -52,10 +52,42 @@ object ExtQueries59 {
       q.awaitTermination()
       maint.currentGraphRanked()
         .orderBy(col("node"), col("rnk"))
-    })
+    }),
+
+    // IN-STREAM GRAPH REFIT at the last chunk: the vector index retrains
+    // on the corpus-so-far, the WHOLE graph rebuilds under the new
+    // centroids as one snapshot commit, and the probe routing table
+    // swaps generations behind the probesFrom watermark. Drained graph
+    // == full rebuild with the fit on EVERYTHING.
+    "stream_knn_graph_refit" -> ((s, dir) => drainGraph(s, dir, refitAt = 2L))
   )
 
   private val runs = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Shared drain driver: processBatch per chunk, with an optional
+    * in-stream refit at `refitAt` (corpus-so-far = the full table, since
+    * the refit point here is the last chunk). */
+  private def drainGraph(s: SparkSession, dir: String,
+      refitAt: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val staged = ExtQueries46.stagedEmbChunks(s, dir)
+    val embs = Tables.table(s, dir, "embeddings")
+    val root = graft.operators.Sinks.dir(
+      "knn_graph_maint/run" + runs.incrementAndGet())
+    val maint = new graft.streaming.KnnGraphMaintenance(s, root, NLists,
+      IvfIters, K, NProbe, compactEvery = 2)
+    val q = s.readStream.schema(embs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        if (id == refitAt) maint.refitBatch(id, embs)
+        else maint.processBatch(id, b)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    maint.currentGraphRanked().orderBy(col("node"), col("rnk"))
+  }
 
   def oracleSql: Map[String, String] = Map(
 
@@ -64,6 +96,29 @@ object ExtQueries59 {
     // the probed lists, per-node rank <= k
     "stream_knn_graph" ->
       s"""WITH RECURSIVE ${ExtQueries46.ivfReplayCtes("vec_id % 3 = 0")},
+         |gprobes AS (
+         |  SELECT vec_id AS query_id, qv AS qqv, n2 AS qn2, c AS cluster FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+         |    FROM fdists) x
+         |  WHERE rn <= $NProbe),
+         |gsc AS (
+         |  SELECT p.query_id, v.vec_id,
+         |         ROUND(list_inner_product(p.qqv, v.qv)
+         |               / (sqrt(p.qn2) * sqrt(v.n2)), 4) AS cos
+         |  FROM gprobes p JOIN indexed v
+         |    ON v.cluster = p.cluster AND v.vec_id != p.query_id),
+         |gr AS (
+         |  SELECT query_id, vec_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |             ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM gsc)
+         |SELECT query_id AS node, CAST(rnk AS BIGINT) AS rnk,
+         |       vec_id AS dst, cos
+         |FROM gr WHERE rnk <= $K ORDER BY node, rnk""".stripMargin,
+
+    // refit at the last chunk == full rebuild with the fit on everything
+    "stream_knn_graph_refit" ->
+      s"""WITH RECURSIVE ${ExtQueries46.ivfReplayCtes("TRUE")},
          |gprobes AS (
          |  SELECT vec_id AS query_id, qv AS qqv, n2 AS qn2, c AS cluster FROM (
          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn

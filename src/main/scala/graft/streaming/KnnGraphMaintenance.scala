@@ -53,14 +53,32 @@ final class KnnGraphMaintenance(spark: SparkSession, root: String,
   private val vec = new AnnMaintenance(spark, s"$root/vec", nLists, iters,
     compactEvery)
   private val log = new ShardLog(spark, s"$root/graph", "edges", compactEvery,
-    new KnnGraphMaintenance.TopKFold(k))
+    new KnnGraphMaintenance.TopKFold(k),
+    // ordinary compactions must not lose the probe-generation watermark
+    () => s""""probesFrom":$probesFrom""")
 
   private def fs = new Path(root)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  private val ProbesFromField = """"probesFrom"\s*:\s*(\d+)""".r
+
+  // probe shards older than this batch id reflect a SUPERSEDED centroid
+  // geometry (an in-stream refit happened at that batch) and must never
+  // route reverse edges again — authoritative from the latest snapshot
+  // marker, the same crash discipline as the refit generation
+  @volatile private var probesFromMemo: Long = -1L
+  private def probesFrom: Long = {
+    if (probesFromMemo < 0)
+      probesFromMemo = log.latestSnapshotMarker
+        .flatMap(mk => ProbesFromField.findFirstMatchIn(mk).map(_.group(1).toLong))
+        .getOrElse(0L)
+    probesFromMemo
+  }
+
   // committed batch ids whose probes/<b> routing shard is standing —
-  // one startup listing gated on the edge log's markers, advanced per
-  // commit (the IndexMaintenance.fpsIds discipline)
+  // one startup listing gated on the edge log's markers AND the
+  // probe-generation watermark, advanced per commit (the
+  // IndexMaintenance.fpsIds discipline)
   @volatile private var probeIdsMemo: Vector[Long] = _
   private def probeIds: Vector[Long] = {
     if (probeIdsMemo == null) {
@@ -72,7 +90,7 @@ final class KnnGraphMaintenance(spark: SparkSession, root: String,
           .filter(log.isCommitted)
           .sorted
     }
-    probeIdsMemo
+    probeIdsMemo.filter(_ >= probesFrom)
   }
 
   def committedIds: Seq[Long] = log.committedIds
@@ -130,6 +148,41 @@ final class KnnGraphMaintenance(spark: SparkSession, root: String,
     } finally {
       org.apache.spark.sql.graftbridge.CheckpointBridge.release(batchAssigned)
     }
+  }
+
+  /**
+   * IN-STREAM REFIT-AND-SWAP for the graph member: retrain the vector
+   * index on `corpus` (the corpus as of this batch — the inner
+   * [[AnnMaintenance.refitBatch]]), rebuild the WHOLE graph under the
+   * new centroids in one kNN join, commit it as this batch's SNAPSHOT,
+   * and swap the probe routing table to the new geometry — the
+   * `probesFrom` watermark in the snapshot marker makes the swap
+   * crash-authoritative: probe shards below it never route reverse
+   * edges again, whether or not their files were swept yet. The refit
+   * is the priced full rebuild; post-refit batches return to O(batch).
+   */
+  def refitBatch(batchId: Long, corpus: DataFrame): Unit = {
+    vec.refitBatch(batchId, corpus) // idempotent: marker short-circuits
+    if (log.isCommitted(batchId)) return
+    val cents = vec.centroids()
+    val index = vec.currentIndex()
+    val full = IvfIndex.knnJoinFrom(cents, index, lit(true), k, nProbe,
+        broadcastProbes = false)
+      .select(col("query_id").as("node"), col("vec_id").as("dst"), col("cos"))
+    // new-geometry routing table first (replay overwrites), then the
+    // atomic snapshot commit carrying the watermark
+    IvfIndex.probePairs(cents, index, nProbe)
+      .write.mode("overwrite").parquet(s"$root/probes/$batchId")
+    log.commitSnapshot(batchId, full, s""""probesFrom":$batchId""")
+    probesFromMemo = batchId
+    // superseded-geometry shards: unreachable (the watermark gates every
+    // read), swept eagerly; a crash mid-sweep just leaves files the
+    // filter already ignores
+    if (probeIdsMemo != null)
+      probeIdsMemo.filter(_ < batchId).foreach { b =>
+        fs.delete(new Path(s"$root/probes/$b"), true)
+      }
+    probeIdsMemo = Vector(batchId)
   }
 
   /** The standing edge set `(node, dst, cos)` — top-k per node over all

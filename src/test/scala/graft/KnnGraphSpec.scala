@@ -74,6 +74,31 @@ class KnnGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(edges(m.currentGraph()) == before)
   }
 
+  test("in-stream refit swaps the probe geometry: post-refit ingest is " +
+      "O(batch) and the final graph equals the refit-centroid rebuild") {
+    val root = Files.createTempDirectory("knn_graph_refit").toString
+    val m = new KnnGraphMaintenance(spark, root, nLists = 16, iters = 3,
+      k = 5, nProbe = 4, compactEvery = 2)
+    m.processBatch(0L, chunk(0))
+    // refit on the corpus-so-far (chunks 0+1): retrains centroids,
+    // rebuilds the graph snapshot, swaps the probe watermark
+    m.refitBatch(1L, embs.where(pmod(col("vec_id"), lit(3)) <= 1))
+    // post-refit O(batch) ingest rides the NEW probe geometry
+    m.processBatch(2L, chunk(2))
+
+    val refitCents = IvfIndex.buildIndex(
+      embs.where(pmod(col("vec_id"), lit(3)) <= 1), 16, 3)._1
+    assert(edges(m.currentGraph()) == rebuildEdges(m, refitCents),
+      "drained graph must equal the rebuild under the REFIT centroids")
+
+    // the watermark survives a restart: a fresh instance keeps routing
+    // through the new geometry only
+    val m2 = new KnnGraphMaintenance(spark, root, nLists = 16, iters = 3,
+      k = 5, nProbe = 4, compactEvery = 2)
+    m2.processBatch(2L, chunk(2)) // replay short-circuits
+    assert(edges(m2.currentGraph()) == rebuildEdges(m, refitCents))
+  }
+
   test("kill/resume across batches lands byte-identical to the " +
       "uninterrupted run") {
     val rootA = Files.createTempDirectory("knn_graph_a").toString
