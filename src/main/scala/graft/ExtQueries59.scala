@@ -54,6 +54,34 @@ object ExtQueries59 {
         .orderBy(col("node"), col("rnk"))
     }),
 
+    // DELETION from the maintained graph: batch 3 (on the compactEvery=2
+    // cadence — the purge path) and batch 4 (tail tombstone + dst mask)
+    // remove two key sets. Honest masked-graph semantics: surviving
+    // nodes' lists are NOT refilled (that is refit's job), so the
+    // drained graph equals the full rebuild minus deleted nodes' rows
+    // minus edges into deleted vectors — exactly what the oracle replays.
+    "stream_knn_graph_delete" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val staged = ExtQueries46.stagedEmbChunks(s, dir)
+      val embs = Tables.table(s, dir, "embeddings")
+      val root = graft.operators.Sinks.dir(
+        "knn_graph_maint/run" + runs.incrementAndGet())
+      val maint = new graft.streaming.KnnGraphMaintenance(s, root, NLists,
+        IvfIters, K, NProbe, compactEvery = 2)
+      val q = s.readStream.schema(embs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          maint.processBatch(id, b)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      maint.deleteBatch(3L, embs.where(col("vec_id") % 7 === 3).select("vec_id"))
+      maint.deleteBatch(4L, embs.where(col("vec_id") % 11 === 5).select("vec_id"))
+      maint.currentGraphRanked().orderBy(col("node"), col("rnk"))
+    }),
+
     // IN-STREAM GRAPH REFIT at the last chunk: the vector index retrains
     // on the corpus-so-far, the WHOLE graph rebuilds under the new
     // centroids as one snapshot commit, and the probe routing table
@@ -115,6 +143,38 @@ object ExtQueries59 {
          |SELECT query_id AS node, CAST(rnk AS BIGINT) AS rnk,
          |       vec_id AS dst, cos
          |FROM gr WHERE rnk <= $K ORDER BY node, rnk""".stripMargin,
+
+    // masked-graph contract: the standing top-K rows of the full rebuild
+    // minus deleted nodes' rows minus edges into deleted vectors, ranks
+    // re-contiguous after the mask (no refill — refit refills)
+    "stream_knn_graph_delete" ->
+      s"""WITH RECURSIVE ${ExtQueries46.ivfReplayCtes("vec_id % 3 = 0")},
+         |gprobes AS (
+         |  SELECT vec_id AS query_id, qv AS qqv, n2 AS qn2, c AS cluster FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+         |    FROM fdists) x
+         |  WHERE rn <= $NProbe),
+         |gsc AS (
+         |  SELECT p.query_id, v.vec_id,
+         |         ROUND(list_inner_product(p.qqv, v.qv)
+         |               / (sqrt(p.qn2) * sqrt(v.n2)), 4) AS cos
+         |  FROM gprobes p JOIN indexed v
+         |    ON v.cluster = p.cluster AND v.vec_id != p.query_id),
+         |gr AS (
+         |  SELECT query_id, vec_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |             ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM gsc),
+         |standing AS (SELECT query_id, vec_id, cos FROM gr WHERE rnk <= $K),
+         |masked AS (
+         |  SELECT query_id, vec_id, cos FROM standing
+         |  WHERE query_id % 7 != 3 AND query_id % 11 != 5
+         |    AND vec_id % 7 != 3 AND vec_id % 11 != 5)
+         |SELECT query_id AS node,
+         |       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |           ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk,
+         |       vec_id AS dst, cos
+         |FROM masked ORDER BY node, rnk""".stripMargin,
 
     // refit at the last chunk == full rebuild with the fit on everything
     "stream_knn_graph_refit" ->

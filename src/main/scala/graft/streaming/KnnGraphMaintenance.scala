@@ -55,7 +55,7 @@ final class KnnGraphMaintenance(spark: SparkSession, root: String,
   private val log = new ShardLog(spark, s"$root/graph", "edges", compactEvery,
     new KnnGraphMaintenance.TopKFold(k),
     // ordinary compactions must not lose the probe-generation watermark
-    () => s""""probesFrom":$probesFrom""")
+    () => s""""probesFrom":$probesFrom""", deleteKey = "node")
 
   private def fs = new Path(root)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -119,8 +119,14 @@ final class KnnGraphMaintenance(spark: SparkSession, root: String,
       val rev =
         if (standing.isEmpty) None
         else {
-          val probes = spark.read.parquet(
+          val probesRaw = spark.read.parquet(
             standing.map(b => s"$root/probes/$b"): _*)
+          // deleted nodes leave the ROUTING too — without this, stale
+          // probe rows would regenerate adjacency for a node whose
+          // protocol tombstone was already purged by a compaction
+          val probes = deletedKeys("node")
+            .map(d => probesRaw.join(d, Seq("node"), "left_anti"))
+            .getOrElse(probesRaw)
           val newSide = batchAssigned.select(col("cluster"),
             col("vec_id").as("dst"), col("qv").as("dqv"),
             col("norm").as("dnorm"))
@@ -150,6 +156,57 @@ final class KnnGraphMaintenance(spark: SparkSession, root: String,
     }
   }
 
+  // committed batch ids whose dstdels/<b> mask shard is standing —
+  // edges INTO a deleted vector are masked at read (they are baked into
+  // earlier shards/snapshots, so unlike the node-side tombstones they
+  // cannot be purged by a compaction; a refit erases them physically)
+  @volatile private var dstDelIdsMemo: Vector[Long] = _
+  private def dstDelIds: Vector[Long] = {
+    if (dstDelIdsMemo == null) {
+      val d = new Path(s"$root/dstdels")
+      dstDelIdsMemo =
+        if (!fs.exists(d)) Vector.empty
+        else fs.listStatus(d).toVector
+          .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+          .filter(log.isCommitted)
+          .sorted
+    }
+    dstDelIdsMemo.filter(_ >= probesFrom)
+  }
+
+  /**
+   * DELETE vectors from the graph (takedown): one batch, three effects,
+   * one marker —
+   *
+   *  - the vectors leave the underlying index (the inner
+   *    [[AnnMaintenance.deleteBatch]] tombstone), so no future forward
+   *    or reverse edge can involve them;
+   *  - the deleted nodes' ADJACENCY rows vanish from serves and are
+   *    physically purged by the covering compaction (the shared
+   *    [[ShardLog.commitDeletes]] protocol);
+   *  - standing edges INTO the deleted vectors are MASKED at read by a
+   *    persistent `dstdels/` key set (broadcast anti-join).
+   *
+   * Honest semantics, documented rather than hidden: masking does not
+   * REFILL a surviving node's list (its k-th edge is gone, not
+   * replaced) — the drained graph equals the full-corpus rebuild with
+   * deleted nodes' rows and deleted-dst edges removed, which is exactly
+   * what the `stream_knn_graph_delete` oracle replays. Refit rebuilds
+   * the lists at full k over the post-delete corpus and retires the
+   * mask (the `probesFrom` watermark gates `dstdels` exactly like the
+   * probe shards).
+   */
+  def deleteBatch(batchId: Long, ids: DataFrame): Unit = {
+    vec.deleteBatch(batchId, ids)
+    if (log.isCommitted(batchId)) return
+    val keys = ids.select(col("vec_id").cast("long").as("node")).distinct()
+    keys.select(col("node").as("dst"))
+      .write.mode("overwrite").parquet(s"$root/dstdels/$batchId")
+    log.commitDeletes(batchId, keys, """{"del":true}""")
+    if (dstDelIdsMemo != null)
+      dstDelIdsMemo = (dstDelIdsMemo :+ batchId).distinct.sorted
+  }
+
   /**
    * IN-STREAM REFIT-AND-SWAP for the graph member: retrain the vector
    * index on `corpus` (the corpus as of this batch — the inner
@@ -162,7 +219,13 @@ final class KnnGraphMaintenance(spark: SparkSession, root: String,
    * is the priced full rebuild; post-refit batches return to O(batch).
    */
   def refitBatch(batchId: Long, corpus: DataFrame): Unit = {
-    vec.refitBatch(batchId, corpus) // idempotent: marker short-circuits
+    // a refit retires the delete masks (the watermark below), so the
+    // corpus it rebuilds from must not resurrect a deleted vector —
+    // re-apply the mask defensively rather than trusting the caller
+    val clean = deletedKeys("vec_id")
+      .map(d => corpus.join(d, Seq("vec_id"), "left_anti"))
+      .getOrElse(corpus)
+    vec.refitBatch(batchId, clean) // idempotent: marker short-circuits
     if (log.isCommitted(batchId)) return
     val cents = vec.centroids()
     val index = vec.currentIndex()
@@ -183,11 +246,36 @@ final class KnnGraphMaintenance(spark: SparkSession, root: String,
         fs.delete(new Path(s"$root/probes/$b"), true)
       }
     probeIdsMemo = Vector(batchId)
+    // the delete masks are baked into the refit (deleted vectors are
+    // not in the rebuilt corpus) — retire their shards with the same
+    // watermark discipline
+    if (dstDelIdsMemo != null)
+      dstDelIdsMemo.filter(_ < batchId).foreach { b =>
+        fs.delete(new Path(s"$root/dstdels/$b"), true)
+      }
+    dstDelIdsMemo = Vector.empty
+  }
+
+  /** The persistent deleted-key set under `alias`, when any deletes are
+    * live (KB-scale; retired wholesale by the next refit's watermark). */
+  private def deletedKeys(alias: String): Option[DataFrame] = {
+    val ids = dstDelIds
+    if (ids.isEmpty) None
+    else Some(spark.read.parquet(ids.map(b => s"$root/dstdels/$b"): _*)
+      .select(col("dst").as(alias)).distinct())
   }
 
   /** The standing edge set `(node, dst, cos)` — top-k per node over all
-    * committed batches (serve-while-compact per the ShardLog deferral). */
-  def currentGraph(): DataFrame = log.currentRows()
+    * committed batches (serve-while-compact per the ShardLog deferral),
+    * minus edges INTO deleted vectors (the persistent dst mask — see
+    * [[deleteBatch]]). */
+  def currentGraph(): DataFrame = {
+    val rows = log.currentRows()
+    deletedKeys("dst")
+      .map(d => rows.join(d, Seq("dst"), "left_anti")
+        .select(col("node"), col("dst"), col("cos")))
+      .getOrElse(rows)
+  }
 
   /** The graph with contiguous per-node ranks, the rebuild-comparable
     * surface: `(node, rnk, dst, cos)`. */

@@ -99,6 +99,36 @@ class KnnGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(edges(m2.currentGraph()) == rebuildEdges(m, refitCents))
   }
 
+  test("deleteBatch masks both edge directions without refill; refit " +
+      "refills at full k over the post-delete corpus") {
+    val root = Files.createTempDirectory("knn_graph_del").toString
+    val m = new KnnGraphMaintenance(spark, root, nLists = 16, iters = 3,
+      k = 5, nProbe = 4, compactEvery = 2)
+    m.processBatch(0L, chunk(0)); m.processBatch(1L, chunk(1))
+    m.processBatch(2L, chunk(2))
+    val before = edges(m.currentGraph())
+    val delSet = before.flatMap(e => Seq(e._1, e._2)).filter(_ % 7 == 3)
+    assert(delSet.nonEmpty)
+    m.deleteBatch(3L, spark.createDataFrame(delSet.toSeq.map(Tuple1(_)))
+      .toDF("vec_id"))
+    val after = edges(m.currentGraph())
+    // both directions masked, nothing else changed, no refill
+    assert(after == before.filterNot(e => delSet(e._1) || delSet(e._2)))
+    // new ingest cannot resurrect a deleted node via stale routing: the
+    // post-delete batch only links among survivors
+    m.processBatch(4L, spark.createDataFrame(Seq(
+      (900L, Seq.fill(64)(0.01f)))).toDF("vec_id", "embedding"))
+    assert(edges(m.currentGraph())
+      .forall(e => !delSet(e._1) && !delSet(e._2)))
+    // refit on the post-delete corpus refills survivors' lists at full k
+    m.refitBatch(5L, embs)
+    val refilled = edges(m.currentGraph())
+    assert(refilled.forall(e => !delSet(e._1) && !delSet(e._2)),
+      "a refit must not resurrect deleted vectors (mask applied to corpus)")
+    val perNode = refilled.groupBy(_._1).view.mapValues(_.size)
+    assert(perNode.values.max == 5, "refit must refill lists to full k")
+  }
+
   test("kill/resume across batches lands byte-identical to the " +
       "uninterrupted run") {
     val rootA = Files.createTempDirectory("knn_graph_a").toString
