@@ -145,9 +145,12 @@ object AnnMaintScale {
       case "graph" =>
         // the full frozen-centroid kNN-graph rebuild's (node, dst) set —
         // the most expensive ANN read, which is the point: the loop
-        // below must reach the same graph in O(batch) steps
+        // below must reach the same graph in O(batch) steps. Data-sized
+        // |Q| -> the shuffled-join regime (broadcastProbes=false), per
+        // the knnJoinFrom scale contract
         IvfIndex.knnJoinFrom(bootCents,
-            IvfIndex.assignBatch(embs, bootCents), lit(true), 5, 4)
+            IvfIndex.assignBatch(embs, bootCents), lit(true), 5, 4,
+            broadcastProbes = false)
           .select("query_id", "vec_id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
       case "sq" =>

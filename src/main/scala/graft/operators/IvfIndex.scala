@@ -37,17 +37,56 @@ object IvfIndex {
     lit(c2) - lit(2L) * Similarity.dotQ(qv, array(cq.map(lit): _*))
   }
 
-  /** Cluster assignment for each vector against the given centroids.
-    * argmin via array_sort of (dist, idx) structs — expression size is
-    * LINEAR in nLists (a reduce of nested when()s duplicates both branch
-    * subtrees per step: 2^nLists nodes, which hangs Catalyst analysis). */
-  def assign(quantized: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
-    val distStructs = centroids.zipWithIndex.map { case (c, i) =>
-      struct(relDist2(col("qv"), c).as("d"), lit(i).as("c"))
+  /** Above this many lists, assignment/probing JOIN a broadcast centroid
+    * TABLE instead of inlining one literal distance expression per
+    * centroid: the literal plan is O(nLists·dims) expression nodes and
+    * its analysis/codegen cost is paid per PLAN — negligible at the
+    * oracle-gate nLists=16, but at the sqrt(N) sizing rule (hundreds to
+    * thousands of lists) it dominates per-batch maintenance wall (the
+    * r16 sf10 graph cell found it: ~30k-node trees compiled per batch).
+    * The join plan is O(1) in size, the candidate volume rows·nLists is
+    * the same work the literal projection did elementwise, and the
+    * arithmetic is the identical integer (cn2 - 2<v,c>, ties to the
+    * lower cluster id) — byte-equal outputs (IvfJoinPathSpec). */
+  private val LiteralCentroidMax = 64
+
+  /** Broadcast (cluster, cv, cn2) table of the rounded centroids. */
+  private def centroidTable(spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val rows = centroids.zipWithIndex.map { case (cv, i) =>
+      val cq = cv.map(math.round)
+      (i, cq.toSeq, cq.map(x => x * x).sum)
     }
-    quantized.withColumn("cluster",
-      element_at(array_sort(array(distStructs: _*)), 1).getField("c"))
+    spark.createDataFrame(rows.toSeq).toDF("cluster", "cv", "cn2")
   }
+
+  /** Cluster assignment for each vector against the given centroids.
+    * Literal path: argmin via array_sort of (dist, idx) structs —
+    * expression size LINEAR in nLists (a reduce of nested when()s
+    * duplicates both branch subtrees per step: 2^nLists nodes, which
+    * hangs Catalyst analysis). Join path (above [[LiteralCentroidMax]]):
+    * broadcast centroid table, window argmin per vec_id. */
+  def assign(quantized: DataFrame, centroids: Array[Array[Double]]): DataFrame =
+    if (centroids.length <= LiteralCentroidMax) {
+      val distStructs = centroids.zipWithIndex.map { case (c, i) =>
+        struct(relDist2(col("qv"), c).as("d"), lit(i).as("c"))
+      }
+      quantized.withColumn("cluster",
+        element_at(array_sort(array(distStructs: _*)), 1).getField("c"))
+    } else {
+      val spark = quantized.sparkSession
+      val cols = quantized.columns
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("_cd"), col("_cc"))
+      quantized
+        .crossJoin(broadcast(centroidTable(spark, centroids)
+          .select(col("cluster").as("_cc"), col("cv").as("_cv"),
+            col("cn2").as("_cn2"))))
+        .withColumn("_cd", col("_cn2") - lit(2L) * Similarity.dotQ(col("qv"), col("_cv")))
+        .withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1)
+        .select(cols.map(col) :+ col("_cc").as("cluster"): _*)
+    }
 
   /** Deterministic k-means: seeds = nLists lowest vec_ids; `iters` fixed
     * Lloyd iterations (assignment scan + hash-agg mean per iteration).
@@ -163,17 +202,35 @@ object IvfIndex {
     * nProbe nearest centroids per query, argmin'd against the broadcast
     * centroid literals exactly as [[assign]] does. */
   private def probesFor(centroids: Array[Array[Double]], qAssigned: DataFrame,
-      nProbe: Int): DataFrame = {
-    val probeCols = centroids.zipWithIndex.map { case (c, i) =>
-      struct(relDist2(col("qv"), c).as("d"), lit(i).as("c"))
+      nProbe: Int): DataFrame =
+    if (centroids.length <= LiteralCentroidMax) {
+      val probeCols = centroids.zipWithIndex.map { case (c, i) =>
+        struct(relDist2(col("qv"), c).as("d"), lit(i).as("c"))
+      }
+      qAssigned
+        .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
+          col("norm").as("qnorm"),
+          posexplode(slice(array_sort(array(probeCols: _*)), 1, nProbe)).as(Seq("pos", "p")))
+        .select(col("query_id"), col("qqv"), col("qnorm"),
+          (col("pos") + 1).as("prn"), col("p.c").as("cluster"))
+    } else {
+      // join path (see LiteralCentroidMax): broadcast centroid table,
+      // per-query rank <= nProbe — identical (d, c) order, O(1) plan
+      val spark = qAssigned.sparkSession
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("_cd"), col("_cc"))
+      qAssigned
+        .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
+          col("norm").as("qnorm"))
+        .crossJoin(broadcast(centroidTable(spark, centroids)
+          .select(col("cluster").as("_cc"), col("cv").as("_cv"),
+            col("cn2").as("_cn2"))))
+        .withColumn("_cd", col("_cn2") - lit(2L) * Similarity.dotQ(col("qqv"), col("_cv")))
+        .withColumn("prn", row_number().over(w))
+        .where(col("prn") <= nProbe)
+        .select(col("query_id"), col("qqv"), col("qnorm"), col("prn"),
+          col("_cc").as("cluster"))
     }
-    qAssigned
-      .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
-        col("norm").as("qnorm"),
-        posexplode(slice(array_sort(array(probeCols: _*)), 1, nProbe)).as(Seq("pos", "p")))
-      .select(col("query_id"), col("qqv"), col("qnorm"),
-        (col("pos") + 1).as("prn"), col("p.c").as("cluster"))
-  }
 
   /** Exact cosine of every (query, candidate) pair inside the probed
     * lists (self excluded) — the shared scoring core of every serve
