@@ -49,7 +49,10 @@ import graft.streaming.{AnnMaintenance, IvfPqMaintenance}
  * re-encoded corpus as a snapshot; the refit batch's wall is reported
  * separately as the priced amortized-rebuild cost, the rebuild contract
  * switches to models fit on chunks 0..refitAt, and post-refit batches
- * must return to the flat O(batch) regime; default -1 = none), and
+ * must return to the flat O(batch) regime; default -1 = none; for
+ * kind=graph, SPARK_GRAFT_NLISTS2 re-sizes the list count at the refit
+ * — the sqrt(N) growth rule — via a fresh instance over the same root,
+ * and the rebuild contract moves to the re-sized geometry), and
  * SPARK_GRAFT_DELETE_EVERY (r16: every k-th batch commits a TOMBSTONE
  * batch instead of ingest — deleting a slice of the previous chunk —
  * so the decade protocol covers the delete verb: per-batch walls stay
@@ -106,6 +109,14 @@ object AnnMaintScale {
 
     val kind = sys.env.getOrElse("SPARK_GRAFT_KIND", "ivf")
     val refitAt = sys.env.getOrElse("SPARK_GRAFT_REFIT_AT", "-1").toInt
+    // r16: the graph kind's refit may RE-SIZE the list count — the
+    // sqrt(N) growth rule applied at the periodic refit, which is the
+    // documented remedy for fixed-geometry reverse-volume drift (the
+    // per-batch reverse candidate volume is |B|·N·nProbe/nLists, so a
+    // bootstrap-sized nLists drifts linearly as the corpus grows)
+    val nLists2 = sys.env.getOrElse("SPARK_GRAFT_NLISTS2", nLists.toString).toInt
+    require(nLists2 == nLists || (kind == "graph" && refitAt >= 0),
+      "SPARK_GRAFT_NLISTS2 re-sizes the graph kind's refit only")
 
     // r16: a TOMBSTONE schedule — every deleteEvery-th batch is a DELETE
     // batch instead of ingest (its chunk is never fed; it deletes the
@@ -138,9 +149,11 @@ object AnnMaintScale {
     val fitShard =
       if (refitAt < 0) chunk(0)
       else embs.where(pmod(col("vec_id"), lit(batches)) <= refitAt)
-    require(kind != "graph" || (refitAt < 0 && deleteEvery < 0),
-      "the graph kind measures the ingest loop only")
-    lazy val bootCents = IvfIndex.buildIndex(fitShard, nLists, iters)._1
+    require(kind != "graph" || deleteEvery < 0,
+      "graph deletes are gate-oracled (mask semantics: no refill until " +
+        "refit, so the drained graph is not a plain kept-corpus rebuild)")
+    lazy val bootCents = IvfIndex.buildIndex(fitShard,
+      if (kind == "graph" && refitAt >= 0) nLists2 else nLists, iters)._1
     val expect: Set[(Long, Long)] = kind match {
       case "graph" =>
         // the full frozen-centroid kNN-graph rebuild's (node, dst) set —
@@ -168,14 +181,25 @@ object AnnMaintScale {
       val root = java.nio.file.Files.createTempDirectory(s"ann_maint_$tag").toString
       val (process, refit, delete, drained, committed) = kind match {
         case "graph" =>
-          val m = new graft.streaming.KnnGraphMaintenance(spark, root,
+          var m = new graft.streaming.KnnGraphMaintenance(spark, root,
             nLists, iters, k = 5, nProbe = 4, compactEvery = every)
+          def proc(b: Long, df: DataFrame): Unit = m.processBatch(b, df)
+          def ref(b: Long, df: DataFrame): Unit = {
+            // the RE-SIZE verb: hand the root to a new instance at the
+            // grown list count (single-writer handover); its refit
+            // publishes the new geometry and swaps the routing watermark
+            if (nLists2 != nLists)
+              m = new graft.streaming.KnnGraphMaintenance(spark, root,
+                nLists2, iters, k = 5, nProbe = 4, compactEvery = every)
+            m.refitBatch(b, df)
+          }
           def noVerb(b: Long, df: DataFrame): Unit =
-            throw new UnsupportedOperationException("graph kind: ingest only")
-          (m.processBatch _, noVerb _, noVerb _, () => m.currentGraph(),
+            throw new UnsupportedOperationException(
+              "graph kind: ingest+refit only")
+          (proc _, ref _, noVerb _, () => m.currentGraph(),
             () => new graft.streaming.KnnGraphMaintenance(spark, root,
-              nLists, iters, k = 5, nProbe = 4,
-              compactEvery = every).committedCount)
+              if (refitAt >= 0) nLists2 else nLists, iters, k = 5,
+              nProbe = 4, compactEvery = every).committedCount)
         case "ivfpq" =>
           val m = new IvfPqMaintenance(spark, root, nLists, iters,
             compactEvery = every)
@@ -269,6 +293,7 @@ object AnnMaintScale {
       println(
         s"""{"metric":"ann_maint_scale","kind":"$kind","mode":"$tag","sf":"$sfDir","n_vecs":$nVecs,""" +
         s""""batches":$batches,"compact_every":$every,"n_lists":$nLists,""" +
+        s""""n_lists2":$nLists2,""" +
         s""""refit_at":$refitAt,"refit_wall_s":${f"$refitWall%.3f"},""" +
         s""""delete_every":$deleteEvery,"n_delete_batches":${delBatches.size},""" +
         s""""walls":[${fmt(walls)}],""" +

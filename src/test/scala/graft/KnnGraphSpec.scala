@@ -145,4 +145,40 @@ class KnnGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     b2.processBatch(2L, chunk(2))
     assert(edges(a.currentGraph()) == edges(b2.currentGraph()))
   }
+
+  test("refit RE-SIZES nLists (new instance over the same root): the " +
+      "sqrt(N)-growth remedy for fixed-geometry reverse-volume drift") {
+    val root = Files.createTempDirectory("knn_graph_resize").toString
+    val m = new KnnGraphMaintenance(spark, root, nLists = 4, iters = 3,
+      k = 5, nProbe = 2, compactEvery = 2)
+    m.processBatch(0L, chunk(0))
+    m.processBatch(1L, chunk(1))
+    // the corpus outgrew the bootstrap geometry: the periodic refit
+    // re-sizes the list count through a NEW instance over the same root
+    // (single-writer handover); its refit retrains at 9 lists, rebuilds
+    // the snapshot, and swaps the routing watermark — post-refit ingest
+    // rides the new geometry
+    val m2 = new KnnGraphMaintenance(spark, root, nLists = 9, iters = 3,
+      k = 5, nProbe = 2, compactEvery = 2)
+    m2.refitBatch(2L, embs.where(pmod(col("vec_id"), lit(3)) <= 1))
+    m2.processBatch(3L, chunk(2))
+
+    val cents9 = IvfIndex.buildIndex(
+      embs.where(pmod(col("vec_id"), lit(3)) <= 1), 9, 3)._1
+    val expect = edges(IvfIndex.knnJoinFrom(cents9, m2.vectorIndex(),
+        lit(true), 5, 2)
+      .select(col("query_id").as("node"), col("vec_id").as("dst"), col("cos")))
+    assert(edges(m2.currentGraph()) == expect,
+      "drained graph must equal the rebuild under the RESIZED refit centroids")
+
+    // an instance still constructed at the superseded geometry fails
+    // FAST (param/codebook disagreement) instead of assigning against
+    // the wrong codebook
+    val stale = new KnnGraphMaintenance(spark, root, nLists = 4, iters = 3,
+      k = 5, nProbe = 2, compactEvery = 2)
+    val e = intercept[IllegalArgumentException] {
+      stale.processBatch(4L, chunk(0).limit(1))
+    }
+    assert(e.getMessage.contains("constructor params disagree"))
+  }
 }
