@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AnnIndex, IvfIndex, Retrieval, Tables}
+import graft.streaming.LexicalIndexMaintenance
+
+/**
+ * Round 16, wave C: the STANDING LEXICAL (BM25) INDEX
+ * ([[graft.streaming.LexicalIndexMaintenance]]) — the sparse-retrieval
+ * member of the maintenance family, closing the hybrid read's
+ * asymmetry: until now the dense leg read a standing IVF artifact while
+ * the sparse leg recomputed corpus-sized tokenize/tf/df/doclen
+ * aggregates per query.
+ *
+ *  - stream_bm25_refresh: the corpus drains as one file per microbatch
+ *    into per-batch postings/doclens segments (live compaction inside
+ *    the drain at compactEvery=2); the serve reads ONLY the query
+ *    terms' postings (term predicate pushed to the segment scan) plus a
+ *    memoized doc-cardinality stats row. Oracle: the full batch BM25
+ *    replay (text_bm25's CTEs) — maintained serve == batch scorer, by
+ *    shared arithmetic ([[Retrieval.bm25FromPostings]]).
+ *  - stream_bm25_delete: the right-to-erasure verb — batch 3 tombstones
+ *    a doc slice ON the compaction cadence (the physical-purge read
+ *    path); df, N and avgdl all reflect the erasure because the serve
+ *    derives them from the live folds. Oracle: the same replay over the
+ *    kept documents only.
+ *  - retrieval_hybrid_rrf_standing: the deployment hybrid read — BOTH
+ *    legs served from standing artifacts (maintained lexical index +
+ *    memoized IVF probe read), RRF-fused. Oracle: identical SQL to
+ *    retrieval_hybrid_rrf_ivf (the maintained sparse leg is hash-equal
+ *    to the batch leg, so the fused result is too).
+ */
+object ExtQueries60 {
+
+  private val NLists = 16
+  private val IvfIters = 3
+  private val NProbe = 4
+  private val Terms = Seq("key", "value", "table", "row", "scan")
+  private val DenseQ = 3L
+  private val LegN = 50
+  private val RrfK = 60
+  private val TopK = 20
+
+  private val runs = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Drain the staged 3-chunk documents corpus into a fresh maintained
+    * lexical index (one file per microbatch, compactEvery=2 so a live
+    * compaction lands inside the drain). */
+  private def drained(s: SparkSession, dir: String): LexicalIndexMaintenance = {
+    import org.apache.spark.sql.streaming.Trigger
+    val staged = ExtQueries43.stagedDocChunks(s, dir)
+    val schema = Tables.table(s, dir, "documents").schema
+    val root = graft.operators.Sinks.dir(
+      "lex_maint/run" + runs.incrementAndGet())
+    val maint = new LexicalIndexMaintenance(s, root, compactEvery = 2)
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        maint.processBatch(id, b)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    maint
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "stream_bm25_refresh" -> ((s, dir) =>
+      drained(s, dir).topK(Terms, TopK).orderBy(col("rnk"))),
+
+    "stream_bm25_delete" -> ((s, dir) => {
+      val maint = drained(s, dir)
+      // batch 3 lands on the compactEvery=2 cadence: the serve below
+      // reads a snapshot that PHYSICALLY excludes the deleted docs
+      maint.deleteBatch(3L, Tables.table(s, dir, "documents")
+        .where(col("doc_id") % 10 === 2).select("doc_id"))
+      maint.topK(Terms, TopK).orderBy(col("rnk"))
+    }),
+
+    "retrieval_hybrid_rrf_standing" -> ((s, dir) => {
+      val sparse = Retrieval.rankLeg(drained(s, dir).bm25(Terms), "bm25", LegN)
+      val idx = AnnIndex.ivf(s, dir, NLists, IvfIters)
+      val dense = IvfIndex
+        .topKFrom(idx.centroids, idx.assigned, Seq(DenseQ), LegN, NProbe)
+        .select(col("vec_id").as("doc_id"), col("rnk"))
+      Retrieval.rrfFuse(sparse, dense, RrfK, topN = TopK)
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  /** The batch BM25 replay (text_bm25's CTE chain) over documents
+    * matching `docPred`, ending in the scored `agg(doc_id, bm25)`. */
+  private def bm25Ctes(docPred: String): String =
+    s"""tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+       |       FROM documents WHERE $docPred),
+       |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+       |       WHERE term IN (${Terms.map(t => s"'$t'").mkString(",")}) GROUP BY 1, 2),
+       |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT tf.doc_id,
+       |         ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) * tf.tf * 2.2 /
+       |           (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS tscore
+       |       FROM tf JOIN df ON tf.term = df.term
+       |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),
+       |agg AS (SELECT doc_id,
+       |          round(CAST(SUM(CAST(round(tscore, 8) AS DECIMAL(20,8))) AS DOUBLE), 4) AS bm25
+       |        FROM sc GROUP BY 1)""".stripMargin
+
+  private def topkSql(docPred: String): String =
+    s"""WITH ${bm25Ctes(docPred)},
+       |r AS (SELECT doc_id, bm25,
+       |        ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+       |      FROM agg)
+       |SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, bm25 FROM r
+       |WHERE rnk <= $TopK ORDER BY rnk""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+
+    // maintained drain == the batch BM25 scorer over the full corpus
+    "stream_bm25_refresh" -> topkSql("TRUE"),
+
+    // ...and after the tombstone batch, over the KEPT corpus only —
+    // df/N/avgdl shift exactly as if the docs never existed
+    "stream_bm25_delete" -> topkSql("doc_id % 10 != 2"),
+
+    // identical SQL to retrieval_hybrid_rrf_ivf: the maintained sparse
+    // leg is hash-equal to the batch leg, so the fusion is too
+    "retrieval_hybrid_rrf_standing" ->
+      s"""WITH RECURSIVE ${bm25Ctes("TRUE")},
+         |sleg AS (SELECT doc_id, rnk FROM (
+         |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+         |  FROM agg) z WHERE rnk <= $LegN),
+         |${ExtQueries.quantSql},
+         |${ExtQueries46.ivfReplayBody("TRUE")},
+         |probes AS (
+         |  SELECT vec_id AS query_id, qv AS qqv, n2 AS qn2, c AS cluster FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+         |    FROM fdists WHERE vec_id = $DenseQ) x
+         |  WHERE rn <= $NProbe),
+         |dsc AS (
+         |  SELECT v.vec_id AS doc_id,
+         |         ROUND(list_inner_product(p.qqv, v.qv)
+         |               / (sqrt(p.qn2) * sqrt(v.n2)), 4) AS cos
+         |  FROM probes p JOIN indexed v
+         |    ON v.cluster = p.cluster AND v.vec_id != p.query_id),
+         |dleg AS (SELECT doc_id, rnk FROM (
+         |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS rnk
+         |  FROM dsc) z WHERE rnk <= $LegN),
+         |fused AS (SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+         |    ROUND(COALESCE(CAST(1.0 AS DOUBLE) / ($RrfK + s.rnk), 0)
+         |        + COALESCE(CAST(1.0 AS DOUBLE) / ($RrfK + d.rnk), 0), 6) AS rrf,
+         |    CAST(COALESCE(s.rnk, 0) AS BIGINT) AS srnk,
+         |    CAST(COALESCE(d.rnk, 0) AS BIGINT) AS drnk
+         |  FROM sleg s FULL OUTER JOIN dleg d ON d.doc_id = s.doc_id),
+         |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS frnk
+         |       FROM fused)
+         |SELECT doc_id, rrf, srnk, drnk FROM rk WHERE frnk <= $TopK
+         |ORDER BY doc_id""".stripMargin
+  )
+}

@@ -51,8 +51,22 @@ object Retrieval {
     val tf = tokens
       .where(col("term").isin(terms: _*))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    tf.join(broadcast(df), "term").join(dl, "doc_id").crossJoin(broadcast(stats))
+    bm25FromPostings(tf.join(dl, "doc_id").crossJoin(broadcast(stats)))
+  }
+
+  /**
+   * The BM25 scoring TAIL over term-filtered postings rows
+   * `(doc_id, term, tf, dl, n_docs, avgdl)`: df per term is counted from
+   * the filtered postings themselves (exactly the live docs containing
+   * the term), then Lucene idf, tf saturation, and the decimal-grid sum.
+   * Shared by the batch scorer above and the standing lexical index
+   * serve ([[graft.streaming.LexicalIndexMaintenance]]) — one arithmetic
+   * path is what makes the maintained serve hash-equal to the batch
+   * replay.
+   */
+  def bm25FromPostings(posts: DataFrame): DataFrame = {
+    val df = posts.groupBy("term").agg(count(lit(1)).as("df"))
+    posts.join(broadcast(df), "term")
       .withColumn("idf",
         log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
       .withColumn("tscore",

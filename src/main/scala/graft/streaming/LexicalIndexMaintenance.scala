@@ -1,0 +1,162 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Retrieval
+
+/**
+ * Crash-safe STREAMING MAINTENANCE OF THE LEXICAL (BM25) INDEX — the
+ * sparse-retrieval twin of the ANN maintenance family, closing the
+ * hybrid-retrieval asymmetry: the dense leg has read from a standing
+ * IVF artifact since r14, while the sparse leg recomputed corpus-sized
+ * tokenize/tf/df/doclen aggregates on EVERY query (PLANS.md r16 wave B
+ * priced it as "the irreducible lexical cost" — it is only irreducible
+ * without a standing index). This is the Lucene posture re-expressed on
+ * the shared [[ShardLog]] protocol: per-batch immutable segments,
+ * periodic compaction as the segment merge, tombstoned deletes.
+ *
+ * Reference relationship: the reference engine keeps its rescoring
+ * inputs STANDING across windows instead of recomputing them
+ * (flink-cooccurrence ItemRowRescorerTwoInputStreamOperator.java
+ * :158-228 holds item rows in operator state and merges per-window
+ * deltas); this member applies the same standing-state move to the
+ * lexical statistics a BM25 serve needs.
+ *
+ * Two logs under `root/`, both tombstoned by `doc_id`:
+ *  - `postings/` — per-batch segments of `(doc_id, term, tf, dl)`: tf
+ *    per (doc, term), dl (the doc's token count) denormalized onto the
+ *    row so the serve scores without a per-doc join;
+ *  - `doclens/`  — per-batch segments of `(doc_id, dl)`: the doc-scale
+ *    relation the corpus stats (N, avgdl) aggregate over, kept separate
+ *    so the stats scan reads two slim columns at doc cardinality, never
+ *    the token-scale postings.
+ *
+ * Commit order per batch: doclens first, postings second; the POSTINGS
+ * marker is the authoritative commit (isCommitted/committedCount). A
+ * crash between the two leaves doclens committed alone — stats then
+ * count docs whose postings are not yet visible, a transient the
+ * family's replay contract closes (foreachBatch redelivers the batch;
+ * doclens short-circuits, postings re-commits), same as the
+ * vec-before-graph window in [[KnnGraphMaintenance]].
+ *
+ * SERVE: [[topK]] reads ONLY the postings rows of the query's terms —
+ * a parquet scan with the term predicate pushed down (row-group
+ * pruning; at 100 TB the segment write would additionally bucket by a
+ * term hash so the listing itself prunes) — plus one doc-cardinality
+ * stats aggregate (memoized per commit state). df for the query terms
+ * is counted from the term-filtered postings themselves, so NO
+ * corpus-wide df table is ever maintained or scanned; scoring is the
+ * exact arithmetic of [[Retrieval.bm25FromPostings]], which makes the
+ * maintained serve HASH-EQUAL to the batch BM25 replay (the
+ * `stream_bm25_refresh` oracle) — and, after deletes, equal to the
+ * batch replay over the kept corpus (`stream_bm25_delete`): df, N and
+ * avgdl all reflect the erasure because they are derived from the
+ * live folds, never stored.
+ *
+ * DELETES ([[deleteBatch]]) ride [[ShardLog.commitDeletes]] on both
+ * logs: serves exclude the doc's postings and its dl row as soon as the
+ * marker commits, the covering compaction physically drops the rows,
+ * and the tombstone shards sweep one cycle later — BM25 right-to-
+ * erasure with scores exactly as if the doc never existed. There is no
+ * refit verb: BM25 has no trained model — compaction (the segment
+ * merge) is the only periodic maintenance the index needs.
+ */
+final class LexicalIndexMaintenance(spark: SparkSession, root: String,
+    compactEvery: Int = 64) {
+
+  private val postings = new ShardLog(spark, s"$root/postings", "seg",
+    compactEvery, new ShardLog.AppendFold(Seq("doc_id", "term", "tf", "dl")),
+    deleteKey = "doc_id")
+  private val doclens = new ShardLog(spark, s"$root/doclens", "seg",
+    compactEvery, new ShardLog.AppendFold(Seq("doc_id", "dl")),
+    deleteKey = "doc_id")
+
+  def committedIds: Seq[Long] = postings.committedIds
+  def coveredUpTo: Option[Long] = postings.coveredUpTo
+  def isCommitted(id: Long): Boolean = postings.isCommitted(id)
+  def committedCount: Long = postings.committedCount
+
+  /** Fold one ingest batch of `(doc_id, text)` into the standing index.
+    * Idempotent; O(batch) — one tokenize of the batch, two segment
+    * writes, nothing scans the standing state except compaction. */
+  def processBatch(batchId: Long, docs: DataFrame): Unit = {
+    if (postings.isCommitted(batchId)) return
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // feeds dl, the doclens segment, and the postings segment
+    try {
+      val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+      if (!doclens.isCommitted(batchId))
+        doclens.commitShard(batchId, dl, "{}")
+      postings.commitShard(batchId, tf.join(dl, "doc_id")
+        .select(col("doc_id"), col("term"), col("tf"), col("dl")), "{}")
+    } finally {
+      org.apache.spark.sql.graftbridge.CheckpointBridge.release(tf)
+      invalidateStats()
+    }
+  }
+
+  /** DELETE standing docs by id (takedown / right-to-erasure): tombstone
+    * both logs under one batch id. Scores reflect the erasure exactly —
+    * df, N and avgdl are all derived from the live folds. */
+  def deleteBatch(batchId: Long, ids: DataFrame): Unit = {
+    if (postings.isCommitted(batchId)) return
+    val keys = ids.select(col("doc_id").cast("long").as("doc_id")).distinct()
+    if (!doclens.isCommitted(batchId))
+      doclens.commitDeletes(batchId, keys, """{"del":true}""")
+    postings.commitDeletes(batchId, keys, """{"del":true}""")
+    invalidateStats()
+  }
+
+  /** The standing postings relation (doc_id, term, tf, dl) — snapshot +
+    * tail, tombstones applied; resolved from the cached commit state at
+    * plan time (serve-while-compact, per [[ShardLog]]). */
+  def currentPostings(): DataFrame = postings.currentRows()
+
+  /** The standing doc-length relation (doc_id, dl). */
+  def currentDoclens(): DataFrame = doclens.currentRows()
+
+  // the corpus stats are ONE doc-cardinality aggregate (two slim
+  // columns, map-side partial) — memoized per commit state so a serve
+  // burst after a drain pays it once. sum/count stays bit-equal to
+  // avg(dl): every partial is integer-valued, exact in a double
+  // far below 2^53.
+  @volatile private var statsMemo: DataFrame = _
+
+  private def invalidateStats(): Unit = {
+    val old = statsMemo
+    statsMemo = null
+    if (old != null)
+      org.apache.spark.sql.graftbridge.CheckpointBridge.release(old)
+  }
+
+  /** One-row `(n_docs, avgdl)` over the live corpus. */
+  def statsDf(): DataFrame = {
+    if (statsMemo == null)
+      statsMemo = currentDoclens()
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+        .localCheckpoint(true)
+    statsMemo
+  }
+
+  /** BM25 scores for the live docs matching any of `terms` — the
+    * standing-index form of [[Retrieval.bm25]] (hash-equal by shared
+    * arithmetic): term-pruned postings scan + broadcast stats row. */
+  def bm25(terms: Seq[String]): DataFrame =
+    Retrieval.bm25FromPostings(
+      currentPostings().where(col("term").isin(terms: _*))
+        .crossJoin(broadcast(statsDf())))
+
+  /** Top-`k` BM25 serve: `(rnk, doc_id, bm25)`, ties by doc_id. */
+  def topK(terms: Seq[String], k: Int): DataFrame = {
+    val w = Window.orderBy(col("bm25").desc, col("doc_id"))
+    bm25(terms)
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("rnk").cast("long").as("rnk"), col("doc_id"), col("bm25"))
+  }
+}

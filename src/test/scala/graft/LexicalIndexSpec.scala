@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.{Retrieval, Tables}
+import graft.streaming.LexicalIndexMaintenance
+
+/** The maintained lexical (BM25) index == the batch scorer over the
+  * same corpus: incremental segments + compaction + tombstones must be
+  * invisible to the serve's scores. */
+class LexicalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private val terms = Seq("key", "value", "table", "row", "scan")
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docs = Tables.table(spark, sfDir, "documents")
+  private def chunk(c: Int): DataFrame =
+    docs.where(pmod(col("doc_id"), lit(3)) === c)
+
+  private def scores(df: DataFrame): Map[Long, Double] =
+    df.select("doc_id", "bm25").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("drained index serves BM25 hash-equal to the batch scorer, " +
+      "through a live compaction") {
+    val root = Files.createTempDirectory("lex_maint").toString
+    val m = new LexicalIndexMaintenance(spark, root, compactEvery = 2)
+    m.processBatch(0L, chunk(0))
+    m.processBatch(1L, chunk(1)) // compaction point
+    m.processBatch(2L, chunk(2))
+    assert(scores(m.bm25(terms)) == scores(Retrieval.bm25(docs, terms)),
+      "maintained serve must equal the batch BM25 over the full corpus")
+    // replay of a committed batch is a no-op
+    val before = scores(m.bm25(terms))
+    m.processBatch(1L, chunk(1))
+    assert(scores(m.bm25(terms)) == before)
+  }
+
+  test("kill/resume lands identical to the uninterrupted run") {
+    val root = Files.createTempDirectory("lex_resume").toString
+    val a = new LexicalIndexMaintenance(spark, root, compactEvery = 2)
+    a.processBatch(0L, chunk(0)); a.processBatch(1L, chunk(1))
+    // "kill": a fresh instance reloads commit state from markers
+    val b = new LexicalIndexMaintenance(spark, root, compactEvery = 2)
+    b.processBatch(1L, chunk(1)) // replay short-circuits
+    b.processBatch(2L, chunk(2))
+    assert(b.committedCount == 3L)
+    assert(scores(b.bm25(terms)) == scores(Retrieval.bm25(docs, terms)))
+  }
+
+  test("deleteBatch: df, N and avgdl all reflect the erasure — scores " +
+      "equal the batch scorer over the kept corpus; rows purged") {
+    val root = Files.createTempDirectory("lex_del").toString
+    val m = new LexicalIndexMaintenance(spark, root, compactEvery = 2)
+    m.processBatch(0L, chunk(0)); m.processBatch(1L, chunk(1))
+    m.processBatch(2L, chunk(2))
+    val delPred = col("doc_id") % 10 === 2
+    val delIds = docs.where(delPred).select("doc_id")
+    assert(delIds.count() > 0)
+    m.deleteBatch(3L, delIds) // lands ON the compaction cadence
+    val kept = docs.where(!delPred)
+    assert(scores(m.bm25(terms)) == scores(Retrieval.bm25(kept, terms)),
+      "post-delete scores must equal the batch scorer over kept docs " +
+        "(stats and df shift, not just row masking)")
+    // a second compaction completes the physical purge: no deleted key
+    // survives anywhere under the roots
+    val del = delIds.collect().map(_.getLong(0)).toSet
+    assert(m.currentPostings().select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet.intersect(del).isEmpty)
+    assert(m.currentDoclens().select("doc_id").collect()
+      .map(_.getLong(0)).toSet.intersect(del).isEmpty)
+  }
+
+  test("the serve reads only the query terms' postings (term filter " +
+      "pushed to the segment scan)") {
+    val root = Files.createTempDirectory("lex_plan").toString
+    val m = new LexicalIndexMaintenance(spark, root, compactEvery = 2)
+    m.processBatch(0L, chunk(0)); m.processBatch(1L, chunk(1))
+    val plan = m.bm25(terms).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(term"),
+      s"term predicate must reach the postings scan:\n$plan")
+  }
+}
