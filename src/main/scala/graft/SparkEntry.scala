@@ -46,7 +46,7 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    mergeDisjoint(baseQueries +: Seq(ExtQueries.queries, ExtQueries2.queries, ExtQueries3.queries, ExtQueries4.queries, ExtQueries5.queries, ExtQueries6.queries, ExtQueries7.queries, ExtQueries8.queries, ExtQueries9.queries, ExtQueries10.queries, ExtQueries11.queries, ExtQueries12.queries, ExtQueries13.queries, ExtQueries14.queries, ExtQueries15.queries, ExtQueries16.queries, ExtQueries17.queries, ExtQueries18.queries, ExtQueries19.queries, ExtQueries20.queries, ExtQueries21.queries, ExtQueries22.queries, ExtQueries23.queries, ExtQueries24.queries, ExtQueries25.queries, ExtQueries26.queries, ExtQueries27.queries, ExtQueries28.queries, ExtQueries29.queries, ExtQueries30.queries, ExtQueries31.queries, ExtQueries32.queries, ExtQueries33.queries, ExtQueries34.queries, ExtQueries35.queries, ExtQueries36.queries, ExtQueries37.queries, ExtQueries38.queries, ExtQueries39.queries, ExtQueries40.queries, ExtQueries41.queries, ExtQueries42.queries, ExtQueries43.queries, ExtQueries44.queries, ExtQueries45.queries, ExtQueries46.queries, ExtQueries47.queries, ExtQueries48.queries, ExtQueries49.queries, ExtQueries50.queries, ExtQueries51.queries, ExtQueries52.queries, ExtQueries53.queries, ExtQueries54.queries, ExtQueries55.queries, ExtQueries56.queries, ExtQueries57.queries, ExtQueries58.queries, ExtQueries59.queries, ExtQueries60.queries))
+    mergeDisjoint(baseQueries +: Seq(ExtQueries.queries, ExtQueries2.queries, ExtQueries3.queries, ExtQueries4.queries, ExtQueries5.queries, ExtQueries6.queries, ExtQueries7.queries, ExtQueries8.queries, ExtQueries9.queries, ExtQueries10.queries, ExtQueries11.queries, ExtQueries12.queries, ExtQueries13.queries, ExtQueries14.queries, ExtQueries15.queries, ExtQueries16.queries, ExtQueries17.queries, ExtQueries18.queries, ExtQueries19.queries, ExtQueries20.queries, ExtQueries21.queries, ExtQueries22.queries, ExtQueries23.queries, ExtQueries24.queries, ExtQueries25.queries, ExtQueries26.queries, ExtQueries27.queries, ExtQueries28.queries, ExtQueries29.queries, ExtQueries30.queries, ExtQueries31.queries, ExtQueries32.queries, ExtQueries33.queries, ExtQueries34.queries, ExtQueries35.queries, ExtQueries36.queries, ExtQueries37.queries, ExtQueries38.queries, ExtQueries39.queries, ExtQueries40.queries, ExtQueries41.queries, ExtQueries42.queries, ExtQueries43.queries, ExtQueries44.queries, ExtQueries45.queries, ExtQueries46.queries, ExtQueries47.queries, ExtQueries48.queries, ExtQueries49.queries, ExtQueries50.queries, ExtQueries51.queries, ExtQueries52.queries, ExtQueries53.queries, ExtQueries54.queries, ExtQueries55.queries, ExtQueries56.queries, ExtQueries57.queries, ExtQueries58.queries, ExtQueries59.queries, ExtQueries60.queries, ExtQueries61.queries))
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- co-occurrence pipeline (SURVEY §2 #4..#14, batch skip-cuts mode) ---
@@ -371,7 +371,7 @@ object SparkEntry {
   private[graft] val llrTopKFullSql: String = pairsSql + llrRankTailSql
 
   def oracleSql: Map[String, String] =
-    mergeDisjoint(baseOracleSql +: Seq(ExtQueries.oracleSql, ExtQueries2.oracleSql, ExtQueries3.oracleSql, ExtQueries4.oracleSql, ExtQueries5.oracleSql, ExtQueries6.oracleSql, ExtQueries7.oracleSql, ExtQueries8.oracleSql, ExtQueries9.oracleSql, ExtQueries10.oracleSql, ExtQueries11.oracleSql, ExtQueries12.oracleSql, ExtQueries13.oracleSql, ExtQueries14.oracleSql, ExtQueries15.oracleSql, ExtQueries16.oracleSql, ExtQueries17.oracleSql, ExtQueries18.oracleSql, ExtQueries19.oracleSql, ExtQueries20.oracleSql, ExtQueries21.oracleSql, ExtQueries22.oracleSql, ExtQueries23.oracleSql, ExtQueries24.oracleSql, ExtQueries25.oracleSql, ExtQueries26.oracleSql, ExtQueries27.oracleSql, ExtQueries28.oracleSql, ExtQueries29.oracleSql, ExtQueries30.oracleSql, ExtQueries31.oracleSql, ExtQueries32.oracleSql, ExtQueries33.oracleSql, ExtQueries34.oracleSql, ExtQueries35.oracleSql, ExtQueries36.oracleSql, ExtQueries37.oracleSql, ExtQueries38.oracleSql, ExtQueries39.oracleSql, ExtQueries40.oracleSql, ExtQueries41.oracleSql, ExtQueries42.oracleSql, ExtQueries43.oracleSql, ExtQueries44.oracleSql, ExtQueries45.oracleSql, ExtQueries46.oracleSql, ExtQueries47.oracleSql, ExtQueries48.oracleSql, ExtQueries49.oracleSql, ExtQueries50.oracleSql, ExtQueries51.oracleSql, ExtQueries52.oracleSql, ExtQueries53.oracleSql, ExtQueries54.oracleSql, ExtQueries55.oracleSql, ExtQueries56.oracleSql, ExtQueries57.oracleSql, ExtQueries58.oracleSql, ExtQueries59.oracleSql, ExtQueries60.oracleSql))
+    mergeDisjoint(baseOracleSql +: Seq(ExtQueries.oracleSql, ExtQueries2.oracleSql, ExtQueries3.oracleSql, ExtQueries4.oracleSql, ExtQueries5.oracleSql, ExtQueries6.oracleSql, ExtQueries7.oracleSql, ExtQueries8.oracleSql, ExtQueries9.oracleSql, ExtQueries10.oracleSql, ExtQueries11.oracleSql, ExtQueries12.oracleSql, ExtQueries13.oracleSql, ExtQueries14.oracleSql, ExtQueries15.oracleSql, ExtQueries16.oracleSql, ExtQueries17.oracleSql, ExtQueries18.oracleSql, ExtQueries19.oracleSql, ExtQueries20.oracleSql, ExtQueries21.oracleSql, ExtQueries22.oracleSql, ExtQueries23.oracleSql, ExtQueries24.oracleSql, ExtQueries25.oracleSql, ExtQueries26.oracleSql, ExtQueries27.oracleSql, ExtQueries28.oracleSql, ExtQueries29.oracleSql, ExtQueries30.oracleSql, ExtQueries31.oracleSql, ExtQueries32.oracleSql, ExtQueries33.oracleSql, ExtQueries34.oracleSql, ExtQueries35.oracleSql, ExtQueries36.oracleSql, ExtQueries37.oracleSql, ExtQueries38.oracleSql, ExtQueries39.oracleSql, ExtQueries40.oracleSql, ExtQueries41.oracleSql, ExtQueries42.oracleSql, ExtQueries43.oracleSql, ExtQueries44.oracleSql, ExtQueries45.oracleSql, ExtQueries46.oracleSql, ExtQueries47.oracleSql, ExtQueries48.oracleSql, ExtQueries49.oracleSql, ExtQueries50.oracleSql, ExtQueries51.oracleSql, ExtQueries52.oracleSql, ExtQueries53.oracleSql, ExtQueries54.oracleSql, ExtQueries55.oracleSql, ExtQueries56.oracleSql, ExtQueries57.oracleSql, ExtQueries58.oracleSql, ExtQueries59.oracleSql, ExtQueries60.oracleSql, ExtQueries61.oracleSql))
 
   private def baseOracleSql: Map[String, String] = Map(
     "cooc_parse" ->

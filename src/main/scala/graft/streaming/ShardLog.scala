@@ -379,4 +379,24 @@ private[streaming] object ShardLog {
       spark.read.parquet((snapshot.toSeq ++ tail.map(_._2)): _*)
         .select(readCols.map(col): _*)
   }
+
+  /** SUM-MERGE semantics (r16, the cooccurrence member): shards carry
+    * SIGNED per-key deltas of `cnt`; a key's standing value is the sum
+    * of its deltas across the log. `rows()` returns the raw delta rows
+    * — consumers filter/aggregate on top, so key predicates still push
+    * into the multi-path scan — and a compaction materializes the
+    * summed rows with exact zeros dropped, which is where per-key
+    * ERASURE VIA NEGATIVE DELTAS completes physically (the tombstone
+    * anti-join does not fit merged counts: a key's contribution is
+    * baked into sums, so the delete verb subtracts instead). */
+  final class SumFold(keys: Seq[String], cnt: String) extends Fold {
+    def rows(spark: SparkSession, snapshot: Option[String],
+        tail: Seq[(Long, String)]): DataFrame =
+      spark.read.parquet((snapshot.toSeq ++ tail.map(_._2)): _*)
+        .select((keys :+ cnt).map(col): _*)
+    override def snapshotRows(rows: DataFrame, upTo: Long): DataFrame =
+      rows.groupBy(keys.map(col): _*)
+        .agg(org.apache.spark.sql.functions.sum(col(cnt)).as(cnt))
+        .where(col(cnt) =!= 0)
+  }
 }
