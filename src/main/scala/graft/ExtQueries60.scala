@@ -42,19 +42,23 @@ object ExtQueries60 {
   private val LegN = 50
   private val RrfK = 60
   private val TopK = 20
+  private val Phrases =
+    Seq("table scan", "key value", "hash join", "table scan merge")
 
   private val runs = new java.util.concurrent.atomic.AtomicLong()
 
   /** Drain the staged 3-chunk documents corpus into a fresh maintained
     * lexical index (one file per microbatch, compactEvery=2 so a live
     * compaction lands inside the drain). */
-  private def drained(s: SparkSession, dir: String): LexicalIndexMaintenance = {
+  private def drained(s: SparkSession, dir: String,
+      positions: Boolean = false): LexicalIndexMaintenance = {
     import org.apache.spark.sql.streaming.Trigger
     val staged = ExtQueries43.stagedDocChunks(s, dir)
     val schema = Tables.table(s, dir, "documents").schema
     val root = graft.operators.Sinks.dir(
       "lex_maint/run" + runs.incrementAndGet())
-    val maint = new LexicalIndexMaintenance(s, root, compactEvery = 2)
+    val maint = new LexicalIndexMaintenance(s, root, compactEvery = 2,
+      positions = positions)
     val q = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(staged)
       .writeStream.trigger(Trigger.AvailableNow())
@@ -80,6 +84,24 @@ object ExtQueries60 {
         .where(col("doc_id") % 10 === 2).select("doc_id"))
       maint.topK(Terms, TopK).orderBy(col("rnk"))
     }),
+
+    // EXACT PHRASE SEARCH, batch form: one posexplode over documents →
+    // the one-shuffle vote algebra (no m-way self-join; the only join is
+    // against the broadcast (phrase, i, term) table)
+    "text_phrase_search" -> ((s, dir) =>
+      Retrieval.phraseMatches(
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "term"))),
+        Phrases).orderBy(col("phrase"), col("doc_id"))),
+
+    // ...and the standing-index form: the drained positional segments
+    // serve the same phrases reading ONLY those terms' position lists
+    // (term predicate pushed to the segment scan — the Lucene
+    // position-list read); hash-equal to the batch scan by shared algebra
+    "stream_phrase_search" -> ((s, dir) =>
+      drained(s, dir, positions = true).phraseSearch(Phrases)
+        .orderBy(col("phrase"), col("doc_id"))),
 
     "retrieval_hybrid_rrf_standing" -> ((s, dir) => {
       val sparse = Retrieval.rankLeg(drained(s, dir).bm25(Terms), "bm25", LegN)
@@ -119,7 +141,34 @@ object ExtQueries60 {
        |SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, bm25 FROM r
        |WHERE rnk <= $TopK ORDER BY rnk""".stripMargin
 
+  /** The phrase-match replay: positional tokens via generate_series +
+    * list indexing, the same vote algebra (group by candidate start,
+    * all m indices present), identical for the batch and standing forms. */
+  private val phraseSql: String = {
+    val phraseRows = Phrases.flatMap { p =>
+      val ts = p.split(" ")
+      ts.zipWithIndex.map { case (t, i) => s"('$p', $i, '$t', ${ts.length})" }
+    }.mkString(", ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+       |tok AS (SELECT doc_id, arr[i] AS term, i - 1 AS pos
+       |        FROM d, UNNEST(generate_series(1, len(arr))) AS t(i)),
+       |ph(phrase, i, term, m) AS (VALUES $phraseRows),
+       |hits AS (SELECT p.phrase, t.doc_id, t.pos - p.i AS base, p.m,
+       |           COUNT(DISTINCT p.i) AS k
+       |         FROM tok t JOIN ph p ON t.term = p.term
+       |         GROUP BY 1, 2, 3, 4
+       |         HAVING COUNT(DISTINCT p.i) = p.m)
+       |SELECT phrase, doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ,
+       |       CAST(MIN(base) AS BIGINT) AS first_pos
+       |FROM hits GROUP BY 1, 2 ORDER BY phrase, doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+
+    // one oracle, two implementations: the batch posexplode scan and the
+    // standing positional-segment serve must both match it
+    "text_phrase_search" -> phraseSql,
+    "stream_phrase_search" -> phraseSql,
 
     // maintained drain == the batch BM25 scorer over the full corpus
     "stream_bm25_refresh" -> topkSql("TRUE"),

@@ -77,6 +77,39 @@ object Retrieval {
         .cast("double"), 4).as("bm25"))
   }
 
+  /**
+   * EXACT PHRASE MATCHING over a positional tokens relation
+   * `(doc_id, term, pos)` — the one-shuffle phrase trick: for phrase
+   * index i, a token matching the phrase's i-th term votes for the
+   * candidate start `base = pos - i`; a start is a match iff ALL m
+   * indices voted (count-distinct == m). No m-way self-join: one
+   * broadcast join against the tiny (phrase, i, term) table + one
+   * (phrase, doc, base)-keyed aggregate whose input is only the tokens
+   * matching SOME phrase term. Returns one row per (phrase, doc):
+   * `(phrase, doc_id, n_occ, first_pos)` — occurrence count and the
+   * 0-based position of the first occurrence.
+   *
+   * Shared by the batch scan (`text_phrase_search`) and the standing
+   * positional index serve ([[graft.streaming.LexicalIndexMaintenance]]
+   * `phraseSearch` — where `tokens` is the term-pruned positions fold),
+   * so the two are hash-equal by construction.
+   */
+  def phraseMatches(tokens: DataFrame, phrases: Seq[String]): DataFrame = {
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    val ph = phrases.flatMap { p =>
+      val ts = p.split(" ")
+      ts.zipWithIndex.map { case (t, i) => (p, i, t, ts.length) }
+    }.toDF("phrase", "i", "term", "m")
+    tokens.join(broadcast(ph), "term")
+      .groupBy(col("phrase"), col("doc_id"), (col("pos") - col("i")).as("base"),
+        col("m"))
+      .agg(countDistinct(col("i")).as("k"))
+      .where(col("k") === col("m"))
+      .groupBy(col("phrase"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"), min(col("base")).cast("long").as("first_pos"))
+  }
+
   /** Rank a scored leg into (doc_id, rnk), top `n`, ties by doc_id. */
   def rankLeg(scored: DataFrame, scoreCol: String, n: Int): DataFrame =
     scored

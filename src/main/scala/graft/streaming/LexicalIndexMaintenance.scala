@@ -31,7 +31,10 @@ import graft.operators.Retrieval
  *  - `doclens/`  — per-batch segments of `(doc_id, dl)`: the doc-scale
  *    relation the corpus stats (N, avgdl) aggregate over, kept separate
  *    so the stats scan reads two slim columns at doc cardinality, never
- *    the token-scale postings.
+ *    the token-scale postings;
+ *  - `positions/` (opt-in, `positions = true`) — per-batch segments of
+ *    `(doc_id, term, pos)`: the position lists exact phrase search
+ *    reads ([[phraseSearch]]), term-pruned like the postings.
  *
  * Commit order per batch: doclens first, postings second; the POSTINGS
  * marker is the authoritative commit (isCommitted/committedCount). A
@@ -64,13 +67,18 @@ import graft.operators.Retrieval
  * merge) is the only periodic maintenance the index needs.
  */
 final class LexicalIndexMaintenance(spark: SparkSession, root: String,
-    compactEvery: Int = 64) {
+    compactEvery: Int = 64, positions: Boolean = false) {
 
   private val postings = new ShardLog(spark, s"$root/postings", "seg",
     compactEvery, new ShardLog.AppendFold(Seq("doc_id", "term", "tf", "dl")),
     deleteKey = "doc_id")
   private val doclens = new ShardLog(spark, s"$root/doclens", "seg",
     compactEvery, new ShardLog.AppendFold(Seq("doc_id", "dl")),
+    deleteKey = "doc_id")
+  // positional segments (opt-in — they are dl-sized per doc, not
+  // distinct-term-sized): what phrase queries read, term-pruned
+  private val poslog = new ShardLog(spark, s"$root/positions", "seg",
+    compactEvery, new ShardLog.AppendFold(Seq("doc_id", "term", "pos")),
     deleteKey = "doc_id")
 
   def committedIds: Seq[Long] = postings.committedIds
@@ -83,18 +91,23 @@ final class LexicalIndexMaintenance(spark: SparkSession, root: String,
     * writes, nothing scans the standing state except compaction. */
   def processBatch(batchId: Long, docs: DataFrame): Unit = {
     if (postings.isCommitted(batchId)) return
-    val tf = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true) // feeds dl, the doclens segment, and the postings segment
+    val toks = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+      .localCheckpoint(true)
     try {
+      val tf = toks
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
       if (!doclens.isCommitted(batchId))
         doclens.commitShard(batchId, dl, "{}")
+      if (positions && !poslog.isCommitted(batchId))
+        poslog.commitShard(batchId,
+          toks.select(col("doc_id"), col("term"), col("pos")), "{}")
       postings.commitShard(batchId, tf.join(dl, "doc_id")
         .select(col("doc_id"), col("term"), col("tf"), col("dl")), "{}")
     } finally {
-      org.apache.spark.sql.graftbridge.CheckpointBridge.release(tf)
+      org.apache.spark.sql.graftbridge.CheckpointBridge.release(toks)
       invalidateStats()
     }
   }
@@ -107,6 +120,8 @@ final class LexicalIndexMaintenance(spark: SparkSession, root: String,
     val keys = ids.select(col("doc_id").cast("long").as("doc_id")).distinct()
     if (!doclens.isCommitted(batchId))
       doclens.commitDeletes(batchId, keys, """{"del":true}""")
+    if (positions && !poslog.isCommitted(batchId))
+      poslog.commitDeletes(batchId, keys, """{"del":true}""")
     postings.commitDeletes(batchId, keys, """{"del":true}""")
     invalidateStats()
   }
@@ -150,6 +165,25 @@ final class LexicalIndexMaintenance(spark: SparkSession, root: String,
     Retrieval.bm25FromPostings(
       currentPostings().where(col("term").isin(terms: _*))
         .crossJoin(broadcast(statsDf())))
+
+  /** The standing positional relation (doc_id, term, pos) — requires a
+    * root built with `positions = true`. */
+  def currentPositions(): DataFrame = {
+    require(positions, "this index was built without positional segments")
+    poslog.currentRows()
+  }
+
+  /** EXACT PHRASE SEARCH from the standing positional segments: reads
+    * ONLY the phrases' terms' position lists (term predicate pushed to
+    * the segment scan — the Lucene position-list read), then the shared
+    * one-shuffle vote algebra ([[Retrieval.phraseMatches]]) — hash-equal
+    * to the batch scan over tokenized documents by shared arithmetic.
+    * Returns `(phrase, doc_id, n_occ, first_pos)`. */
+  def phraseSearch(phrases: Seq[String]): DataFrame = {
+    val terms = phrases.flatMap(_.split(" ")).distinct
+    Retrieval.phraseMatches(
+      currentPositions().where(col("term").isin(terms: _*)), phrases)
+  }
 
   /** Top-`k` BM25 serve: `(rnk, doc_id, bm25)`, ties by doc_id. */
   def topK(terms: Seq[String], k: Int): DataFrame = {

@@ -89,6 +89,45 @@ class LexicalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getLong(0)).toSet.intersect(del).isEmpty)
   }
 
+  test("positional segments: standing phrase search equals the batch " +
+      "scan, survives deletes, and fails fast without positions") {
+    import graft.operators.Retrieval
+    val phrases = Seq("table scan", "key value", "table scan merge")
+    val root = Files.createTempDirectory("lex_pos").toString
+    val m = new LexicalIndexMaintenance(spark, root, compactEvery = 2,
+      positions = true)
+    m.processBatch(0L, chunk(0)); m.processBatch(1L, chunk(1))
+    m.processBatch(2L, chunk(2))
+
+    def batchMatches(corpus: DataFrame): Set[(String, Long, Long, Long)] =
+      Retrieval.phraseMatches(
+        corpus.select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "term"))),
+        phrases).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    def standing(): Set[(String, Long, Long, Long)] =
+      m.phraseSearch(phrases).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+
+    val full = batchMatches(docs)
+    assert(full.nonEmpty, "fixture phrases must occur in the corpus")
+    assert(standing() == full)
+
+    // delete a doc that matched: its rows leave the phrase results too
+    val delId = full.head._2
+    m.deleteBatch(3L, spark.createDataFrame(Seq(Tuple1(delId))).toDF("doc_id"))
+    assert(standing() == batchMatches(docs.where(col("doc_id") =!= delId)))
+
+    // a root built WITHOUT positions refuses phrase serves loudly
+    val noPos = new LexicalIndexMaintenance(spark,
+      Files.createTempDirectory("lex_nopos").toString, compactEvery = 2)
+    noPos.processBatch(0L, chunk(0))
+    val e = intercept[IllegalArgumentException] { noPos.phraseSearch(phrases) }
+    assert(e.getMessage.contains("positional segments"))
+  }
+
   test("the serve reads only the query terms' postings (term filter " +
       "pushed to the segment scan)") {
     val root = Files.createTempDirectory("lex_plan").toString
