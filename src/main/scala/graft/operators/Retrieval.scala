@@ -96,11 +96,19 @@ object Retrieval {
    */
   def phraseMatches(tokens: DataFrame, phrases: Seq[String]): DataFrame = {
     val spark = tokens.sparkSession
-    import spark.implicits._
-    val ph = phrases.flatMap { p =>
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+    val phRows = phrases.flatMap { p =>
       val ts = p.split(" ")
-      ts.zipWithIndex.map { case (t, i) => (p, i, t, ts.length) }
-    }.toDF("phrase", "i", "term", "m")
+      ts.zipWithIndex.map { case (t, i) => Row(p, i, t, ts.length) }
+    }
+    val ph = spark.createDataFrame(
+      spark.sparkContext.parallelize(phRows, 1),
+      StructType(Seq(
+        StructField("phrase", StringType, nullable = false),
+        StructField("i", IntegerType, nullable = false),
+        StructField("term", StringType, nullable = false),
+        StructField("m", IntegerType, nullable = false))))
     tokens.join(broadcast(ph), "term")
       .groupBy(col("phrase"), col("doc_id"), (col("pos") - col("i")).as("base"),
         col("m"))
