@@ -103,6 +103,12 @@ object ExtQueries60 {
       drained(s, dir, positions = true).phraseSearch(Phrases)
         .orderBy(col("phrase"), col("doc_id"))),
 
+    // MORE-LIKE-THIS from the standing index (the Lucene serve shape):
+    // the query doc's top tf·idf terms become an ordinary BM25 query
+    "retrieval_more_like_this" -> ((s, dir) =>
+      drained(s, dir).moreLikeThis(DenseQ, maxTerms = 8, k = 10)
+        .orderBy(col("rnk"))),
+
     "retrieval_hybrid_rrf_standing" -> ((s, dir) => {
       val sparse = Retrieval.rankLeg(drained(s, dir).bm25(Terms), "bm25", LegN)
       val idx = AnnIndex.ivf(s, dir, NLists, IvfIters)
@@ -169,6 +175,40 @@ object ExtQueries60 {
     // standing positional-segment serve must both match it
     "text_phrase_search" -> phraseSql,
     "stream_phrase_search" -> phraseSql,
+
+    // term selection (doc 3's tf·idf head, 1e-6 grid, term tie-break)
+    // + the full BM25 replay with those terms; query doc leaves AFTER
+    // scoring so df stays the full-corpus value
+    "retrieval_more_like_this" ->
+      s"""WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+         |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM dl),
+         |qtf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS qtf FROM tok
+         |        WHERE doc_id = $DenseQ GROUP BY 1),
+         |dfq AS (SELECT t.term, CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS df
+         |        FROM tok t JOIN qtf q ON t.term = q.term GROUP BY 1),
+         |sel AS (SELECT term FROM (
+         |  SELECT q.term, ROW_NUMBER() OVER (ORDER BY
+         |      round(q.qtf * ln((st.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0), 6)
+         |        DESC, q.term) AS trnk
+         |  FROM qtf q JOIN dfq d ON q.term = d.term CROSS JOIN st) z
+         |  WHERE trnk <= 8),
+         |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+         |       WHERE term IN (SELECT term FROM sel) GROUP BY 1, 2),
+         |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT tf.doc_id,
+         |         ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) * tf.tf * 2.2 /
+         |           (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS tscore
+         |       FROM tf JOIN df ON tf.term = df.term
+         |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),
+         |agg AS (SELECT doc_id,
+         |          round(CAST(SUM(CAST(round(tscore, 8) AS DECIMAL(20,8))) AS DOUBLE), 4) AS bm25
+         |        FROM sc GROUP BY 1),
+         |r AS (SELECT doc_id, bm25,
+         |        ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+         |      FROM agg WHERE doc_id != $DenseQ)
+         |SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, bm25 FROM r
+         |WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
 
     // maintained drain == the batch BM25 scorer over the full corpus
     "stream_bm25_refresh" -> topkSql("TRUE"),

@@ -193,4 +193,41 @@ final class LexicalIndexMaintenance(spark: SparkSession, root: String,
       .where(col("rnk") <= k)
       .select(col("rnk").cast("long").as("rnk"), col("doc_id"), col("bm25"))
   }
+
+  /**
+   * MORE-LIKE-THIS (the Lucene serve shape): find the `k` docs most
+   * similar to standing doc `docId` by (1) selecting its `maxTerms`
+   * highest tf·idf terms — the doc's postings read with the doc_id
+   * predicate pushed down, df for just those terms counted via one
+   * broadcast-term join — then (2) running them as an ordinary BM25
+   * query through the shared scorer (df over the FULL live corpus; the
+   * query doc leaves the ranking after scoring, so its presence keeps
+   * df exact). Everything stays in DataFrames — no term list ever
+   * collects to the driver. Term selection rounds tf·idf to 1e-6 and
+   * tie-breaks by term, so the selected set is engine-replayable.
+   * Returns `(rnk, doc_id, bm25)`.
+   */
+  def moreLikeThis(docId: Long, maxTerms: Int, k: Int): DataFrame = {
+    val posts = currentPostings()
+    val q = posts.where(col("doc_id") === docId)
+      .select(col("term"), col("tf").as("qtf"))
+    val dfT = posts.join(broadcast(q.select("term")), "term")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val sel = q.join(broadcast(dfT), "term")
+      .crossJoin(broadcast(statsDf()))
+      .withColumn("w", round(col("qtf") *
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 6))
+      .withColumn("trnk",
+        row_number().over(Window.orderBy(col("w").desc, col("term"))))
+      .where(col("trnk") <= maxTerms)
+      .select("term")
+    val cand = posts.join(broadcast(sel), "term")
+      .crossJoin(broadcast(statsDf()))
+    val w = Window.orderBy(col("bm25").desc, col("doc_id"))
+    Retrieval.bm25FromPostings(cand)
+      .where(col("doc_id") =!= docId)
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("rnk").cast("long").as("rnk"), col("doc_id"), col("bm25"))
+  }
 }

@@ -128,6 +128,27 @@ class LexicalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("positional segments"))
   }
 
+  test("moreLikeThis: self excluded; with maxTerms covering the whole " +
+      "doc it equals a BM25 query over the doc's own terms") {
+    val root = Files.createTempDirectory("lex_mlt").toString
+    val m = new LexicalIndexMaintenance(spark, root, compactEvery = 2)
+    m.processBatch(0L, chunk(0)); m.processBatch(1L, chunk(1))
+    m.processBatch(2L, chunk(2))
+    val q = 3L
+    val got = m.moreLikeThis(q, maxTerms = 100000, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    assert(got.nonEmpty && got.forall(_._2 != q), "self must never rank")
+    val qTerms = docs.where(col("doc_id") === q)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val want = m.bm25(qTerms).where(col("doc_id") =!= q).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (d, s) => (-s, d) }.take(10).zipWithIndex
+      .map { case ((d, s), i) => (i + 1L, d, s) }.toList
+    assert(got == want,
+      "uncapped term selection must reduce to the doc's-terms BM25 query")
+  }
+
   test("the serve reads only the query terms' postings (term filter " +
       "pushed to the segment scan)") {
     val root = Files.createTempDirectory("lex_plan").toString
