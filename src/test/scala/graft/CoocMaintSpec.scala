@@ -109,6 +109,28 @@ class CoocMaintSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.currentHistograms().where(delPred).count() == 0)
   }
 
+  test("crash BETWEEN the two log commits (pairs landed, users marker " +
+      "gone): replay recomputes the identical delta and converges") {
+    val root = Files.createTempDirectory("cooc_torn").toString
+    val m = new CoocMaintenance(spark, root, compactEvery = 4)
+    m.processBatch(0L, chunk(0))
+    m.processBatch(1L, chunk(1))
+    // simulate the crash window: pairs/ has batch 1's shard+marker, the
+    // authoritative users/ marker vanishes — exactly the state a death
+    // between the two commits leaves behind
+    val marker = new java.io.File(s"$root/users/meta/1")
+    assert(marker.exists)
+    assert(marker.delete())
+    val m2 = new CoocMaintenance(spark, root, compactEvery = 4)
+    assert(!m2.isCommitted(1L), "users marker is the authority")
+    // the replay recomputes batch 1's pair delta from the PRE-BATCH user
+    // fold (batch 1's histogram never committed), so the already-durable
+    // pair shard short-circuits against an identical value
+    m2.processBatch(1L, chunk(1))
+    m2.processBatch(2L, chunk(2))
+    assert(counts(m2.currentCounts()) == counts(Cooccurrence.coocCounts(inter)))
+  }
+
   test("batch-split invariance: 2-way and 5-way drains agree exactly") {
     def drain(of: Int): Map[(Int, Int), Long] = {
       val root = Files.createTempDirectory(s"cooc_split$of").toString

@@ -66,6 +66,24 @@ class LexicalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scores(b.bm25(terms)) == scores(Retrieval.bm25(docs, terms)))
   }
 
+  test("crash BETWEEN the two log commits (doclens landed, postings " +
+      "marker gone): replay converges to the uninterrupted run") {
+    val root = Files.createTempDirectory("lex_torn").toString
+    val m = new LexicalIndexMaintenance(spark, root, compactEvery = 4)
+    m.processBatch(0L, chunk(0))
+    m.processBatch(1L, chunk(1))
+    // the authoritative postings marker vanishes: the state a death
+    // after the doclens commit leaves behind
+    val marker = new java.io.File(s"$root/postings/meta/1")
+    assert(marker.exists)
+    assert(marker.delete())
+    val m2 = new LexicalIndexMaintenance(spark, root, compactEvery = 4)
+    assert(!m2.isCommitted(1L), "postings marker is the authority")
+    m2.processBatch(1L, chunk(1)) // doclens short-circuits, postings re-commits
+    m2.processBatch(2L, chunk(2))
+    assert(scores(m2.bm25(terms)) == scores(Retrieval.bm25(docs, terms)))
+  }
+
   test("deleteBatch: df, N and avgdl all reflect the erasure — scores " +
       "equal the batch scorer over the kept corpus; rows purged") {
     val root = Files.createTempDirectory("lex_del").toString
