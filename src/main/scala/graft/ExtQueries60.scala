@@ -31,6 +31,13 @@ import graft.streaming.LexicalIndexMaintenance
  *    memoized IVF probe read), RRF-fused. Oracle: identical SQL to
  *    retrieval_hybrid_rrf_ivf (the maintained sparse leg is hash-equal
  *    to the batch leg, so the fused result is too).
+ *  - text_phrase_search / stream_phrase_search: exact phrase matching
+ *    via the one-shuffle vote algebra ([[Retrieval.phraseMatches]]) —
+ *    batch posexplode scan vs the standing POSITIONAL segments (the
+ *    Lucene position-list read); ONE oracle cross-checks both.
+ *  - retrieval_more_like_this: the Lucene MLT serve — the query doc's
+ *    top tf·idf terms (1e-6 grid, term tie-break) run as a BM25 query
+ *    through the shared scorer.
  */
 object ExtQueries60 {
 
