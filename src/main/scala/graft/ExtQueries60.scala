@@ -110,6 +110,13 @@ object ExtQueries60 {
       drained(s, dir, positions = true).phraseSearch(Phrases)
         .orderBy(col("phrase"), col("doc_id"))),
 
+    // BOOLEAN retrieval (MUST all of / MUST_NOT any of) from the
+    // standing index — BM25-ranked over the must terms
+    "retrieval_boolean" -> ((s, dir) =>
+      drained(s, dir).booleanTopK(
+          must = Seq("table", "scan"), mustNot = Seq("slow"), k = 10)
+        .orderBy(col("rnk"))),
+
     // MORE-LIKE-THIS from the standing index (the Lucene serve shape):
     // the query doc's top tf·idf terms become an ordinary BM25 query
     "retrieval_more_like_this" -> ((s, dir) =>
@@ -182,6 +189,33 @@ object ExtQueries60 {
     // standing positional-segment serve must both match it
     "text_phrase_search" -> phraseSql,
     "stream_phrase_search" -> phraseSql,
+
+    // the OR-query BM25 chain over the must terms, restricted to docs
+    // holding BOTH and excluding any 'slow' doc, ranks re-packed
+    "retrieval_boolean" ->
+      s"""WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+         |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+         |       WHERE term IN ('table', 'scan') GROUP BY 1, 2),
+         |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT tf.doc_id,
+         |         ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) * tf.tf * 2.2 /
+         |           (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS tscore
+         |       FROM tf JOIN df ON tf.term = df.term
+         |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),
+         |agg AS (SELECT doc_id,
+         |          round(CAST(SUM(CAST(round(tscore, 8) AS DECIMAL(20,8))) AS DOUBLE), 4) AS bm25
+         |        FROM sc GROUP BY 1),
+         |mdocs AS (SELECT doc_id FROM tf GROUP BY doc_id
+         |          HAVING COUNT(DISTINCT term) = 2),
+         |ndocs AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'slow'),
+         |r AS (SELECT a.doc_id, a.bm25,
+         |        ROW_NUMBER() OVER (ORDER BY a.bm25 DESC, a.doc_id) AS rnk
+         |      FROM agg a JOIN mdocs m ON a.doc_id = m.doc_id
+         |      WHERE a.doc_id NOT IN (SELECT doc_id FROM ndocs))
+         |SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, bm25 FROM r
+         |WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
 
     // term selection (doc 3's tf·idf head, 1e-6 grid, term tie-break)
     // + the full BM25 replay with those terms; query doc leaves AFTER

@@ -195,6 +195,32 @@ final class LexicalIndexMaintenance(spark: SparkSession, root: String,
   }
 
   /**
+   * BOOLEAN retrieval (Lucene's MUST / MUST_NOT over the standing
+   * index): rank by BM25 over the `must` terms, restricted to docs
+   * containing ALL of them (count-distinct == m over the term-pruned
+   * postings — the same vote move as phrase matching, without
+   * positions) and NONE of `mustNot` (a distinct-doc anti-join, also
+   * term-pruned). BM25's df/N/avgdl stay the plain OR-query values, so
+   * a boolean result is always a subset of the corresponding [[topK]]
+   * ranking with ranks re-packed. Returns `(rnk, doc_id, bm25)`.
+   */
+  def booleanTopK(must: Seq[String], mustNot: Seq[String], k: Int): DataFrame = {
+    val posts = currentPostings()
+    val mdocs = posts.where(col("term").isin(must: _*))
+      .groupBy("doc_id").agg(countDistinct(col("term")).as("mt"))
+      .where(col("mt") === must.size).select("doc_id")
+    val ndocs = posts.where(col("term").isin(mustNot: _*))
+      .select("doc_id").distinct()
+    val w = Window.orderBy(col("bm25").desc, col("doc_id"))
+    bm25(must)
+      .join(mdocs, Seq("doc_id"), "left_semi")
+      .join(ndocs, Seq("doc_id"), "left_anti")
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("rnk").cast("long").as("rnk"), col("doc_id"), col("bm25"))
+  }
+
+  /**
    * MORE-LIKE-THIS (the Lucene serve shape): find the `k` docs most
    * similar to standing doc `docId` by (1) selecting its `maxTerms`
    * highest tf·idf terms — the doc's postings read with the doc_id

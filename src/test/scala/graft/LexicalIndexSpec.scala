@@ -146,6 +146,28 @@ class LexicalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("positional segments"))
   }
 
+  test("booleanTopK: every hit holds ALL must terms and NO mustNot " +
+      "term; scores are the OR-query's, ranks re-packed") {
+    val root = Files.createTempDirectory("lex_bool").toString
+    val m = new LexicalIndexMaintenance(spark, root, compactEvery = 2)
+    m.processBatch(0L, chunk(0)); m.processBatch(1L, chunk(1))
+    m.processBatch(2L, chunk(2))
+    val must = Seq("table", "scan"); val not = Seq("slow")
+    val got = m.booleanTopK(must, not, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    assert(got.nonEmpty, "fixture must be non-vacuous")
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSet).toMap
+    got.foreach { case (_, d, _) =>
+      assert(must.forall(texts(d)), s"doc $d missing a must term")
+      assert(not.forall(t => !texts(d)(t)), s"doc $d holds a mustNot term")
+    }
+    // subset of the plain OR ranking, same scores, ranks re-packed
+    val or = scores(m.bm25(must))
+    assert(got.forall { case (_, d, s) => or(d) == s })
+    assert(got.map(_._1) == (1L to got.size.toLong).toList)
+  }
+
   test("moreLikeThis: self excluded; with maxTerms covering the whole " +
       "doc it equals a BM25 query over the doc's own terms") {
     val root = Files.createTempDirectory("lex_mlt").toString
