@@ -47,10 +47,15 @@ object ConnectedComponents {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // size the loop's partitioner to edge volume (a few hundred thousand
     // edges gain nothing from default-width rounds; at real scale
-    // edges/64k >> default and the session default wins)
+    // edges/64k >> default and the session default wins). No fixed floor:
+    // a touched-subgraph CC over a few hundred edges (the per-batch
+    // maintenance regime) runs every round single-task — the old floor of
+    // 4 paid 4x the task launches per shuffle for data that fits in one
+    // (r16 opt round; sizing stays purely input-derived, so cluster-scale
+    // graphs still widen to the session default)
     val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val nPairs = raw.count()
-    val parts = math.max(4L, math.min(defaultParts.toLong, nPairs * 2 / 65536 + 1)).toInt
+    val nPairs = Jobs.labeled(spark, "cc: edge count")(raw.count())
+    val parts = math.max(1L, math.min(defaultParts.toLong, nPairs * 2 / 65536 + 1)).toInt
     val part = new HashPartitioner(parts)
 
     // Both directions; self-loops dropped from edges (they never change
@@ -90,28 +95,48 @@ object ConnectedComponents {
     // graphs the frontier collapses after round 2, so later rounds move
     // almost nothing.
     var frontier = labels
+    // POINTER HALVING (comp <- comp(comp)) doubles propagation reach per
+    // round but costs two extra |nodes|-sized shuffle stages per round.
+    // Near-dup components are near-cliques that converge in a handful of
+    // plain rounds, and at per-batch maintenance grain each extra STAGE
+    // is pure scheduler latency — so halving is ADAPTIVE (r16 opt round):
+    // plain 2-stage min-propagation rounds first; if the graph is still
+    // moving after `HalvingFrom` rounds it is chain-shaped and every
+    // later round halves too, restoring the O(log diameter) escalation
+    // (reach after HalvingFrom + k rounds ~ HalvingFrom * 2^k). The
+    // fixpoint of min-label propagation is the component minimum under
+    // ANY update schedule, so the output is byte-identical either way
+    // (ConnectedComponentsSpec covers clique/chain/mixed shapes).
+    val HalvingFrom = 3
     while (changed > 0 && iters < maxIters) {
       // each frontier node's label flows to its neighbors: the round's
       // main shuffle, sized by the frontier's out-degree sum
       val msgs = edges.join(frontier) // narrow: both sides on `part`
         .map { case (_, (dst, lab)) => (dst, lab) }
         .reduceByKey(part, math.min(_, _))
-      val viaMsg = labels.leftOuterJoin(msgs) // narrow: both on `part`
-        .mapValues { case (cur, nbr) => math.min(cur, nbr.getOrElse(cur)) }
-      // POINTER HALVING: comp <- comp(comp). Labels always point at node
-      // ids, so one label-table self-join (two |nodes|-sized shuffles,
-      // tiny next to the edge messages) doubles the propagation reach —
-      // rounds drop from graph diameter to O(log diameter), the
-      // long-chain escalation the plain propagation lacks.
-      val hopped = viaMsg.map { case (n, c) => (c, n) }.partitionBy(part)
-        .join(viaMsg) // narrow on `part`: (c, (n, compOfC))
-        .map { case (_, (n, c2)) => (n, c2) }
-        .partitionBy(part)
-      val next = labels.join(hopped) // narrow: both on `part`
-        .mapValues { case (prev, now) => (now, now < prev) }
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val next =
+        if (iters < HalvingFrom) {
+          labels.leftOuterJoin(msgs) // narrow: both on `part`
+            .mapValues { case (cur, nbr) =>
+              val now = math.min(cur, nbr.getOrElse(cur))
+              (now, now < cur)
+            }
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        } else {
+          val viaMsg = labels.leftOuterJoin(msgs) // narrow: both on `part`
+            .mapValues { case (cur, nbr) => math.min(cur, nbr.getOrElse(cur)) }
+          // labels always point at node ids, so one label-table self-join
+          // composes comp(comp)
+          val hopped = viaMsg.map { case (n, c) => (c, n) }.partitionBy(part)
+            .join(viaMsg) // narrow on `part`: (c, (n, compOfC))
+            .map { case (_, (n, c2)) => (n, c2) }
+            .partitionBy(part)
+          labels.join(hopped) // narrow: both on `part`
+            .mapValues { case (prev, now) => (now, now < prev) }
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        }
       frontier = next.filter(_._2._2).mapValues(_._1)
-      changed = frontier.count()
+      changed = Jobs.labeled(spark, s"cc: round ${iters + 1}")(frontier.count())
       labels = next.mapValues(_._1)
       persisted += next
       iters += 1

@@ -38,15 +38,79 @@ import org.apache.spark.sql.functions._
 object PqIndex {
 
   /** Fit one codebook per subspace: `books(s)(code)(dim)` — exact
-    * integer values carried as doubles, like IVF centroids. */
+    * integer values carried as doubles, like IVF centroids.
+    *
+    * The M sub-fits are INDEPENDENT k-means problems over slices of the
+    * same rows, so they share one Lloyd loop: one deterministic fit
+    * sample, one seeds collect, and per iteration ONE assignment+sum job
+    * over all subspaces (explode (s, code, subvector), integer sums per
+    * (s, code, pos)) instead of M sequential [[IvfIndex.fitCentroids]]
+    * loops — M×(iters+1) driver actions become iters+1 (r16 opt round:
+    * ~25 actions → 3 at M=8, iters=2; each tiny action paid ~100 ms of
+    * planning/scheduling in every PQ (re)fit, and at 100 TB the batched
+    * loop reads the fit sample once per iteration instead of M times).
+    * Arithmetic is UNCHANGED per subspace — same sample rows (the hash
+    * order ignores the slice), same seeds (lowest vec_ids, sliced), same
+    * rounded-grid argmin with ties to the lower code, same exact long
+    * sums + truncating division — so books are byte-identical to the
+    * sequential fit (PqBatchedFitSpec) and every PQ oracle replay holds.
+    * ksub above the literal-expression bound falls back to the
+    * sequential per-subspace path (the join-path assign). */
   def fitCodebooks(quantized: DataFrame, m: Int, subDim: Int, ksub: Int,
       iters: Int): Array[Array[Array[Double]]] =
-    (0 until m).map { s =>
-      IvfIndex.fitCentroids(
-        quantized.select(col("vec_id"),
-          slice(col("qv"), s * subDim + 1, subDim).as("qv")),
-        ksub, iters)
-    }.toArray
+    if (ksub > 64)
+      (0 until m).map { s =>
+        IvfIndex.fitCentroids(
+          quantized.select(col("vec_id"),
+            slice(col("qv"), s * subDim + 1, subDim).as("qv")),
+          ksub, iters)
+      }.toArray
+    else {
+      val fit = quantized.select(col("vec_id"), col("qv"))
+        .orderBy(PortableHash.h(col("vec_id").cast("string")), col("vec_id"))
+        .limit(1 << 18)
+        .persist()
+      try {
+        val seedRows = fit.orderBy(col("vec_id")).limit(ksub)
+          .select(col("qv")).collect()
+          .map(_.getSeq[Long](0).map(_.toDouble).toArray)
+        var books: Array[Array[Array[Double]]] = Array.tabulate(m)(s =>
+          seedRows.map(v => v.slice(s * subDim, (s + 1) * subDim)))
+        for (_ <- 0 until iters) {
+          val subAssigned = (0 until m).map { s =>
+            val sv = slice(col("qv"), s * subDim + 1, subDim)
+            val distStructs = books(s).zipWithIndex.map { case (c, i) =>
+              struct(IvfIndex.relDist2(sv, c).as("d"), lit(i).as("c"))
+            }
+            struct(lit(s).as("s"),
+              element_at(array_sort(array(distStructs: _*)), 1)
+                .getField("c").as("cluster"),
+              sv.as("sv"))
+          }
+          val sums = fit
+            .select(explode(array(subAssigned: _*)).as("a"))
+            .select(col("a.s").as("s"), col("a.cluster").as("cluster"),
+              posexplode(col("a.sv")).as(Seq("pos", "v")))
+            .groupBy(col("s"), col("cluster"), col("pos"))
+            .agg(sum(col("v")).as("sum"), count(lit(1)).as("n"))
+            .collect()
+          val means = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
+            .map { case (k, rs) =>
+              k -> rs.map(r => r.getInt(2) -> r.getLong(3) / r.getLong(4)).toMap
+            }
+          books = Array.tabulate(m) { s =>
+            books(s).indices.map { c =>
+              means.get((s, c)) match {
+                case Some(mm) =>
+                  Array.tabulate(subDim)(d => mm.getOrElse(d, 0L).toDouble)
+                case None => books(s)(c) // empty cluster keeps its seed
+              }
+            }.toArray
+          }
+        }
+        books
+      } finally { fit.unpersist(); () }
+    }
 
   /** Literal column for one subspace's codebook entry lookup:
     * element_at(books(s), code+1) as an array<long>. */

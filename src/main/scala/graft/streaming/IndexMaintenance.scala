@@ -179,8 +179,10 @@ final class IndexMaintenance(spark: SparkSession, root: String,
     // stage ONLY this batch's docs into the algo's stored columns and
     // persist them once — the lakehouse regime where fingerprints /
     // signatures are stored columns of the doc table
-    algo.stage(docs.select(col("doc_id"), col("text")))
-      .write.mode("overwrite").parquet(s"$root/fps/$batchId")
+    graft.operators.Jobs.labeled(spark, s"idxmaint b=$batchId stage fps") {
+      algo.stage(docs.select(col("doc_id"), col("text")))
+        .write.mode("overwrite").parquet(s"$root/fps/$batchId")
+    }
     // explicit schema: an EMPTY ingest file is a legal batch
     val newFps = spark.read.schema(algo.stagedSchema)
       .parquet(s"$root/fps/$batchId")
@@ -225,9 +227,11 @@ final class IndexMaintenance(spark: SparkSession, root: String,
       .getOrElse(newFps)
     val base = log.currentRows().persist()
     try {
-      log.commitShardNoCompact(batchId,
-        algo.refreshDelta(all, base).withColumn("b", lit(batchId)),
-        s"""{"batch":$batchId}""")
+      graft.operators.Jobs.labeled(spark, s"idxmaint b=$batchId refresh delta") {
+        log.commitShardNoCompact(batchId,
+          algo.refreshDelta(all, base).withColumn("b", lit(batchId)),
+          s"""{"batch":$batchId}""")
+      }
     } finally {
       standingRaw.foreach(_.unpersist())
       base.unpersist()

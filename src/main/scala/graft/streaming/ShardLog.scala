@@ -328,8 +328,10 @@ private[streaming] final class ShardLog(spark: SparkSession, root: String,
     sweepUnmarkedSnapshots()
     if (compactedIds.contains(upTo)) return // snapshot already covers the log
     val prev = state.coveredUpTo
-    fold.snapshotRows(rowsFrom(prev, state.tail), upTo)
-      .write.mode("overwrite").parquet(s"$root/base/$upTo")
+    graft.operators.Jobs.labeled(spark, s"shardlog compact $dataDir upTo=$upTo") {
+      fold.snapshotRows(rowsFrom(prev, state.tail), upTo)
+        .write.mode("overwrite").parquet(s"$root/base/$upTo")
+    }
     // the marker carries the covered COUNT — with the covered meta/<b>
     // files deleted below, this is the only surviving record of how many
     // batches ever committed (the compaction-cadence counter) — plus the
