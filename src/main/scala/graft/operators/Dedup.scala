@@ -123,12 +123,26 @@ object Dedup {
    */
   def jaccardPairs(shingles: DataFrame, threshold: Double, maxDf: Int): DataFrame = {
     if (maxDf == Int.MaxValue) {
-      // uncapped: the index join's group count IS the true common count
+      // uncapped: postings-form inverted index — group the doc ids per
+      // shingle ONCE and expand ordered pairs per posting list, so the
+      // shingle strings cross one exchange (the groupBy) instead of two
+      // (both sides of the former self-join) and no join executes; the
+      // per-posting pair count IS the true common count. Pair multiset
+      // identical to the self-join's (shingles are distinct per doc and
+      // members sorted, so doc_a < doc_b exactly once per shared
+      // shingle). Single-posting skew (one stop shingle's df^2 fan-out,
+      // now also one collected row) is the documented reason the CAPPED
+      // path is the web-scale plan; this branch is the exact-string
+      // ground-truth form.
       val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val a = shingles.as("a")
-      val b = shingles.as("b")
-      a.join(b, col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      val postings = shingles.groupBy(col("shingle"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("members"))
+        .where(size(col("members")) > 1)
+      postings
+        .select(posexplode(col("members")).as(Seq("i", "doc_a")), col("members"))
+        .select(col("doc_a"),
+          explode(expr("slice(members, i + 2, size(members))")).as("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("n_common"))
         .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a")), "doc_a")
         .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b")), "doc_b")
