@@ -68,18 +68,26 @@ object ConnectedComponents {
       .flatMap { case (a, b) => if (a == b) Iterator.empty else Iterator((a, b), (b, a)) }
       .partitionBy(part)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // node set NARROWLY from the partitioned edges (per-partition
-    // dedup of keys is global dedup — keys are co-located by hash), plus
-    // the tiny self-loop-only remainder; reduceByKey dedups the overlap
-    // without moving the already-partitioned side
+    // ROUND 1 FUSED INTO INITIALIZATION (r16 opt round): the first
+    // min-propagation round assigns every node min(self, neighbors) —
+    // computable NARROWLY from the partitioned edge list (keys are
+    // co-located by hash, so a per-partition min per src is the global
+    // min), plus the tiny self-loop-only remainder; reduceByKey folds
+    // the overlap without moving the already-partitioned side. Saves the
+    // loop's most expensive round (full-frontier messages) as a job.
     val edgeNodes = edges.mapPartitions({ it =>
-      val seen = new java.util.HashSet[Long]()
-      it.flatMap { case (src, _) => if (seen.add(src)) Iterator((src, src)) else Iterator.empty }
+      val mins = new java.util.HashMap[Long, Long]()
+      it.foreach { case (src, dst) =>
+        mins.put(src, math.min(mins.getOrDefault(src, src), dst))
+      }
+      scala.jdk.CollectionConverters.IteratorHasAsScala(
+        mins.entrySet().iterator()).asScala
+        .map(e => (e.getKey.longValue(), e.getValue.longValue()))
     }, preservesPartitioning = true)
     val selfLoopNodes = raw.filter { case (a, b) => a == b }
       .map { case (a, _) => (a, a) }.partitionBy(part)
     var labels = edgeNodes.union(selfLoopNodes)
-      .reduceByKey(part, (a, _) => a)
+      .reduceByKey(part, math.min(_, _))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val persisted = scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]](raw, edges, labels)
@@ -88,13 +96,13 @@ object ConnectedComponents {
     // a long-lived session would otherwise accumulate ~2 blocks per round
     try {
     var changed = 1L
-    var iters = 0
+    var iters = 1 // round 1 ran fused above
     // FRONTIER pruning: only nodes whose label changed last round need to
     // re-send it (a stable label was already delivered in an earlier
-    // round). Round 1's frontier is every node; on near-clique dup
-    // graphs the frontier collapses after round 2, so later rounds move
-    // almost nothing.
-    var frontier = labels
+    // round). Round 1 changed exactly the nodes whose fused label is
+    // below their id; on near-clique dup graphs the frontier collapses
+    // after round 2, so later rounds move almost nothing.
+    var frontier = labels.filter { case (n, c) => c < n }
     // POINTER HALVING (comp <- comp(comp)) doubles propagation reach per
     // round but costs two extra |nodes|-sized shuffle stages per round.
     // Near-dup components are near-cliques that converge in a handful of
