@@ -39,28 +39,64 @@ object ExtQueries14 {
     * (undirected edges traversed both ways), so no sink correction term.
     */
   private[graft] def pagerank(edges: DataFrame, iters: Int): DataFrame = {
+    // Execution (r16 opt round): the fixed-iteration loop runs on
+    // CO-PARTITIONED RDDs (the ConnectedComponents discipline) — after
+    // one-time setup each round is one narrow adj->rank join plus one
+    // (dst, contrib) reduceByKey on the shared partitioner, with NO
+    // per-round action and no per-round Catalyst planning; all `iters`
+    // rounds chain into the single job that materializes the result
+    // (the DataFrame form paid a localCheckpoint job + broadcast build
+    // per round: 62 jobs for 10 rounds at maintenance grain). The
+    // integer arithmetic below is VERBATIM the update rule above, so
+    // scores stay bit-identical (graph_pagerank's oracle hash-matches).
+    val spark = edges.sparkSession
+    import spark.implicits._
     // undirected: each edge contributes both ways
-    val directed = edges.select(col("u").as("src"), col("v").as("dst"))
-      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
-      .localCheckpoint(true)
-    val deg = directed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val adj = directed.join(deg, "src").localCheckpoint(true)
-    var ranks = deg.select(col("src").as("v"), lit(PrScale).as("r"))
-      .localCheckpoint(true)
+    val directed = edges
+      .select(col("u").cast("long").as("src"), col("v").cast("long").as("dst"))
+      .unionAll(edges
+        .select(col("v").cast("long").as("src"), col("u").cast("long").as("dst")))
+      .as[(Long, Long)].rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val nEdges = graft.operators.Jobs.labeled(spark, "pagerank: edge count")(
+      directed.count())
+    val parts = math.max(1L,
+      math.min(defaultParts.toLong, nEdges / 32768 + 1)).toInt
+    val part = new org.apache.spark.HashPartitioner(parts)
+    val adj = directed.partitionBy(part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-partition degree count per src == global (keys co-located)
+    val deg = adj.mapPartitions({ it =>
+      val d = new java.util.HashMap[Long, Long]()
+      it.foreach { case (s, _) => d.merge(s, 1L, (a, b) => a + b) }
+      scala.jdk.CollectionConverters.IteratorHasAsScala(
+        d.entrySet().iterator()).asScala
+        .map(e => (e.getKey.longValue(), e.getValue.longValue()))
+    }, preservesPartitioning = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adjDeg = adj.join(deg) // narrow: both on `part`
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var ranks = deg.mapValues(_ => PrScale)
     var i = 0
     while (i < iters) {
-      val contrib = adj.join(broadcast(ranks), adj("src") === ranks("v"))
-        .select(col("dst"), expr("(2*r + deg) DIV (2*deg)").as("c"))
-        .groupBy(col("dst"))
-        .agg(sum(col("c")).as("in_sum"))
-      ranks = deg.select(col("src").as("v")).join(contrib, col("v") === col("dst"), "left")
-        .select(col("v"),
-          (lit(PrScale * 3 / 20) +
-            expr(s"(85 * coalesce(in_sum, 0L) + 50) DIV 100")).as("r"))
-        .localCheckpoint(true)
+      val inSum = adjDeg.join(ranks) // narrow: both on `part`
+        .map { case (_, ((dst, d), r)) => (dst, (2L * r + d) / (2L * d)) }
+        .reduceByKey(part, _ + _)
+      ranks = deg.leftOuterJoin(inSum) // narrow: both on `part`
+        .mapValues { case (_, s) =>
+          PrScale * 3 / 20 + (85L * s.getOrElse(0L) + 50L) / 100L
+        }
       i += 1
     }
-    ranks
+    // v keeps the caller's node type (the loop runs on longs internally)
+    val vType = edges.schema("u").dataType
+    val out = graft.operators.Jobs.labeled(spark, "pagerank: materialize")(
+      org.apache.spark.sql.graftbridge.StatsBridge.dropCarriedStats(
+        ranks.toDF("v", "r").select(col("v").cast(vType).as("v"), col("r"))
+          .localCheckpoint(true)))
+    Seq(directed, adj, deg, adjDeg).foreach(_.unpersist(blocking = false))
+    out
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
