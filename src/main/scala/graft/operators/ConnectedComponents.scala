@@ -33,11 +33,26 @@ import org.apache.spark.storage.StorageLevel
  */
 object ConnectedComponents {
 
+  /** Pair-count bound below which the whole edge list is COLLECTED and
+    * solved by a driver-side union-find instead of the distributed round
+    * loop (r17 opt round). At per-batch maintenance grain a CC invocation
+    * is a touched subgraph of a few hundred edges, yet the round loop
+    * still paid 4-6 driver ACTIONS (edge count + one count per round) at
+    * 100-230 ms of scheduling each — ~0.6-0.9 s per batch of pure
+    * latency. Below the bound the driver does the same min-label fixpoint
+    * in microseconds over at most ~2 MB of collected pairs (the exact
+    * bounded-artifact posture of the codebook/stats collects); above it
+    * — the 100 TB regime — the distributed loop is unchanged. Output is
+    * byte-identical: a union-find whose roots are kept at the component
+    * minimum computes exactly "comp = min reachable node id". */
+  private[graft] val LocalEdgeMax = 1 << 17
+
   /**
    * (node, comp) for every node appearing in `pairs` (columns doc_a,
    * doc_b); comp = min node id reachable — deterministic.
    */
-  def components(pairs: DataFrame, maxIters: Int = 100): DataFrame = {
+  def components(pairs: DataFrame, maxIters: Int = 100,
+      localMax: Int = LocalEdgeMax): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
 
@@ -55,6 +70,11 @@ object ConnectedComponents {
     // graphs still widen to the session default)
     val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val nPairs = Jobs.labeled(spark, "cc: edge count")(raw.count())
+    if (nPairs <= localMax) {
+      val edges = Jobs.labeled(spark, "cc: local collect")(raw.collect())
+      raw.unpersist(blocking = false)
+      return localComponents(spark, edges)
+    }
     val parts = math.max(1L, math.min(defaultParts.toLong, nPairs * 2 / 65536 + 1)).toInt
     val part = new HashPartitioner(parts)
 
@@ -157,5 +177,43 @@ object ConnectedComponents {
     } finally {
       persisted.foreach(_.unpersist(blocking = false))
     }
+  }
+
+  /** Driver-side union-find over a collected edge list. The root of every
+    * tree is kept at the MINIMUM member id (union links the larger root
+    * under the smaller), so the final find(node) IS "min node id
+    * reachable" — the identical fixpoint the distributed loop converges
+    * to, independent of edge order. Self-loops contribute their endpoint
+    * as a singleton, like the distributed path. Returns a LocalRelation
+    * (already-materialized driver rows: downstream reads need no job, and
+    * consumers' explicit broadcast hints are unaffected). */
+  private def localComponents(spark: org.apache.spark.sql.SparkSession,
+      edges: Array[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.putIfAbsent(a, a)
+      if (a != b) {
+        parent.putIfAbsent(b, b)
+        val ra = find(a)
+        val rb = find(b)
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+    }
+    val out = new Array[(Long, Long)](parent.size())
+    val it = parent.keySet().iterator()
+    var i = 0
+    while (it.hasNext) { val n = it.next(); out(i) = (n, find(n)); i += 1 }
+    scala.util.Sorting.quickSort(out)(Ordering.by(_._1))
+    spark.createDataset(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+      .toDF("node", "comp")
   }
 }

@@ -660,6 +660,12 @@ object Dedup {
       maxHamming: Int, baseComps: DataFrame): DataFrame =
     refreshDelta(simhashRefreshPairs(fps, maxHamming), baseComps)
 
+  /** Sink form of [[simhashComponentsRefreshFromFpsDelta]] — the delta is
+    * materialized exactly once, by `sink` (see [[refreshDeltaTo]]). */
+  def simhashComponentsRefreshFromFpsDeltaTo(fps: DataFrame,
+      maxHamming: Int, baseComps: DataFrame, sink: DataFrame => Unit): Unit =
+    refreshDeltaTo(simhashRefreshPairs(fps, maxHamming), baseComps, sink)
+
   /** Test/measurement hook for the private candidate stage. */
   private[graft] def probeRefreshPairs(fps: DataFrame, maxHamming: Int): DataFrame =
     simhashRefreshPairs(fps, maxHamming)
@@ -743,6 +749,20 @@ object Dedup {
    * literally that composition).
    */
   private def refreshDelta(pairs: DataFrame, baseComps: DataFrame): DataFrame = {
+    var out: DataFrame = null
+    refreshDeltaTo(pairs, baseComps, df => { out = df.localCheckpoint(true); () })
+    out
+  }
+
+  /** Sink form of [[refreshDelta]] (r17 opt round): the delta plan is
+    * handed to `sink` for its ONE materialization (the streaming
+    * maintenance loop writes it straight to the batch's parquet shard),
+    * instead of localCheckpoint-then-write — the checkpoint existed only
+    * so the per-batch caches below could be released before the caller's
+    * write, which this shape does after the sink returns. One
+    * materialization job per batch saved; identical rows either way. */
+  private def refreshDeltaTo(pairs: DataFrame, baseComps: DataFrame,
+      sink: DataFrame => Unit): Unit = {
     // materialized ONCE via eager local checkpoint (exact size stats ->
     // Catalyst picks the broadcast sides below at PLANNING time; a
     // lazily-cached frame carries child-plan estimates, under which AQE
@@ -806,14 +826,13 @@ object Dedup {
       val newOut = cc.join(
         broadcast(touched.select(col("comp").as("node")).distinct()),
         Seq("node"), "left_anti")
-      val out = changedBase.unionByName(newOut).localCheckpoint(true)
-      // the output checkpoint above is the last consumer of `touched`
-      // AND of `cc` (changed/newOut both fold into out) — release both
-      // eagerly: per-batch maintenance loops outrun the context cleaner
-      // (the +570 MB r13 soak finding applied to cc's blocks too)
+      sink(changedBase.unionByName(newOut))
+      // the sink's materialization above is the last consumer of `touched`
+      // AND of `cc` (changed/newOut both fold into the sunk plan) —
+      // release both eagerly: per-batch maintenance loops outrun the
+      // context cleaner (the +570 MB r13 soak finding applied to cc too)
       org.apache.spark.sql.graftbridge.CheckpointBridge.release(touched)
       org.apache.spark.sql.graftbridge.CheckpointBridge.release(cc)
-      out
     } finally {
       // only release what THIS method pinned: a caller-provided
       // checkpoint may have later consumers
@@ -912,6 +931,13 @@ object Dedup {
       threshold: Double, baseComps: DataFrame): DataFrame =
     refreshDelta(
       minhashRefreshPairsFromSigs(sigs, wordSets, threshold), baseComps)
+
+  /** Sink form of [[minhashComponentsRefreshFromSigsDelta]] — the delta is
+    * materialized exactly once, by `sink` (see [[refreshDeltaTo]]). */
+  def minhashComponentsRefreshFromSigsDeltaTo(sigs: DataFrame, wordSets: DataFrame,
+      threshold: Double, baseComps: DataFrame, sink: DataFrame => Unit): Unit =
+    refreshDeltaTo(
+      minhashRefreshPairsFromSigs(sigs, wordSets, threshold), baseComps, sink)
 
   /** The MinHash stored columns for ONE ingest batch, as a single frame
     * `(doc_id, band0..bandN-1, wset, n_w)` — what

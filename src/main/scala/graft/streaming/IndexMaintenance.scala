@@ -228,9 +228,12 @@ final class IndexMaintenance(spark: SparkSession, root: String,
     val base = log.currentRows().persist()
     try {
       graft.operators.Jobs.labeled(spark, s"idxmaint b=$batchId refresh delta") {
-        log.commitShardNoCompact(batchId,
-          algo.refreshDelta(all, base).withColumn("b", lit(batchId)),
-          s"""{"batch":$batchId}""")
+        // sink form: the delta's ONE materialization IS the shard write
+        // (r17 opt round — the old shape localCheckpointed the delta and
+        // then wrote the checkpoint back out, one redundant job per batch)
+        algo.refreshDeltaTo(all, base,
+          df => log.writeShard(batchId, df.withColumn("b", lit(batchId))))
+        log.commitWrittenShard(batchId, s"""{"batch":$batchId}""")
       }
     } finally {
       standingRaw.foreach(_.unpersist())
@@ -310,7 +313,10 @@ object IndexMaintenance {
   sealed trait Algo {
     private[streaming] def stage(docs: DataFrame): DataFrame
     private[streaming] def stagedSchema: StructType
-    private[streaming] def refreshDelta(staged: DataFrame, base: DataFrame): DataFrame
+    /** Sink form: the delta plan's single materialization is the caller's
+      * `sink` (the batch's shard write) — no intermediate checkpoint. */
+    private[streaming] def refreshDeltaTo(staged: DataFrame, base: DataFrame,
+        sink: DataFrame => Unit): Unit
   }
 
   /** 60-bit SimHash at `maxHamming` — stored column: the fingerprint. */
@@ -319,8 +325,9 @@ object IndexMaintenance {
       Dedup.simhashFingerprints(docs)
     private[streaming] val stagedSchema: StructType =
       new StructType().add("doc_id", LongType).add("fp", LongType)
-    private[streaming] def refreshDelta(staged: DataFrame, base: DataFrame): DataFrame =
-      Dedup.simhashComponentsRefreshFromFpsDelta(staged, maxHamming, base)
+    private[streaming] def refreshDeltaTo(staged: DataFrame, base: DataFrame,
+        sink: DataFrame => Unit): Unit =
+      Dedup.simhashComponentsRefreshFromFpsDeltaTo(staged, maxHamming, base, sink)
   }
 
   /** MinHash LSH + exact unigram-Jaccard verification at `threshold` —
@@ -329,10 +336,11 @@ object IndexMaintenance {
     private[streaming] def stage(docs: DataFrame): DataFrame =
       Dedup.minhashStagedColumns(docs)
     private[streaming] val stagedSchema: StructType = Dedup.minhashStagedSchema
-    private[streaming] def refreshDelta(staged: DataFrame, base: DataFrame): DataFrame =
-      Dedup.minhashComponentsRefreshFromSigsDelta(
+    private[streaming] def refreshDeltaTo(staged: DataFrame, base: DataFrame,
+        sink: DataFrame => Unit): Unit =
+      Dedup.minhashComponentsRefreshFromSigsDeltaTo(
         staged.drop("wset", "n_w"),
         staged.select(col("doc_id"), col("wset"), col("n_w")),
-        threshold, base)
+        threshold, base, sink)
   }
 }

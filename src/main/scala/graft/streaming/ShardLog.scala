@@ -141,7 +141,22 @@ private[streaming] final class ShardLog(spark: SparkSession, root: String,
     * ([[IndexMaintenance]]). Callers pair it with [[compactIfDue]]. */
   def commitShardNoCompact(batchId: Long, shard: DataFrame,
       markerJson: String): Unit = {
+    writeShard(batchId, shard)
+    commitWrittenShard(batchId, markerJson)
+  }
+
+  /** Write half of [[commitShardNoCompact]], exposed for owners whose
+    * delta producer sinks the batch's rows itself (one materialization —
+    * no checkpoint-then-write): the shard parquet write, NO marker. The
+    * caller MUST follow with [[commitWrittenShard]]; a crash in between
+    * leaves unmarked debris the replay overwrites (the standard
+    * marker-last ordering). */
+  def writeShard(batchId: Long, shard: DataFrame): Unit =
     shard.write.mode("overwrite").parquet(s"$root/$dataDir/$batchId")
+
+  /** Marker half of [[commitShardNoCompact]] — commit a shard already
+    * written via [[writeShard]]. */
+  def commitWrittenShard(batchId: Long, markerJson: String): Unit = {
     CommitMarkers.commit(spark, metaDir, batchId, markerJson)
     logState = state.withCommitted(batchId)
   }
