@@ -21,33 +21,27 @@ import org.apache.spark.sql.functions._
  */
 object IvfIndex {
 
-  /** RELATIVE squared L2 distance between a quantized vector column and a
-    * literal centroid: |v-c|^2 = |v|^2 - 2<v,c> + |c|^2, and |v|^2 is
-    * constant across centroids, so argmin/sort order only needs
-    * |c|^2 - 2<v,c>. The centroid is rounded onto the same e6 integer
-    * grid as the vectors so <v,c> runs through the native LongArrayDot
-    * expression (codegen) instead of interpreted aggregate(zip_with(..))
-    * lambdas — the same ~250x expression-vs-lambda gap PERF.md item 1
-    * measured. Grid rounding error (<=0.5 on a ~1e6-scale grid) is far
-    * below any cluster-boundary distance and keeps every step exactly
+  /** Distance discipline (shared by both assignment paths and the codegen
+    * kernels in [[graft.functions.QuantCodecCols]]): RELATIVE squared L2
+    * between a quantized vector and a centroid — |v-c|^2 = |v|^2 - 2<v,c>
+    * + |c|^2, and |v|^2 is constant across centroids, so argmin/sort
+    * order only needs |c|^2 - 2<v,c>. Centroids are rounded onto the
+    * same e6 integer grid as the vectors so every distance is an exact
+    * long. Grid rounding error (<=0.5 on a ~1e6-scale grid) is far below
+    * any cluster-boundary distance and keeps every step exactly
     * deterministic. */
-  private[operators] def relDist2(qv: Column, centroid: Array[Double]): Column = {
-    val cq = centroid.map(math.round)
-    val c2 = cq.map(x => x * x).sum
-    lit(c2) - lit(2L) * Similarity.dotQ(qv, array(cq.map(lit): _*))
-  }
 
   /** Above this many lists, assignment/probing JOIN a broadcast centroid
-    * TABLE instead of inlining one literal distance expression per
-    * centroid: the literal plan is O(nLists·dims) expression nodes and
-    * its analysis/codegen cost is paid per PLAN — negligible at the
-    * oracle-gate nLists=16, but at the sqrt(N) sizing rule (hundreds to
-    * thousands of lists) it dominates per-batch maintenance wall (the
-    * r16 sf10 graph cell found it: ~30k-node trees compiled per batch).
-    * The join plan is O(1) in size, the candidate volume rows·nLists is
-    * the same work the literal projection did elementwise, and the
-    * arithmetic is the identical integer (cn2 - 2<v,c>, ties to the
-    * lower cluster id) — byte-equal outputs (IvfJoinPathSpec). */
+    * TABLE instead of evaluating the per-row argmin kernel. The kernel
+    * path (<= the bound) is one expression node with the centroid grid
+    * as a plain JVM array (r17 opt round — it replaced the former
+    * O(nLists·dims)-node literal trees whose per-plan analysis cost the
+    * r16 sf10 graph cell measured at ~30k nodes compiled per batch); the
+    * join path remains the declared posture above the bound, where the
+    * broadcast-table + window argmin distributes the rows·nLists
+    * candidate work across the cluster. Both paths use the identical
+    * integer arithmetic (cn2 - 2<v,c>, ties to the lower cluster id) —
+    * byte-equal outputs (IvfJoinPathSpec). */
   private val LiteralCentroidMax = 64
 
   /** Broadcast (cluster, cv, cn2) table of the rounded centroids. */
@@ -68,11 +62,8 @@ object IvfIndex {
     * broadcast centroid table, window argmin per vec_id. */
   def assign(quantized: DataFrame, centroids: Array[Array[Double]]): DataFrame =
     if (centroids.length <= LiteralCentroidMax) {
-      val distStructs = centroids.zipWithIndex.map { case (c, i) =>
-        struct(relDist2(col("qv"), c).as("d"), lit(i).as("c"))
-      }
       quantized.withColumn("cluster",
-        element_at(array_sort(array(distStructs: _*)), 1).getField("c"))
+        graft.functions.QuantCodecCols.ivfArgmin(col("qv"), centroids))
     } else {
       val spark = quantized.sparkSession
       val cols = quantized.columns
@@ -204,15 +195,13 @@ object IvfIndex {
   private def probesFor(centroids: Array[Array[Double]], qAssigned: DataFrame,
       nProbe: Int): DataFrame =
     if (centroids.length <= LiteralCentroidMax) {
-      val probeCols = centroids.zipWithIndex.map { case (c, i) =>
-        struct(relDist2(col("qv"), c).as("d"), lit(i).as("c"))
-      }
       qAssigned
         .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
           col("norm").as("qnorm"),
-          posexplode(slice(array_sort(array(probeCols: _*)), 1, nProbe)).as(Seq("pos", "p")))
+          posexplode(graft.functions.QuantCodecCols.ivfProbeTop(
+            col("qv"), centroids, nProbe)).as(Seq("pos", "cluster")))
         .select(col("query_id"), col("qqv"), col("qnorm"),
-          (col("pos") + 1).as("prn"), col("p.c").as("cluster"))
+          (col("pos") + 1).as("prn"), col("cluster"))
     } else {
       // join path (see LiteralCentroidMax): broadcast centroid table,
       // per-query rank <= nProbe — identical (d, c) order, O(1) plan
@@ -515,13 +504,10 @@ object IvfIndex {
       .select(col("vec_id").as("query_id"),
         concat(slice(col("qv"), lit(1), size(col("qv")) - 1), array(lit(0L)))
           .as("qqv"))
-    val probeCols = centroids.zipWithIndex.map { case (c, i) =>
-      struct(relDist2(col("qqv"), c).as("d"), lit(i).as("c"))
-    }
     val probes = q0
       .select(col("query_id"), col("qqv"),
-        explode(slice(array_sort(array(probeCols: _*)), 1, nProbe)).as("p"))
-      .select(col("query_id"), col("qqv"), col("p.c").as("cluster"))
+        explode(graft.functions.QuantCodecCols.ivfProbeTop(
+          col("qqv"), centroids, nProbe)).as("cluster"))
     val scored = indexed
       .join(broadcast(probes), Seq("cluster"))
       .where(col("vec_id") =!= col("query_id"))

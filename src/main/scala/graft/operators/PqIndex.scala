@@ -79,12 +79,8 @@ object PqIndex {
         for (_ <- 0 until iters) {
           val subAssigned = (0 until m).map { s =>
             val sv = slice(col("qv"), s * subDim + 1, subDim)
-            val distStructs = books(s).zipWithIndex.map { case (c, i) =>
-              struct(IvfIndex.relDist2(sv, c).as("d"), lit(i).as("c"))
-            }
             struct(lit(s).as("s"),
-              element_at(array_sort(array(distStructs: _*)), 1)
-                .getField("c").as("cluster"),
+              graft.functions.QuantCodecCols.ivfArgmin(sv, books(s)).as("cluster"),
               sv.as("sv"))
           }
           val sums = fit
@@ -112,35 +108,34 @@ object PqIndex {
       } finally { fit.unpersist(); () }
     }
 
-  /** Literal column for one subspace's codebook entry lookup:
-    * element_at(books(s), code+1) as an array<long>. */
-  private def bookLit(book: Array[Array[Double]]): Column =
-    array(book.map(c => array(c.map(x => lit(x.toLong)): _*)): _*)
-
   /** Add `code_0..code_{m-1}` columns: per-subspace argmin against the
     * codebook (relative distance, ties to the lower code id) — one
-    * projection, no shuffle. */
+    * projection, no shuffle. All m argmins run in ONE codegen'd kernel
+    * ([[graft.functions.PqEncodeCodes]], r17 opt round — the old shape
+    * was one array_sort of ksub codeword-literal distance structs PER
+    * SUBSPACE, an O(m·ksub·subDim)-node tree Catalyst re-analyzed on
+    * every per-batch action; identical argmin/tie arithmetic,
+    * QuantCodecSpec). */
   def encode(quantized: DataFrame, books: Array[Array[Array[Double]]],
-      subDim: Int): DataFrame =
-    books.zipWithIndex.foldLeft(quantized) { case (df, (book, s)) =>
-      val sub = slice(col("qv"), s * subDim + 1, subDim)
-      val structs = book.zipWithIndex.map { case (c, i) =>
-        struct(IvfIndex.relDist2(sub, c).as("d"), lit(i).as("c"))
-      }
-      df.withColumn(s"code_$s",
-        element_at(array_sort(array(structs: _*)), 1).getField("c"))
-    }
+      subDim: Int): DataFrame = {
+    require(books(0)(0).length == subDim,
+      s"books have subDim ${books(0)(0).length}, caller claimed $subDim")
+    val withArr = quantized.withColumn("_pqc",
+      graft.functions.QuantCodecCols.pqEncode(col("qv"), books))
+    books.indices.foldLeft(withArr) { (df, s) =>
+      df.withColumn(s"code_$s", element_at(col("_pqc"), s + 1))
+    }.drop("_pqc")
+  }
+
+  /** The m code columns gathered back into one array<int> (cheap
+    * attribute gather — the codec kernels take the codes as one array). */
+  private def codesArr(m: Int): Column =
+    array((0 until m).map(s => col(s"code_$s")): _*)
 
   /** Squared reconstructed norm: sum over subspaces of |book[code]|^2 —
-    * exact integer, computed from the codes alone via literal
-    * per-subspace |c|^2 tables. */
+    * exact integer, computed from the codes alone. */
   private def recon2(books: Array[Array[Array[Double]]]): Column =
-    books.zipWithIndex.map { case (book, s) =>
-      val n2s = array(book.map(c => lit(c.map(x => {
-        val q = math.round(x); q * q
-      }).sum)): _*)
-      element_at(n2s, col(s"code_$s") + 1)
-    }.reduce(_ + _)
+    graft.functions.QuantCodecCols.pqRecon2(codesArr(books.length), books)
 
   /**
    * BUILD the full PQ artifact over a corpus: fitted sub-codebooks + the
@@ -255,15 +250,12 @@ object PqIndex {
   def adcTopKFrom(books: Array[Array[Array[Double]]], codes: DataFrame,
       embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
     val m = books.length
-    val subDim = books(0)(0).length // codeword length IS the subspace width
     val q = Similarity.quantizedWithNorm(
         embeddings.where(col("vec_id").isin(queryIds: _*)))
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
         col("norm").as("qnorm"))
-    val adcDot = books.zipWithIndex.map { case (book, s) =>
-      Similarity.dotQ(slice(col("qqv"), s * subDim + 1, subDim),
-        element_at(bookLit(book), col(s"code_$s") + 1))
-    }.reduce(_ + _)
+    val adcDot = graft.functions.QuantCodecCols.pqAdcDot(
+      col("qqv"), codesArr(m), books)
     val scored = codes
       .join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
@@ -312,21 +304,15 @@ object PqIndex {
   def ivfadcTopKFromTable(centroids: Array[Array[Double]],
       books: Array[Array[Array[Double]]], table: DataFrame,
       embeddings: DataFrame, queryIds: Seq[Long], k: Int, nProbe: Int): DataFrame = {
-    val subDim = books(0)(0).length
     val q = Similarity.quantizedWithNorm(
       embeddings.where(col("vec_id").isin(queryIds: _*)))
-    val probeCols = centroids.zipWithIndex.map { case (c, i) =>
-      struct(IvfIndex.relDist2(col("qv"), c).as("d"), lit(i).as("c"))
-    }
     val probes = q
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
         col("norm").as("qnorm"),
-        explode(slice(array_sort(array(probeCols: _*)), 1, nProbe)).as("p"))
-      .select(col("query_id"), col("qqv"), col("qnorm"), col("p.c").as("cluster"))
-    val adcDot = books.zipWithIndex.map { case (book, s) =>
-      Similarity.dotQ(slice(col("qqv"), s * subDim + 1, subDim),
-        element_at(bookLit(book), col(s"code_$s") + 1))
-    }.reduce(_ + _)
+        explode(graft.functions.QuantCodecCols.ivfProbeTop(
+          col("qv"), centroids, nProbe)).as("cluster"))
+    val adcDot = graft.functions.QuantCodecCols.pqAdcDot(
+      col("qqv"), codesArr(books.length), books)
     val scored = table
       .join(broadcast(probes), Seq("cluster"))
       .where(col("vec_id") =!= col("query_id"))
@@ -443,31 +429,29 @@ object PqIndex {
   // post-build.
   // ------------------------------------------------------------------
 
-  /** Literal nLists x dims centroid table (exact longs). */
-  private def centLit(centroids: Array[Array[Double]]): Column =
-    array(centroids.map(c => array(c.map(x => lit(math.round(x))): _*)): _*)
-
-  /** Literal per-cluster |c|^2 (exact long). */
+  /** Literal per-cluster |c|^2 (exact long) — nLists scalar literals,
+    * small at any gate size. */
   private def centN2Lit(centroids: Array[Array[Double]]): Column =
     array(centroids.map(c => lit(c.map(x => { val q = math.round(x); q * q }).sum)): _*)
 
   /** Residual rows `(vec_id, cluster, qv = v - centroid[cluster])` from
-    * an assigned index — one projection (build/ingest path only; the
-    * zip_with lambda never appears in a serve plan). */
+    * an assigned index — one projection (build/ingest path only). The
+    * centroid lookup + elementwise subtract run as codegen'd kernels
+    * (the old shape was an nLists·dims literal table indexed per row,
+    * then an interpreted zip_with lambda). */
   def residuals(assigned: DataFrame, centroids: Array[Array[Double]]): DataFrame =
     assigned.select(col("vec_id"), col("cluster"),
-      zip_with(col("qv"), element_at(centLit(centroids), col("cluster") + 1),
-        (a, b) => a - b).as("qv"))
+      graft.functions.QuantCodecCols.longArraySub(col("qv"),
+        graft.functions.QuantCodecCols.ivfCentroidRow(col("cluster"), centroids))
+        .as("qv"))
 
   /** `2<c, r_hat> + |r_hat|^2` + `|c|^2` — the exact reconstructed
     * norm^2 of `c + r_hat`, from the codes + cluster id alone. */
   private def resRecon2(centroids: Array[Array[Double]],
       books: Array[Array[Array[Double]]], subDim: Int): Column = {
-    val cent = element_at(centLit(centroids), col("cluster") + 1)
-    val cross = books.zipWithIndex.map { case (book, s) =>
-      Similarity.dotQ(slice(cent, s * subDim + 1, subDim),
-        element_at(bookLit(book), col(s"code_$s") + 1))
-    }.reduce(_ + _)
+    val cent = graft.functions.QuantCodecCols.ivfCentroidRow(col("cluster"), centroids)
+    val cross = graft.functions.QuantCodecCols.pqAdcDot(
+      cent, codesArr(books.length), books)
     element_at(centN2Lit(centroids), col("cluster") + 1) +
       lit(2L) * cross + recon2(books)
   }
@@ -527,23 +511,19 @@ object PqIndex {
   def ivfadcResTopKFromTable(centroids: Array[Array[Double]],
       books: Array[Array[Array[Double]]], table: DataFrame,
       embeddings: DataFrame, queryIds: Seq[Long], k: Int, nProbe: Int): DataFrame = {
-    val subDim = books(0)(0).length
     val q = Similarity.quantizedWithNorm(
       embeddings.where(col("vec_id").isin(queryIds: _*)))
-    val probeCols = centroids.zipWithIndex.map { case (c, i) =>
-      struct(IvfIndex.relDist2(col("qv"), c).as("d"), lit(i).as("c"))
-    }
     val probes = q
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
         col("norm").as("qnorm"),
-        explode(slice(array_sort(array(probeCols: _*)), 1, nProbe)).as("p"))
-      .select(col("query_id"), col("qqv"), col("qnorm"), col("p.c").as("cluster"),
+        explode(graft.functions.QuantCodecCols.ivfProbeTop(
+          col("qv"), centroids, nProbe)).as("cluster"))
+      .select(col("query_id"), col("qqv"), col("qnorm"), col("cluster"),
         Similarity.dotQ(col("qqv"),
-          element_at(centLit(centroids), col("p.c") + 1)).as("qcdot"))
-    val adcDot = books.zipWithIndex.map { case (book, s) =>
-      Similarity.dotQ(slice(col("qqv"), s * subDim + 1, subDim),
-        element_at(bookLit(book), col(s"code_$s") + 1))
-    }.reduce(_ + _)
+          graft.functions.QuantCodecCols.ivfCentroidRow(col("cluster"), centroids))
+          .as("qcdot"))
+    val adcDot = graft.functions.QuantCodecCols.pqAdcDot(
+      col("qqv"), codesArr(books.length), books)
     val scored = table
       .join(broadcast(probes), Seq("cluster"))
       .where(col("vec_id") =!= col("query_id"))

@@ -51,36 +51,21 @@ object SqIndex {
       Array.tabulate(dims)(i => r.getLong(2 * i + 1)))
   }
 
-  /** Byte code for dimension `i` of the in-scope `qv` column: exact
-    * integer requantize + clamp (the clamp only bites for out-of-range
-    * values in the frozen-stats refresh path). */
-  private def codeExpr(stats: Stats, i: Int): Column = {
-    val mn = stats.mins(i)
-    val rg = stats.maxs(i) - stats.mins(i)
-    if (rg <= 0) lit(0L)
-    else least(greatest(
-      expr(s"((qv[$i] - (${mn}L)) * 255L) DIV ${rg}L"), lit(0L)), lit(255L))
-  }
-
-  /** Reconstructed value for dimension `i` of the in-scope `codes`
-    * column: `mn + (code * rg) DIV 255`, exact integers. */
-  private def reconExpr(stats: Stats, i: Int): Column = {
-    val mn = stats.mins(i)
-    val rg = stats.maxs(i) - stats.mins(i)
-    if (rg <= 0) lit(mn) else lit(mn) + expr(s"(codes[$i] * ${rg}L) DIV 255L")
-  }
-
-  /** The reconstructed vector (array<long>) from the in-scope `codes`. */
-  private def reconArr(stats: Stats): Column =
-    array((0 until stats.dims).map(i => reconExpr(stats, i)): _*)
-
   /** Encode a quantized frame: `(vec_id, codes, recon2)` — one
     * projection, no shuffle. recon2 is the exact squared norm of the
-    * reconstruction (computable from codes + stats alone). */
+    * reconstruction (computable from codes + stats alone). The per-dim
+    * requantize/clamp/reconstruct arithmetic lives in the codegen'd
+    * [[graft.functions.SqEncodeCodes]]/[[graft.functions.SqRecon2]]
+    * kernels (r17 opt round — the old shape was 64 string-parsed expr()
+    * clamps plus a 64-wide reconstruction array squared through dotQ,
+    * an O(dims)-node literal tree Catalyst re-analyzed on EVERY
+    * per-batch action; identical integer arithmetic, QuantCodecSpec). */
   def encode(quantized: DataFrame, stats: Stats): DataFrame =
     quantized
-      .withColumn("codes", array((0 until stats.dims).map(i => codeExpr(stats, i)): _*))
-      .withColumn("recon2", Similarity.dotQ(reconArr(stats), reconArr(stats)))
+      .withColumn("codes",
+        graft.functions.QuantCodecCols.sqEncode(col("qv"), stats.mins, stats.maxs))
+      .withColumn("recon2",
+        graft.functions.QuantCodecCols.sqRecon2(col("codes"), stats.mins, stats.maxs))
       .select(col("vec_id"), col("codes"), col("recon2"))
 
   /** BUILD the full SQ artifact over a corpus: stats + the code table.
@@ -125,7 +110,8 @@ object SqIndex {
     val scored = codes
       .join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(Similarity.dotQ(col("qqv"), reconArr(stats)).cast("double") /
+        round(graft.functions.QuantCodecCols.sqReconDot(
+            col("qqv"), col("codes"), stats.mins, stats.maxs).cast("double") /
           (col("qnorm") * sqrt(col("recon2").cast("double"))), 4).as("score"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
     scored
@@ -165,19 +151,17 @@ object SqIndex {
       nProbe: Int): DataFrame = {
     val q = Similarity.quantizedWithNorm(
       embeddings.where(col("vec_id").isin(queryIds: _*)))
-    val probeCols = centroids.zipWithIndex.map { case (c, i) =>
-      struct(IvfIndex.relDist2(col("qv"), c).as("d"), lit(i).as("c"))
-    }
     val probes = q
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
         col("norm").as("qnorm"),
-        explode(slice(array_sort(array(probeCols: _*)), 1, nProbe)).as("p"))
-      .select(col("query_id"), col("qqv"), col("qnorm"), col("p.c").as("cluster"))
+        explode(graft.functions.QuantCodecCols.ivfProbeTop(
+          col("qv"), centroids, nProbe)).as("cluster"))
     val scored = table
       .join(broadcast(probes), Seq("cluster"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(Similarity.dotQ(col("qqv"), reconArr(stats)).cast("double") /
+        round(graft.functions.QuantCodecCols.sqReconDot(
+            col("qqv"), col("codes"), stats.mins, stats.maxs).cast("double") /
           (col("qnorm") * sqrt(col("recon2").cast("double"))), 4).as("score"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
     scored
