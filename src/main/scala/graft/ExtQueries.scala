@@ -34,7 +34,7 @@ object ExtQueries {
         .orderBy(col("doc_a"), col("doc_b"))),
 
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashNearDups(docs(s, dir), 3)
+      DedupIndex.simhashPairs(s, dir, 3)
         .orderBy(col("doc_a"), col("doc_b"))),
 
     // Embedding near-dup, HIGH-RECALL banded configuration (4 bands of 4

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, PortableHash, Similarity, Tables}
+import graft.operators.{Dedup, DedupIndex, PortableHash, Similarity, Tables}
 
 /**
  * Round-6 seventh wave: retrieval-quality evaluations.
@@ -63,7 +63,7 @@ object ExtQueries17 {
       val d = Tables.table(s, dir, "documents")
       val truth = Dedup.jaccardPairs(Dedup.ngramShingles(d, 3), 0.5)
         .select(col("doc_a"), col("doc_b"), lit(1).as("t"))
-      val pred = Dedup.simhashNearDups(d, 3)
+      val pred = DedupIndex.simhashPairs(s, dir, 3)
         .select(col("doc_a"), col("doc_b"), lit(1).as("p"))
       truth.join(pred, Seq("doc_a", "doc_b"), "full_outer")
         .agg(

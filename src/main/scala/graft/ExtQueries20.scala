@@ -52,7 +52,7 @@ object ExtQueries20 {
       val docs = Tables.table(s, dir, "documents")
       val splits = DeterministicSample.split(docs.select(col("doc_id")),
         col("doc_id").cast("string"), ValPct, TestPct)
-      val pairs = Dedup.simhashNearDups(docs, 3)
+      val pairs = DedupIndex.simhashPairs(s, dir, 3)
       pairs
         .join(splits.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
         .join(splits.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")

@@ -155,6 +155,21 @@ object DedupIndex {
       Dedup.simhashComponents(Tables.table(spark, dir, "documents"), maxHamming)
     }
 
+  /** Memoized `(doc_a, doc_b, hamming)` SimHash near-dup PAIR index over
+    * `<dir>/documents.parquet` — the standing banded-candidate artifact
+    * shared by every consumer of the hamming <= maxHamming pair set
+    * (the near-dup listing itself, the precision/recall eval's predicted
+    * side, the split-leakage audit). r17 opt round: the three consumers
+    * each re-ran the full banded join per invocation; the pair set is a
+    * build-once/scan-many index exactly like the cluster index above
+    * (which is its connected components). `simhashNearDups` already
+    * returns an eagerly checkpointed frame, so the memoized value is
+    * scan-shaped for every consumer. */
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int): DataFrame =
+    memo(spark, dir, s"simhashpairs:$maxHamming") {
+      Dedup.simhashNearDups(Tables.table(spark, dir, "documents"), maxHamming)
+    }
+
   /** Memoized `(node, comp)` MinHash cluster index over
     * `<dir>/documents.parquet`. */
   def minhashComponents(spark: SparkSession, dir: String, threshold: Double): DataFrame =
