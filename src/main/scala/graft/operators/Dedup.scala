@@ -227,12 +227,40 @@ object Dedup {
     }
   }
 
+  /** Per-row distinct-word array of `text` — the docWords set,
+    * row-shaped (r17 opt round: signatures/fingerprints/word sets are
+    * pure per-document functions, so staging them per row removes the
+    * explode + distinct exchange + aggregation exchange the grouped
+    * forms paid per invocation/batch). Callers pair it with a
+    * text-not-null filter: the exploded forms dropped null-text docs
+    * (explode of a null array emits no row). */
+  private def wordArr(text: Column): Column = array_distinct(split(text, " "))
+
+  /** Per-row SimHash fingerprint of `text` — bit-identical to the
+    * grouped form ([[graft.functions.SimhashFp]] sets bit i iff strictly
+    * more distinct words have it set than clear == sum(+-1) > 0; the
+    * streaming dedup stage has used this expression since r9). */
+  def simhashFpExpr(text: Column): Column =
+    graft.functions.SimhashFp.fp(
+      transform(wordArr(text), w => h(w)), SimHashBits)
+
+  /** Per-row MinHash signature array (length NumHashes): element j =
+    * min over distinct words of (A(j)*hMod(word) + B(j)) % P — the
+    * grouped form's 16 min() aggregates in one codegen'd pass. */
+  private def minhashSigArr(text: Column): Column =
+    graft.functions.MinhashSigs.sigs(
+      transform(wordArr(text), w => hMod(w)), A, B, P)
+
   /**
-   * MinHash signatures: one shuffle, NumHashes min() aggregations over the
-   * per-(doc, word) hash — all inside whole-stage codegen.
+   * MinHash signatures `(doc_id, mh0..mhN-1)` — one narrow per-row
+   * projection (no explode, no exchange; see [[minhashSigArr]]).
    */
-  def minhashSignatures(docs: DataFrame): DataFrame =
-    minhashSignaturesFromWords(docWords(docs))
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val withArr = docs.where(col("text").isNotNull)
+      .select(col("doc_id"), minhashSigArr(col("text")).as("_mh"))
+    withArr.select(col("doc_id") +:
+      (0 until NumHashes).map(j => element_at(col("_mh"), j + 1).as(s"mh$j")): _*)
+  }
 
   def minhashSignaturesFromWords(words: DataFrame): DataFrame = {
     val hashed = words.withColumn("hm", hMod(col("word")))
@@ -484,19 +512,9 @@ object Dedup {
    * sum over distinct words of (bit i of H(word) ? +1 : -1). One shuffle,
    * SimHashBits sum() aggregations.
    */
-  def simhashFingerprints(docs: DataFrame): DataFrame = {
-    val hashed = docWords(docs).withColumn("h", h(col("word")))
-    val bitSums = (0 until SimHashBits).map { i =>
-      sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$i")
-    }
-    val fp = (0 until SimHashBits)
-      .map(i => when(col(s"s$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    hashed
-      .groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), fp.as("fp"))
-  }
+  def simhashFingerprints(docs: DataFrame): DataFrame =
+    docs.where(col("text").isNotNull)
+      .select(col("doc_id"), simhashFpExpr(col("text")).as("fp"))
 
   /**
    * SimHash near-dup via the pigeonhole banded join: maxHamming must be
@@ -944,12 +962,21 @@ object Dedup {
     * [[graft.streaming.IndexMaintenance]] persists per batch. Lazy (the
     * caller's parquet write materializes it); per-batch-sized work. */
   def minhashStagedColumns(docs: DataFrame): DataFrame = {
-    val words = docWords(docs)
-    val sigs = bandedSignatures(minhashSignaturesFromWords(words))
-    val wordSets = words.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(xxhash64(col("word")))).as("wset"),
-        count(lit(1)).as("n_w"))
-    sigs.join(wordSets, "doc_id")
+    // ONE narrow projection (r17 opt round): bands, word-hash set and
+    // set size are all per-row functions of `text` — the grouped form
+    // paid a distinct exchange + two aggregation exchanges + a join
+    // PER INGEST BATCH for the same values
+    val withArr = docs.where(col("text").isNotNull)
+      .select(col("doc_id"), minhashSigArr(col("text")).as("_mh"),
+        wordArr(col("text")).as("_w"))
+    val bandCols = (0 until NumBands).map { bnd =>
+      concat_ws(",", (bnd * BandRows until (bnd + 1) * BandRows)
+        .map(j => element_at(col("_mh"), j + 1).cast("string")): _*)
+        .as(s"band$bnd")
+    }
+    withArr.select(col("doc_id") +: bandCols :+
+      array_sort(transform(col("_w"), w => xxhash64(w))).as("wset") :+
+      size(col("_w")).cast("long").as("n_w"): _*)
   }
 
   /** Read schema for [[minhashStagedColumns]] parquet (empty ingest
@@ -972,16 +999,25 @@ object Dedup {
     * refresh. */
   def minhashRefreshInputs(docs: DataFrame,
       isIncoming: Column): (DataFrame, DataFrame) = {
-    val flagged = docs.select(col("doc_id"), isIncoming.as("inc"))
-    val words = docWords(docs).persist()
-    try {
-      val sigs = bandedSignatures(minhashSignaturesFromWords(words))
-        .join(flagged, "doc_id").localCheckpoint(true)
-      val wordSets = words.groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(xxhash64(col("word")))).as("wset"),
-          count(lit(1)).as("n_w")).localCheckpoint(true)
-      (sigs, wordSets)
-    } finally words.unpersist()
+    // per-row staging (see minhashStagedColumns): the inc flag rides the
+    // same projection — no explode, no exchange, no join
+    val withArr = docs.where(col("text").isNotNull)
+      .select(col("doc_id"), minhashSigArr(col("text")).as("_mh"),
+        wordArr(col("text")).as("_w"), isIncoming.as("inc"))
+    val bandCols = (0 until NumBands).map { bnd =>
+      concat_ws(",", (bnd * BandRows until (bnd + 1) * BandRows)
+        .map(j => element_at(col("_mh"), j + 1).cast("string")): _*)
+        .as(s"band$bnd")
+    }
+    val sigs = withArr
+      .select(col("doc_id") +: bandCols :+ col("inc"): _*)
+      .localCheckpoint(true)
+    val wordSets = withArr
+      .select(col("doc_id"),
+        array_sort(transform(col("_w"), w => xxhash64(w))).as("wset"),
+        size(col("_w")).cast("long").as("n_w"))
+      .localCheckpoint(true)
+    (sigs, wordSets)
   }
 
   /**

@@ -68,17 +68,12 @@ object SimhashDedupStream {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  /** Per-ROW SimHash fingerprint — bit-identical to the batch
-    * `Dedup.simhashFingerprints` (bit i set iff strictly more distinct
-    * words have bit i of H(word) set than clear), but computed per row
-    * instead of via a grouped aggregation so it runs inside a stateless
-    * streaming projection (no extra stateful op in front of
-    * transformWithState). The bit counting is the native codegen'd
-    * `SimhashFp` — the 60-lambda HOF version of this expression cost
-    * 11 s of the 205-query bench on its own. */
+  /** Per-ROW SimHash fingerprint — since the r17 opt round this IS the
+    * batch expression too (`Dedup.simhashFpExpr`; the grouped
+    * aggregation form is gone). Kept as an alias for the streaming
+    * call sites. */
   def simhashFpExpr(text: Column): Column =
-    graft.functions.SimhashFp.fp(
-      transform(array_distinct(split(text, " ")), w => h(w)), SimHashBits)
+    graft.operators.Dedup.simhashFpExpr(text)
 
   /**
    * Kept doc_ids after streaming near-dup filtering. The drain's match
