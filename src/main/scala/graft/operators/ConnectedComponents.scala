@@ -40,12 +40,15 @@ object ConnectedComponents {
     * still paid 4-6 driver ACTIONS (edge count + one count per round) at
     * 100-230 ms of scheduling each — ~0.6-0.9 s per batch of pure
     * latency. Below the bound the driver does the same min-label fixpoint
-    * in microseconds over at most ~2 MB of collected pairs (the exact
-    * bounded-artifact posture of the codebook/stats collects); above it
-    * — the 100 TB regime — the distributed loop is unchanged. Output is
-    * byte-identical: a union-find whose roots are kept at the component
-    * minimum computes exactly "comp = min reachable node id". */
-  private[graft] val LocalEdgeMax = 1 << 17
+    * in milliseconds over a ~tens-of-MB transient collect (the
+    * bounded-artifact posture of the codebook/stats collects — the bound
+    * was raised 2^17 -> 2^19 after JobProfile showed sf0.1 refresh
+    * batches just over 2^17 still paying 4-5 distributed rounds for a
+    * graph the driver solves in one); above it — the 100 TB regime —
+    * the distributed loop is unchanged. Output is byte-identical: a
+    * union-find whose roots are kept at the component minimum computes
+    * exactly "comp = min reachable node id". */
+  private[graft] val LocalEdgeMax = 1 << 19
 
   /**
    * (node, comp) for every node appearing in `pairs` (columns doc_a,
